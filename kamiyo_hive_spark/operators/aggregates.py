@@ -1,0 +1,458 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Reference semantics:
+- A1 conditional counts (`programs/kamiyo-fast-voting/src/lib.rs:115-120`).
+- A2 ratio-of-sums + threshold decision (`lib.rs:139-156`, `lib/governance.ts:308-320`).
+- A3 weighted sums (`swarm-types.ts:67-68`).
+- A4 banded multiplier by age (`lib/governance.ts:282-302`).
+- A5 per-epoch signal aggregator (`swarm-types.ts:147-158`).
+- A6 group-by sum + grand total (`app/[locale]/hive/runs/[runId]/page.tsx:48-58`).
+- A7 categorical histogram + mean (`TrustGraphScene.tsx:146-170`).
+- A8 calendar-window sums (`lib/hive-api.ts:327-334`).
+- A9 24 h rolling stats (`swarm-types.ts:430-437`).
+- A10 guarded rate metric (`keiro-client.ts:193-195`).
+- A12 distinct counts (`lib/governance.ts:49,161`).
+- A13 composite weighted score (`discovery.ts:122-139`).
+
+All monetary aggregation is decimal-internal (functions.money):
+partial-aggregate order never changes the result, so plans stay
+hash-identical from local[32] to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus, one_plus
+from kamiyo_hive_spark.plans.registry import register
+
+NOW = "2024-01-31 00:00:00"  # fixed 'now' for event-time windows (events span Jan 2024)
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("A1", "A6", "tpch-q1"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide aggregation. One scan, partial
+    aggregation map-side, 4-group shuffle — the 100 TB plan is identical."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= _ts("1998-09-02 00:00:00")
+    )
+    disc_price = dec("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(dec("l_quantity")).alias("sum_qty"),
+            money_sum(dec("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge).alias("sum_charge"),
+            (money_sum(dec("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (money_sum(dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount", "decimal(4,2)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "conditional_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           count(*) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("A1",),
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental conditional counters (votes_for / votes_against /
+    vote_count) as one-pass conditional aggregation."""
+    o = table(spark, sf_dir, "orders")
+
+    def n(status: str) -> F.Column:
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            n("F").alias("n_f"),
+            n("O").alias("n_o"),
+            n("P").alias("n_p"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "ratio_threshold_decision",
+    oracle="""
+    WITH t AS (
+        SELECT c.c_nationkey,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_for,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_against,
+               count(*) AS n_votes
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT c_nationkey,
+           n_for, n_against, n_votes,
+           CAST(CASE WHEN n_for + n_against = 0 THEN 0
+                ELSE (100 * n_for) // (n_for + n_against) END AS BIGINT) AS approval_pct,
+           (n_votes >= 2 AND
+            CASE WHEN n_for + n_against = 0 THEN 0
+                 ELSE (100 * n_for) // (n_for + n_against) END >= 50) AS passed
+    FROM t
+    ORDER BY c_nationkey
+    """,
+    tags=("A2", "ST8"),
+)
+def ratio_threshold_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tally semantics of `lib.rs:139-156`: integer approval percentage
+    (100*for DIV total, exact integer math), quorum>=2, threshold 50."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n_for = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    n_against = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    t = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(n_for.alias("n_for"), n_against.alias("n_against"), F.count("*").alias("n_votes"))
+    )
+    pct = F.when(F.col("n_for") + F.col("n_against") == 0, F.lit(0)).otherwise(
+        (100 * F.col("n_for")).cast("long") / (F.col("n_for") + F.col("n_against"))
+    ).cast("long")
+    t = t.withColumn("approval_pct", pct)
+    return (
+        t.withColumn("passed", (F.col("n_votes") >= 2) & (F.col("approval_pct") >= 50))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "weighted_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS weighted_total
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY l_returnflag
+    """,
+    tags=("A3",),
+)
+def weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stake-weighted vote sum as an exact decimal weighted aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(money_sum(dec("l_quantity") * dec("l_extendedprice")).alias("weighted_total"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "banded_multiplier_weight",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)) *
+             CAST(CASE WHEN date_diff('day', o_orderdate, TIMESTAMP '2001-12-31 00:00:00') < 365 THEN '1.00'
+                       WHEN date_diff('day', o_orderdate, TIMESTAMP '2001-12-31 00:00:00') < 1095 THEN '1.20'
+                       WHEN date_diff('day', o_orderdate, TIMESTAMP '2001-12-31 00:00:00') < 1825 THEN '1.50'
+                       ELSE '2.00' END AS DECIMAL(4,2))) AS DOUBLE) AS weighted_value
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("A4", "case-banding"),
+)
+def banded_multiplier_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-banded multiplier weighting (`governance.ts:282-302`): value ×
+    {1.0, 1.2, 1.5, 2.0} by age bands, summed exactly per group."""
+    o = table(spark, sf_dir, "orders")
+    age_days = F.datediff(_ts("2001-12-31 00:00:00"), F.col("o_orderdate"))
+    mult = (
+        F.when(age_days < 365, "1.00")
+        .when(age_days < 1095, "1.20")
+        .when(age_days < 1825, "1.50")
+        .otherwise("2.00")
+        .cast("decimal(4,2)")
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(money_sum(dec("o_totalprice") * mult).alias("weighted_value"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "epoch_signal_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS epoch_hour,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY epoch_hour
+    """,
+    tags=("A5", "ST1"),
+)
+def epoch_signal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch signal aggregator (`swarm-types.ts:147-158`): tumbling
+    hour buckets with per-direction counts and magnitude sums. The batch
+    twin of the streaming windowed aggregation (ST1)."""
+    e = table(spark, sf_dir, "events")
+
+    def n(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("epoch_hour"))
+        .agg(
+            n("click").alias("n_click"),
+            n("purchase").alias("n_purchase"),
+            n("error").alias("n_error"),
+            money_sum(dec("value")).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("epoch_hour")
+    )
+
+
+@register(
+    "spend_rollup",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name)
+    ORDER BY nation NULLS FIRST
+    """,
+    tags=("A6", "rollup"),
+)
+def spend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group spend + grand total in one pass (rollup): the
+    spentByAgent/totalSpent pattern without a second scan."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup(F.col("n_name").alias("nation"))
+        .agg(money_sum(dec("o_totalprice")).alias("total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("nation").asc_nulls_first())
+    )
+
+
+@register(
+    "histogram_mean",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM part
+    GROUP BY 1
+    ORDER BY p_brand
+    """,
+    tags=("A7",),
+)
+def histogram_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical histogram + mean (trust-graph tierCounts/avgTrust)."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (money_sum(dec("p_retailprice")) / F.count("*")).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "calendar_window_sums",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN ts >= TIMESTAMP '{NOW}' - INTERVAL 1 DAY
+               THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS today_value,
+      CAST(SUM(CASE WHEN ts >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+               THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS week_value,
+      CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS month_value,
+      CAST(SUM(CASE WHEN ts >= TIMESTAMP '{NOW}' - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS today_n,
+      CAST(SUM(CASE WHEN ts >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS week_n,
+      count(*) AS month_n
+    FROM events
+    """,
+    tags=("A8",),
+)
+def calendar_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earnings-stats shape (`hive-api.ts:327-334`): today/thisWeek/
+    thisMonth sums against an injected `now` — one scan, conditional
+    aggregation, no per-window rescans."""
+    e = table(spark, sf_dir, "events")
+    now = _ts(NOW)
+
+    def in_window(days: int) -> F.Column:
+        return F.col("ts") >= now - F.expr(f"INTERVAL {days} DAY")
+
+    return e.agg(
+        F.sum(F.when(in_window(1), dec("value"))).cast("double").alias("today_value"),
+        F.sum(F.when(in_window(7), dec("value"))).cast("double").alias("week_value"),
+        money_sum(dec("value")).alias("month_value"),
+        F.sum(F.when(in_window(1), 1).otherwise(0)).alias("today_n"),
+        F.sum(F.when(in_window(7), 1).otherwise(0)).alias("week_n"),
+        F.count("*").alias("month_n"),
+    )
+
+
+@register(
+    "rolling_24h_stats",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_24h,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS value_24h
+    FROM events
+    WHERE ts >= TIMESTAMP '{NOW}' - INTERVAL 1 DAY
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+    tags=("A9",),
+)
+def rolling_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24 h rolling burn-stats shape (`swarm-types.ts:430-437`)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") >= _ts(NOW) - F.expr("INTERVAL 1 DAY"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_24h"), money_sum(dec("value")).alias("value_24h"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "guarded_rate_metric",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_disputes,
+           CASE WHEN count(o.o_orderkey) = 0 THEN 100.0
+                ELSE round((1.0 - SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                                  / CAST(count(o.o_orderkey) AS DOUBLE)) * 100.0, 0) END AS success_rate
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+    tags=("A10",),
+)
+def guarded_rate_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """successRate = round((1 - disputes/tasks)*100), guarded for zero
+    tasks (`keiro-client.ts:193-195`)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n_orders = F.count("o_orderkey")
+    n_disputes = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    joined = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(n_orders.alias("n_orders"), n_disputes.alias("n_disputes"))
+    )
+    rate = F.when(F.col("n_orders") == 0, F.lit(100.0)).otherwise(
+        F.round((1.0 - F.col("n_disputes") / F.col("n_orders").cast("double")) * 100.0, 0)
+    )
+    return (
+        joined.withColumn("success_rate", rate)
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(DISTINCT o.o_custkey) AS n_active_customers,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY c_nationkey
+    """,
+    tags=("A12",),
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct voter counts per group. (The approximate variant —
+    approx_count_distinct, for 100 TB dashboards — is benchmarked but not
+    oracle-checked since HLL sketches are engine-specific.)"""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "composite_score",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           0.4 * (s_acctbal / 10000.0)
+         + 0.3 * (CAST(s_nationkey AS DOUBLE) / 25.0)
+         + 0.3 * (CAST(s_suppkey % 100 AS DOUBLE) / 100.0) AS score
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("A13", "U8"),
+)
+def composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite weighted feature score (`discovery.ts:122-139`) as a
+    pure vectorized column expression — no UDF."""
+    s = table(spark, sf_dir, "supplier")
+    score = (
+        0.4 * (F.col("s_acctbal") / 10000.0)
+        + 0.3 * (F.col("s_nationkey").cast("double") / 25.0)
+        + 0.3 * ((F.col("s_suppkey") % 100).cast("double") / 100.0)
+    )
+    return s.select("s_suppkey", "s_name", score.alias("score")).orderBy("s_suppkey")

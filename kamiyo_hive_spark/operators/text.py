@@ -1,0 +1,169 @@
+"""Text-analysis operator family over the `documents` table.
+
+Driver-mandated extension (SURVEY §7.2 phase 5): the operations a large
+training-data pipeline needs — token counting, quality scoring,
+language-ID heuristics, document fingerprinting. The deterministic
+token-overlap scorer mirrors the reference's quality-oracle fallback
+(`packages/hive-sdk/src/oracle.ts:146-175`).
+
+Everything here is built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python in the hot path. At 100 TB the
+documents table is partitioned by source/date; every query below is a
+single scan + one small shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.plans.registry import register
+
+# Tokenization contract shared with every oracle: trim, split on runs of
+# whitespace. Empty text => 0 tokens.
+def _tokens() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / count(*) AS avg_tokens
+    FROM documents
+    GROUP BY 1
+    ORDER BY lang
+    """,
+    tags=("text", "token-count"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus stats."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            (F.sum(n_tokens).cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    LIMIT 100
+    """,
+    tags=("text", "fingerprint", "dedup-exact"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: normalized-text hash groups with the
+    deterministic keeper (min doc_id) — the exact-dedup primitive."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("fingerprint")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               length(text) AS n_char,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+               len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS n_stop
+    FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_char >= 200 AND n_stop > 0 AND n_tokens >= 30 THEN 'high'
+                WHEN n_char >= 100 THEN 'medium'
+                ELSE 'low' END AS quality_band,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY lang, quality_band
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality banding from length / punctuation / stopword
+    signals (the fast pre-filter a data pipeline runs before any model
+    scoring)."""
+    d = table(spark, sf_dir, "documents")
+    n_char = F.length("text")
+    n_tokens = F.size(_tokens())
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to|in|is)\b"))
+    band = (
+        F.when((n_char >= 200) & (n_stop > 0) & (n_tokens >= 30), "high")
+        .when(n_char >= 100, "medium")
+        .otherwise("low")
+    )
+    return (
+        d.select("lang", band.alias("quality_band"), n_tokens.alias("n_tokens"))
+        .groupBy("lang", "quality_band")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("total_tokens"))
+        .orderBy("lang", "quality_band")
+    )
+
+
+@register(
+    "text_overlap_score",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               string_split_regex(lower(trim(a.text)), '\\s+') AS ta,
+               string_split_regex(lower(trim(b.text)), '\\s+') AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id < 50
+    )
+    SELECT doc_a, doc_b,
+           round(
+             0.6 * (CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                    / greatest(len(list_distinct(ta)), 1))
+           + 0.4 * (CAST(least(len(ta), len(tb)) AS DOUBLE)
+                    / greatest(len(ta), len(tb), 1)), 6) AS overlap_score
+    FROM pairs
+    ORDER BY doc_a
+    """,
+    tags=("A14", "U4", "text"),
+)
+def text_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text-similarity scorer — the reference's LLM-judge
+    fallback (`oracle.ts:146-175`): 0.6·(distinct-token overlap ratio) +
+    0.4·(length ratio), here over adjacent doc pairs."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    a = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc_a"), toks.alias("ta")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"), toks.alias("tb"))
+    overlap = F.size(F.array_intersect("ta", "tb")).cast("double") / F.greatest(
+        F.size(F.array_distinct("ta")), F.lit(1)
+    )
+    len_ratio = F.least(F.size("ta"), F.size("tb")).cast("double") / F.greatest(
+        F.size("ta"), F.size("tb"), F.lit(1)
+    )
+    return (
+        a.join(b, "doc_a")
+        .select("doc_a", "doc_b", F.round(0.6 * overlap + 0.4 * len_ratio, 6).alias("overlap_score"))
+        .orderBy("doc_a")
+    )

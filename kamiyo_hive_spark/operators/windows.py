@@ -1,0 +1,198 @@
+"""Window functions, ranking, top-K (SURVEY §2.5).
+
+Reference semantics:
+- W1/W2 top-K by aggregate / leaderboard (`runs/[runId]/page.tsx:60`,
+  `lib/indexer.ts:64-83`).
+- W3/W4 argmax per group with deterministic tie-break
+  (`discovery.ts:56-62`; highest-yes-bid winner `swarm-types.ts:118-119`).
+- W5 last-N history before a cursor (`message-store.ts:30-45`).
+- W6 recency flag (`useHiveVizState.ts:38-40`).
+- Running tallies with unbounded-preceding frames (A1 streaming shape).
+
+Scale notes: per-group windows shuffle once on the partition key and
+sort within partitions — no global sort. Global top-K avoids windows
+entirely (TakeOrderedAndProject). Tie-breaks on a unique key make every
+rank deterministic, which both the DuckDB oracle and any re-run on a
+different partitioning require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.functions.money import dec
+from kamiyo_hive_spark.plans.registry import register
+
+
+@register(
+    "leaderboard_top100",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 0
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 100
+    """,
+    tags=("W2", "O3"),
+)
+def leaderboard_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard: filter + global ordered limit (no window needed —
+    Spark plans TakeOrderedAndProject, constant memory per partition)."""
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rk
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer
+    )
+    WHERE rk <= 3
+    ORDER BY c_nationkey, rk
+    """,
+    tags=("W1", "W5"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number with a unique tie-break."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+@register(
+    "argmax_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey AS best_partkey, p_retailprice AS best_price
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part
+    )
+    WHERE rk = 1
+    ORDER BY p_brand
+    """,
+    tags=("W3", "W4"),
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findBestMatch argmax: highest-priced part per brand, ties broken
+    by key (the highest-yes-bid winner semantics)."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            F.col("p_partkey").alias("best_partkey"),
+            F.col("p_retailprice").alias("best_price"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "last_n_before_cursor",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    )
+    WHERE rk <= 5
+    ORDER BY user_id, rk
+    """,
+    tags=("W5", "P9"),
+)
+def last_n_before_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-history page: last 5 rows per key before a time cursor
+    (`message-store.ts:30-45`)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .drop("rk")
+        .orderBy("user_id", F.desc("ts"), F.desc("event_id"))
+    )
+
+
+@register(
+    "recency_flag",
+    oracle="""
+    SELECT user_id,
+           max(ts) AS last_seen,
+           (max(ts) >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 3 DAY) AS active
+    FROM events
+    GROUP BY 1
+    ORDER BY user_id
+    """,
+    tags=("W6",),
+)
+def recency_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-active flag: last activity within the recency window."""
+    e = table(spark, sf_dir, "events")
+    now = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"))
+        .withColumn("active", F.col("last_seen") >= now - F.expr("INTERVAL 3 DAY"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("A1-frame", "W-frame"),
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running tally (unbounded-preceding frame) — the batch twin of the
+    on-chain incremental vote counters, exact via decimal."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )

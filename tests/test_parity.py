@@ -1,0 +1,95 @@
+"""DuckDB-oracle parity for every registered query — mirrors the
+driver's correctness gate (row count + schema + order-insensitive
+values), but stricter: values must match exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from kamiyo_hive_spark.plans.registry import load_registry
+
+REGISTRY = load_registry()
+ORACLE_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted, type-normalized frame."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            s = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif s.dtype == object:
+            import numpy as np
+
+            s = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
+        out[c] = s
+    norm = pd.DataFrame(out)
+    sort_cols = [c for c in norm.columns]
+    return norm.sort_values(sort_cols, na_position="first").reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if sa.dtype == "float64":
+            eq = [
+                (math.isnan(x) and math.isnan(y)) or x == y
+                for x, y in zip(sa.fillna(float("nan")), sb.fillna(float("nan")))
+            ]
+            bad = [i for i, ok in enumerate(eq) if not ok]
+            assert not bad, (
+                f"{name}.{c}: {len(bad)} mismatched floats, first at row {bad[0]}: "
+                f"{sa.iloc[bad[0]]!r} != {sb.iloc[bad[0]]!r}"
+            )
+        else:
+            pd.testing.assert_series_equal(
+                sa, sb, check_names=False, check_dtype=False, obj=f"{name}.{c}"
+            )
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    duck_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10
