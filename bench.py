@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: time every registered query at a scale factor.
+
+Runs each registry query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Materialization uses the `noop` datasource sink: the full plan executes
+on executors, nothing is collected to the driver — the honest way to
+time a distributed query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from kamiyo_hive_spark.plans.registry import load_registry
+    from kamiyo_hive_spark.session import get_spark
+
+    spark = get_spark(app_name="kamiyo-hive-spark-bench")
+    registry = load_registry()
+
+    # Warm-up: JVM/codegen/parquet-footer caches, not measured.
+    registry["flagship_runs_listing"].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        spec = registry[name]
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "sec total over declared-query manifest (noop sink, local)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
