@@ -150,3 +150,191 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.02)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based near-dup: MinHash-LSH and SimHash (the 100 TB scale path).
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 32   # MinHash permutations
+LSH_BANDS = 8   # bands (B) — with R = NUM_PERM/B = 4 rows/band, the
+LSH_ROWS = 4    # S-curve midpoint sits near Jaccard ≈ (1/B)^(1/R) ≈ 0.59
+
+
+def _portable_hash(col: F.Column, seed: int) -> F.Column:
+    """Engine-portable 60-bit hash: md5(value:seed) → first 15 hex chars
+    as a long. Used only by the oracle-checked algebra proof; production
+    sketches use xxhash64 (JVM-native, no md5 cost)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(F.concat_ws(":", col, F.lit(str(seed))), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, *, num_perm: int = NUM_PERM, portable: bool = False
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{P-1}): MinHash signature per document.
+
+    One explode + ONE shuffle: all P minima are computed as P aggregate
+    expressions in a single groupBy — never P passes over the corpus.
+    Empty shingle sets (docs with < 3 tokens) drop out, mirroring the
+    convention that tiny docs are exact-dedup-only.
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = docs.select("doc_id", _shingles(toks).alias("shingles"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    hash_fn = (
+        (lambda c, p: _portable_hash(c, p))
+        if portable
+        else (lambda c, p: F.xxhash64(c, F.lit(p)))
+    )
+    aggs = [
+        F.min(hash_fn(F.col("shingle"), p)).alias(f"sig_{p}") for p in range(num_perm)
+    ]
+    return inv.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, *, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one LSH band.
+
+    Bands hash R consecutive signature slots; the self-join key is
+    (band_index, band_hash) — an equi-join, so candidate generation cost
+    tracks true collisions, not N². Skewed mega-buckets (e.g. boilerplate
+    corpora) are split by AQE skew-join handling.
+    """
+    band_cols = [
+        F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    pairs = None
+    exploded = banded.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against the true
+    shingle sets — the filter that makes LSH output precise."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = docs.select("doc_id", _shingles(toks).alias("shingles"))
+    out = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+@register("minhash_lsh_neardup", oracle=None, tags=("dedup", "minhash-lsh"))
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact-Jaccard verification at 0.5.
+
+    Non-SQL-expressible at scale (xxhash64 sketches); correctness is
+    covered by (a) the oracle-checked `minhash_algebra_proof` below and
+    (b) unit tests planting true near-duplicates (tests/test_dedup.py).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs)
+    return verify_jaccard(docs, cands, 0.5).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "minhash_algebra_proof",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE doc_id < 50
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [] END) AS shingles
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+    SELECT doc_id,
+           min(CAST(concat('0x', substr(md5(shingle || ':0'), 1, 15)) AS BIGINT)) AS sig_0,
+           min(CAST(concat('0x', substr(md5(shingle || ':1'), 1, 15)) AS BIGINT)) AS sig_1,
+           min(CAST(concat('0x', substr(md5(shingle || ':2'), 1, 15)) AS BIGINT)) AS sig_2,
+           min(CAST(concat('0x', substr(md5(shingle || ':3'), 1, 15)) AS BIGINT)) AS sig_3
+    FROM inv
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash-proof"),
+    bench=False,
+)
+def minhash_algebra_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash algebra cross-checked against an independent engine:
+    4 portable (md5-based) permutations over 50 docs must produce
+    identical signatures in Spark and DuckDB."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(docs, num_perm=4, portable=True).orderBy("doc_id")
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over word tokens.
+
+    Single explode + single groupBy computing all 64 bit-majorities as
+    64 conditional-sum aggregate expressions (whole-stage codegen'd) —
+    no 64× row blowup, no Python.
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
+        for j in range(64)
+    ] + [F.count("*").alias("n_tok")]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b_{j}") * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+@register("simhash_fingerprints", oracle=None, tags=("dedup", "simhash"), bench=True)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document. Near-pairs are found by
+    bucketing on 16-bit quadrants: docs whose hashes differ in <= 3 bits
+    share at least one exact quadrant (pigeonhole), so an equi-join on
+    (quadrant_idx, quadrant_value) finds them without an N^2 scan."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash64(docs).orderBy("doc_id")

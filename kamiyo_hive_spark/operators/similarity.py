@@ -92,3 +92,124 @@ LIMIT {TOP_K}
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of one corpus vector."""
     return cosine_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Scale path: sign-random-projection LSH buckets + near-dup pairs.
+# ---------------------------------------------------------------------------
+
+DIM = 64
+NBITS = 8  # hyperplanes → 256 buckets; multiprobe covers hamming-1
+
+
+def _hyperplanes(nbits: int = NBITS, dim: int = DIM) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded, engine-independent)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def srp_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit j = sign(emb · plane_j).
+
+    Pure column expression — the projection literals are constant-folded
+    and broadcast with the plan; no UDF, no shuffle.
+    """
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(v)) for v in plane])
+        d = _dot(emb, plane_lit)
+        bucket = bucket.bitwiseOR(F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), j))
+    return bucket
+
+
+def knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: restrict the exact-cosine scan to LSH buckets within
+    `probe_hamming` bits of the query's bucket.
+
+    At 100 TB the corpus is written partitioned by bucket, so this probe
+    reads ~ (1 + NBITS)/2^NBITS of the data (partition pruning on the
+    bucket column) instead of the full scan the brute-force path does.
+    """
+    planes = _hyperplanes()
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    q = (
+        e.filter(F.col("vec_id") == query_vec_id)
+        .select(emb.alias("q"))
+        .collect()[0]["q"]
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+
+    q_bucket = 0
+    for j, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0:
+            q_bucket |= 1 << j
+    probes = {q_bucket}
+    if probe_hamming >= 1:
+        for j in range(len(planes)):
+            probes.add(q_bucket ^ (1 << j))
+
+    sim = _dot(emb, qlit) / (_norm(emb) * _norm(qlit))
+    return (
+        e.withColumn("bucket", srp_bucket(emb, planes))
+        .filter(F.col("bucket").isin(sorted(probes)))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+@register("knn_lsh_cosine", oracle=None, tags=("similarity", "ann-lsh"))
+def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via SRP-LSH bucket probing (recall measured
+    against the brute-force twin in tests/test_similarity.py)."""
+    return knn_lsh(spark, sf_dir)
+
+
+_NEARDUP_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < 300
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(b.v, x -> x * x), (acc, x) -> acc + x))), 9)
+               AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim
+FROM pairs
+WHERE cosine_sim >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, tags=("dedup", "embedding-cosine"))
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4), exact over
+    a bounded id range so the oracle stays brute-force-checkable; the
+    unbounded path pre-filters through SRP buckets (same math)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emb = F.col("embedding").cast("array<double>")
+    a = e.select(F.col("vec_id").alias("vec_a"), emb.alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), emb.alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim, 9).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -73,11 +73,13 @@ def load_registry() -> dict[str, QuerySpec]:
             dedup,
             joins,
             relational,
+            scalars,
             setops,
             similarity,
             text,
             windows,
         )
+        from kamiyo_hive_spark.streaming import jobs  # noqa: F401
 
         _LOADED = True
     return REGISTRY

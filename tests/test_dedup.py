@@ -1,0 +1,95 @@
+"""Behavioral tests for sketch-based dedup: plant true near-duplicates
+and verify the pipelines find exactly them (the synthetic corpus has no
+natural near-dups, so parity checks alone can't exercise recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash64,
+    verify_jaccard,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the old oak tree "
+    "as morning light spreads slowly across the quiet village square"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate
+        (2, BASE.replace("morning", "evening")),  # near-dup, 1 word changed
+        (3, "completely different content about databases and query engines "
+            "with columnar execution vectorized operators and adaptive plans "
+            "shuffling partitions across executors in a distributed cluster"),
+        (4, BASE.replace("fox", "wolf").replace("dog", "hound")),  # near-dup, 2 words
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_neardups(planted):
+    sigs = minhash_signatures(planted)
+    cands = minhash_lsh_candidates(sigs)
+    verified = verify_jaccard(planted, cands, 0.5)
+    found = {(r.doc_a, r.doc_b) for r in verified.collect()}
+    assert (0, 1) in found, "exact duplicate must be found"
+    assert (0, 2) in found, "one-word-changed near-dup must be found"
+    assert not any(3 in pair for pair in found), "unrelated doc must not pair"
+
+
+def test_minhash_identical_docs_have_identical_signatures(planted):
+    sigs = {r.doc_id: tuple(v for k, v in r.asDict().items() if k.startswith("sig_"))
+            for r in minhash_signatures(planted).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_hamming_ordering(planted):
+    h = {r.doc_id: r.simhash for r in simhash64(planted).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(h[0], h[1]) == 0, "identical docs -> identical simhash"
+    assert hamming(h[0], h[2]) < hamming(h[0], h[3]), (
+        "near-dup must be closer than unrelated doc"
+    )
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Recall invariant on the real corpus: every pair with true
+    Jaccard >= 0.9 must appear among LSH candidates."""
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.operators.dedup import _shingles
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = docs.select("doc_id", _shingles(toks).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    true_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "j",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .filter(F.col("j") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    truth = {(r.doc_a, r.doc_b) for r in true_pairs.collect()}
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(minhash_signatures(docs)).collect()
+    }
+    assert truth <= cands

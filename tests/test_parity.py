@@ -32,11 +32,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(s):
             s = s.astype("float64")
         elif s.dtype == object:
+            import datetime
+
             import numpy as np
 
-            s = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
-            )
+            non_null = s.dropna()
+            if len(non_null) and isinstance(non_null.iloc[0], datetime.date):
+                s = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                s = s.map(
+                    lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+                )
         out[c] = s
     norm = pd.DataFrame(out)
     sort_cols = [c for c in norm.columns]

@@ -1,0 +1,24 @@
+"""Behavioral tests for ANN: the LSH-bucketed search must agree with the
+brute-force twin on exact scores and keep useful recall."""
+
+from __future__ import annotations
+
+from kamiyo_hive_spark.operators.similarity import cosine_topk, knn_lsh
+
+
+def test_lsh_scores_match_bruteforce_exactly(spark, sf_dir):
+    brute = {r.vec_id: r.cosine_sim for r in cosine_topk(spark, sf_dir, k=100).collect()}
+    approx = knn_lsh(spark, sf_dir, k=10).collect()
+    assert approx, "bucketed search returned nothing"
+    for r in approx:
+        if r.vec_id in brute:
+            assert brute[r.vec_id] == r.cosine_sim, "same vector must score identically"
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    brute_top = [r.vec_id for r in cosine_topk(spark, sf_dir, k=10).collect()]
+    approx_top = {r.vec_id for r in knn_lsh(spark, sf_dir, k=10).collect()}
+    recall = len(set(brute_top) & approx_top) / len(brute_top)
+    # Random 64-d gaussian corpus: hamming-1 multiprobe over 8-bit SRP
+    # keeps a modest but real recall; the floor guards regressions.
+    assert recall >= 0.2, f"recall@10 collapsed: {recall}"
