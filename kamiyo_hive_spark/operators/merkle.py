@@ -1,0 +1,82 @@
+"""Merkle-root hash aggregation (SURVEY A15, U6).
+
+The reference builds a depth-20 Merkle tree over the sorted agent set
+with pairwise hash folds (kamiyo-hive `packages/hive-sdk/src/swarmteams/
+merkle.ts:51-233`, Poseidon). The fold is inherently sequential per
+level, but each level is embarrassingly parallel — so the Spark shape is
+log2(n) DataFrame passes, each one `groupBy(idx div 2)` + ordered pair
+hash. 1M leaves = 20 shuffles over halving row counts; at 100 TB the
+leaf level dominates and parallelizes perfectly.
+
+Hash function: SHA-256 over hex-string concatenation (engine-portable,
+unlike Poseidon which exists for ZK-circuit parity only; swapping the
+hash is one expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.plans.registry import register
+
+ZERO = "0" * 64  # padding leaf (the reference uses precomputed zero hashes)
+
+
+def merkle_root(leaves: DataFrame, id_col: str, value_col: str) -> DataFrame:
+    """Fold (id, value) rows into a single-row (root, n_leaves, depth).
+
+    Leaves are ordered by id (row_number over the sorted ids — the
+    reference's sorted-leaf convention) and pairwise-folded level by
+    level for ceil(log2(n)) levels; a missing right sibling folds
+    against the constant zero hash (the reference's zero-hash padding,
+    `merkle.ts:62-79`, with a flat zero constant instead of per-level
+    precomputed zeros).
+    """
+    from pyspark.sql import Window
+
+    n = leaves.count()
+    depth = max(1, (n - 1).bit_length())
+    size = 1 << depth
+
+    w = Window.orderBy(id_col)
+    level = leaves.select(
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.sha2(F.concat_ws(":", F.col(id_col).cast("string"), F.col(value_col).cast("string")), 256).alias("h"),
+    )
+    # Virtual padding: missing right siblings hash against ZERO below,
+    # so we never materialize `size - n` padding rows.
+    for _ in range(depth):
+        level = (
+            level.withColumn("pair", (F.col("idx") / 2).cast("long"))
+            .groupBy("pair")
+            .agg(
+                F.min(F.when(F.col("idx") % 2 == 0, F.col("h"))).alias("left"),
+                F.min(F.when(F.col("idx") % 2 == 1, F.col("h"))).alias("right"),
+            )
+            .select(
+                F.col("pair").alias("idx"),
+                F.sha2(
+                    F.concat(
+                        F.coalesce(F.col("left"), F.lit(ZERO)),
+                        F.coalesce(F.col("right"), F.lit(ZERO)),
+                    ),
+                    256,
+                ).alias("h"),
+            )
+        )
+    return level.select(
+        F.col("h").alias("root"),
+        F.lit(n).cast("long").alias("n_leaves"),
+        F.lit(depth).cast("long").alias("depth"),
+    )
+
+
+@register("merkle_root_customers", oracle=None, tags=("A15", "U6", "merkle"), bench=True)
+def merkle_root_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle root of the customer set (id:name leaves) — the agent-set
+    commitment the reference maintains at depth 20. Exactness is proven
+    against a pure-Python reference fold in tests/test_merkle.py."""
+    c = table(spark, sf_dir, "customer")
+    return merkle_root(c, "c_custkey", "c_name")

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing (driver-mandated).
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct riding alongside (the lakehouse-standard layout: bytes +
+width/height/codec/duration columns, partitioned by modality/date).
+Real decode/resize/frame-sample needs codec libraries this container
+doesn't ship, so the decode kernel is STUBBED — `decode_image_batch`
+raises NotImplementedError, and the deterministic fake
+(`fake_feature_extract`) stands in so the Spark-side plumbing (schema,
+Arrow batch shape, partition behavior) is real and tested.
+
+All Python runs through `mapInPandas` (Arrow batches), never per-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.plans.registry import register
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def as_binary_assets(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, modality, payload binary, meta struct).
+
+    Stand-in ingestion: text bytes play the role of image payloads. The
+    schema is the real contract — swapping in actual image bytes changes
+    nothing downstream.
+    """
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("raw_size"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """REAL decode kernel — requires PIL/ffmpeg, absent in this
+    container. The mapInPandas plumbing around it is fully tested via
+    `fake_feature_extract`."""
+    raise NotImplementedError(
+        "image/audio decode needs codec libraries not shipped here; "
+        "plug PIL/torchvision/ffmpeg in deployments"
+    )
+
+
+def feature_extract(assets: DataFrame, use_real_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if use_real_decode:
+                feats = decode_image_batch(pdf["payload"])  # NotImplementedError
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "content_hash": payload.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    # deterministic fake dims: what a decoder would emit
+                    "fake_width": (payload.map(len) % 640 + 64).astype("int64"),
+                    "fake_height": (payload.map(len) % 480 + 48).astype("int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           count(*) AS n_assets,
+           CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(text)) AS n_distinct_payloads
+    FROM documents
+    GROUP BY 1
+    ORDER BY modality
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction rolled up per modality. The
+    byte counts and content hashes computed in the Arrow batches must
+    agree with DuckDB computing them from the source text — proving the
+    binary encode → mapInPandas → aggregate path end to end (texts are
+    ASCII, so byte length == char length)."""
+    docs = table(spark, sf_dir, "documents")
+    feats = feature_extract(as_binary_assets(docs))
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.countDistinct("content_hash").alias("n_distinct_payloads"),
+        )
+        .orderBy("modality")
+    )

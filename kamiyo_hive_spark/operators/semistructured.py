@@ -1,0 +1,138 @@
+"""Semi-structured (JSON/map/struct) operators + graph statistics.
+
+Reference semantics:
+- JSONB columns parsed and aggregated (`prisma/schema.prisma:144-147`,
+  `extractJson` `lib/swarm-llm.server.ts:17-37`).
+- Trust-graph statistics: degree, tier histograms, edge-weight means
+  (`components/trust-graph/TrustGraphScene.tsx:146-170`; nodes/edges
+  `types.ts:9-29`).
+
+The graph is modeled relationally (node + edge DataFrames) and every
+statistic is a join/aggregation — GraphFrames is unnecessary for
+degree/stat workloads, and plain joins scale with AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.plans.registry import register
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    tags=("scalar-json", "semistructured"),
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONB-style extraction feeding an aggregation: parse once with a
+    declared schema (`from_json`, not per-row string scans), bucket, and
+    aggregate. Schema-on-read with explicit types is the 100 TB rule —
+    schemaless JSON scans don't prune or vectorize."""
+    e = table(spark, sf_dir, "events")
+    props = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        e.select(F.floor(props["k"] / 10).cast("long").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n_events"), money_sum(dec("value")).alias("total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    degs AS (
+        SELECT src, count(*) AS out_degree FROM edges GROUP BY 1
+    )
+    SELECT out_degree, count(*) AS n_nodes
+    FROM degs
+    GROUP BY 1
+    ORDER BY out_degree
+    """,
+    tags=("A7", "graph"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-graph-style statistics: build the customer→supplier edge
+    set (distinct pairs through the order/lineitem joins) and compute
+    the out-degree histogram — two shuffles (dedup, degree), both on
+    keys with bounded cardinality."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    degs = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    return (
+        degs.groupBy("out_degree").agg(F.count("*").alias("n_nodes")).orderBy("out_degree")
+    )
+
+
+@register(
+    "graph_edge_weight_stats",
+    oracle="""
+    WITH edges AS (
+        SELECT o.o_custkey AS src, l.l_suppkey AS dst,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS weight
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_edges,
+           count(DISTINCT src) AS n_src_nodes,
+           count(DISTINCT dst) AS n_dst_nodes,
+           CAST(SUM(CAST(weight AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_weight
+    FROM edges
+    """,
+    tags=("A7", "graph"),
+)
+def graph_edge_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avgTrust-style edge statistics: weighted edges aggregated from
+    facts, then whole-graph summary (totalNodes/totalEdges/avgTrust)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .agg(money_sum(dec("l_extendedprice")).alias("weight"))
+    )
+    return edges.agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src").alias("n_src_nodes"),
+        F.countDistinct("dst").alias("n_dst_nodes"),
+        (F.sum(dec("weight", "decimal(18,2)")).cast("double") / F.count("*")).alias("avg_weight"),
+    )
+
+
+@register(
+    "approx_distinct_dashboard",
+    oracle=None,
+    tags=("A12-approx", "sketch"),
+)
+def approx_distinct_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct + quantiles — the dashboard path at 100 TB
+    where exact distinct would shuffle the world. HLL/QDigest sketches
+    are engine-specific, so this is invariant-tested (tests/test_approx.py:
+    approx within rsd of exact) rather than oracle-hashed."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+        F.count("*").alias("n_orders"),
+    ).orderBy("o_orderpriority")

@@ -72,10 +72,15 @@ def load_registry() -> dict[str, QuerySpec]:
             aggregates,
             dedup,
             joins,
+            llm_pipeline,
+            merkle,
+            multimodal,
             relational,
             scalars,
+            semistructured,
             setops,
             similarity,
+            stateful,
             text,
             windows,
         )

@@ -1,0 +1,43 @@
+"""Merkle root must equal an independent pure-Python fold."""
+
+from __future__ import annotations
+
+import hashlib
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.operators.merkle import ZERO, merkle_root
+
+
+def python_merkle_root(pairs: list[tuple[int, str]]) -> tuple[str, int]:
+    level = [
+        hashlib.sha256(f"{i}:{v}".encode()).hexdigest()
+        for i, v in sorted(pairs, key=lambda p: p[0])
+    ]
+    depth = max(1, (len(level) - 1).bit_length())
+    for _ in range(depth):
+        nxt = []
+        for j in range(0, len(level), 2):
+            left = level[j]
+            right = level[j + 1] if j + 1 < len(level) else ZERO
+            nxt.append(hashlib.sha256((left + right).encode()).hexdigest())
+        level = nxt
+    assert len(level) == 1
+    return level[0], depth
+
+
+def test_merkle_root_matches_python(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    rows = [(r.c_custkey, r.c_name) for r in c.collect()]
+    expected_root, expected_depth = python_merkle_root(rows)
+    got = merkle_root(c, "c_custkey", "c_name").collect()[0]
+    assert got.root == expected_root
+    assert got.depth == expected_depth
+    assert got.n_leaves == len(rows)
+
+
+def test_merkle_root_changes_on_any_leaf(spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "X"), (3, "c")], "id long, v string")
+    r1 = merkle_root(df1, "id", "v").collect()[0].root
+    r2 = merkle_root(df2, "id", "v").collect()[0].root
+    assert r1 != r2
