@@ -19,19 +19,44 @@ from kamiyo_hive_spark.catalog import table
 from kamiyo_hive_spark.plans.registry import register
 
 
-def _shingles(tokens: F.Column) -> F.Column:
-    """Word 3-gram shingles of a token array (empty if < 3 tokens)."""
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tokens, i),
-            F.element_at(tokens, i + 1),
-            F.element_at(tokens, i + 2),
-        ),
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): DISTINCT word-3-gram shingles, one per row.
+
+    Row form, not array form: tokens are exploded once (`posexplode`
+    evaluates the split exactly once per document) and shingles come
+    from window `lead()` over token position. Expression-level
+    alternatives (transform/element_at or zip_with/slice over the split
+    expression) re-evaluate the split per reference — Catalyst neither
+    CSEs inside higher-order functions nor keeps staged projections
+    apart — which measured 2-20× slower at sf0.1.
+
+    The window shuffle hash-partitions by doc_id, and every downstream
+    per-doc aggregation (signatures, set sizes) reuses that partitioning
+    with no further shuffle.
+    """
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select(
+            "doc_id",
+            "token",
+            F.lead("token", 1).over(w).alias("t1"),
+            F.lead("token", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "t1", "t2").alias("shingle"))
+        .distinct()
     )
-    return F.when(F.size(tokens) >= 3, F.array_distinct(make)).otherwise(
-        F.array().cast("array<string>")
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): the array form of `shingle_rows` (sorted for
+    determinism). Docs with < 3 tokens have no shingles and drop out."""
+    return shingle_rows(docs).groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("shingles")
     )
 
 
@@ -129,9 +154,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic: |A∩B| / (|A| + |B| - |A∩B|).
     """
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = d.select("doc_id", _shingles(toks).alias("shingles"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = shingle_rows(d)
     a = inv.alias("a")
     b = inv.alias("b")
     cand = (
@@ -139,7 +162,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     jac = F.col("n_common").cast("double") / (
         F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
     )
@@ -182,9 +205,7 @@ def minhash_signatures(
     Empty shingle sets (docs with < 3 tokens) drop out, mirroring the
     convention that tiny docs are exact-dedup-only.
     """
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = docs.select("doc_id", _shingles(toks).alias("shingles"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv = shingle_rows(docs)
     hash_fn = (
         (lambda c, p: _portable_hash(c, p))
         if portable
@@ -236,22 +257,31 @@ def minhash_lsh_candidates(
 
 def verify_jaccard(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard verification of candidate pairs against the true
-    shingle sets — the filter that makes LSH output precise."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = docs.select("doc_id", _shingles(toks).alias("shingles"))
-    out = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+    shingle sets — the filter that makes LSH output precise.
+
+    Row form throughout: |A∩B| comes from joining the candidate pairs
+    through the inverted shingle index on (doc, shingle) — candidate
+    cardinality × shingles-per-doc rows, never materialized arrays."""
+    inv = shingle_rows(docs)
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        pairs.join(inv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            inv.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("b_shingle")),
+            (F.col("doc_b") == F.col("b_id")) & (F.col("shingle") == F.col("b_shingle")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    return out
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 @register("minhash_lsh_neardup", oracle=None, tags=("dedup", "minhash-lsh"))
@@ -264,7 +294,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b) unit tests planting true near-duplicates (tests/test_dedup.py).
     """
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # Stage materialization: the signature table feeds both sides of the
+    # band self-join and the shingle sets feed both sides of the
+    # verification join — without persisting, Spark would recompute the
+    # full sketch pipeline once per consumer. At warehouse scale these
+    # are materialized tables (signatures are ~P longs/doc); in-session
+    # persist is the same decision locally.
+    sigs = minhash_signatures(docs).persist()
     cands = minhash_lsh_candidates(sigs)
     return verify_jaccard(docs, cands, 0.5).orderBy("doc_a", "doc_b")
 

@@ -54,16 +54,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_completion(result: DataFrame, name: str, mode: str) -> None:
-    q = (
-        result.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # The state store creates one instance per shuffle partition for the
+    # life of the query; a host session left at the 200 default burns
+    # ~200 empty state tasks per micro-batch. Pin a right-sized value
+    # for this bounded query, restore the host setting after.
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(

@@ -68,11 +68,10 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
     """Recall invariant on the real corpus: every pair with true
     Jaccard >= 0.9 must appear among LSH candidates."""
     from kamiyo_hive_spark.catalog import table
-    from kamiyo_hive_spark.operators.dedup import _shingles
+    from kamiyo_hive_spark.operators.dedup import shingle_sets
 
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = docs.select("doc_id", _shingles(toks).alias("shingles"))
+    sh = shingle_sets(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     true_pairs = (
