@@ -187,3 +187,30 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(25)
     )
+
+
+@register(
+    "scalar_subquery_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.03 * (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+                                        / count(*) FROM part)
+    ORDER BY p_partkey
+    """,
+    tags=("scalar-subquery", "P3"),
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter against a scalar aggregate of the same table (parts priced
+    >1.03× the mean (prices are tightly banded)). Spark plans the scalar subquery as a broadcast of
+    one value — two passes over the scan, no driver round-trip."""
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+
+    p = table(spark, sf_dir, "part")
+    avg_price = p.select((money_sum(dec("p_retailprice")) / F.count("*")).alias("a"))
+    return (
+        p.join(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > 1.03 * F.col("a"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    )

@@ -167,3 +167,51 @@ def text_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(0.6 * overlap + 0.4 * len_ratio, 6).alias("overlap_score"))
         .orderBy("doc_a")
     )
+
+
+@register(
+    "doc_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\\b(the|a|of)\\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\\b(key|hash|scan)\\b')) AS s_tech,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_en * 20 >= n_tok THEN 'en'
+                    WHEN s_tech * 10 >= n_tok THEN 'tech'
+                    ELSE 'other' END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY lang, predicted
+    """,
+    tags=("text", "lang-id"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic: per-language stopword-marker
+    densities vote on a predicted label, reported as a confusion table
+    against the labeled `lang` column. (On real corpora the marker lists
+    per language do the work; the n-gram-profile upgrade drops into the
+    same shape.)"""
+    d = table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    s_en = F.regexp_count(low, F.lit(r"\b(the|a|of)\b"))
+    s_tech = F.regexp_count(low, F.lit(r"\b(key|hash|scan)\b"))
+    n_tok = F.size(_tokens())
+    predicted = (
+        F.when(s_en * 20 >= n_tok, "en")
+        .when(s_tech * 10 >= n_tok, "tech")
+        .otherwise("other")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

@@ -176,3 +176,90 @@ def streaming_running_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_replay_then_live",
+    oracle="""
+    WITH replay AS (
+        SELECT user_id, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1
+    ),
+    live AS (
+        SELECT user_id, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY 1
+    ),
+    keys AS (SELECT user_id FROM replay UNION SELECT user_id FROM live)
+    SELECT k.user_id,
+           coalesce(r.n, 0) + coalesce(l.n, 0) AS n_events,
+           round(coalesce(r.v, 0.0) + coalesce(l.v, 0.0), 2) AS total_value
+    FROM keys k
+    LEFT JOIN replay r USING (user_id)
+    LEFT JOIN live l USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("ST5", "streaming"),
+)
+def streaming_replay_then_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: replay-snapshot bootstrap + live incremental tail
+    (`useAgentStream.ts:42-48` semantics). The historical slice is
+    aggregated once as a batch (the replay), the tail runs through the
+    streaming state store (the live phase), and the final view merges
+    the two — the Delta-CDF bootstrap pattern. Merged totals must equal
+    a single batch aggregation over everything."""
+    cutover = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    from kamiyo_hive_spark.catalog import table as batch_table
+
+    replay = (
+        batch_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < cutover)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("v"))
+    )
+    live_stream = _events_stream(spark, sf_dir).filter(F.col("ts") >= cutover)
+    live_agg = live_stream.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("v")
+    )
+    _run_to_completion(live_agg, "stream_live_out", "complete")
+    live = spark.table("stream_live_out")
+    r = replay.select(F.col("user_id"), F.col("n").alias("rn"), F.col("v").alias("rv"))
+    l = live.select(F.col("user_id"), F.col("n").alias("ln"), F.col("v").alias("lv"))
+    return (
+        r.join(l, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("rn"), F.lit(0)) + F.coalesce(F.col("ln"), F.lit(0))).alias("n_events"),
+            F.round(
+                F.coalesce(F.col("rv"), F.lit(0.0)) + F.coalesce(F.col("lv"), F.lit(0.0)), 2
+            ).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_retention_prune",
+    oracle="""
+    SELECT user_id, count(*) AS n_retained,
+           min(ts) AS oldest_retained
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 7 DAY
+    GROUP BY 1
+    ORDER BY user_id
+    """,
+    tags=("ST6", "streaming"),
+)
+def streaming_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: bounded retention / TTL (`message-store.ts:47-64` prune).
+    In the streaming engine, retention is watermark state eviction: rows
+    older than `now - TTL` never enter (or are evicted from) state. The
+    batch-equivalent check: only the retained window survives."""
+    ttl_start = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    stream = _events_stream(spark, sf_dir).filter(F.col("ts") >= ttl_start)
+    retained = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_retained"), F.min("ts").alias("oldest_retained"))
+    )
+    _run_to_completion(retained, "stream_retention_out", "complete")
+    return spark.table("stream_retention_out").orderBy("user_id")
