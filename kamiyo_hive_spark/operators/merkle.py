@@ -80,3 +80,80 @@ def merkle_root_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-Python reference fold in tests/test_merkle.py."""
     c = table(spark, sf_dir, "customer")
     return merkle_root(c, "c_custkey", "c_name")
+
+
+def merkle_proof(leaves: DataFrame, id_col: str, value_col: str, target_id) -> DataFrame:
+    """(level, sibling_hash, sibling_is_left) proof path for one leaf.
+
+    Same level-by-level fold as `merkle_root`, but each level also emits
+    the sibling of the target's current position. The per-level filter
+    prunes to two rows before anything is collected, so proof generation
+    costs one extra filtered pass per level — log2(n) tiny jobs.
+    """
+    from pyspark.sql import Window
+
+    n = leaves.count()
+    depth = max(1, (n - 1).bit_length())
+
+    w = Window.orderBy(id_col)
+    ranked = leaves.select((F.row_number().over(w) - 1).alias("idx"), F.col(id_col).alias("id"), F.col(value_col).alias("v"))
+    target_idx = ranked.filter(F.col("id") == target_id).select("idx").collect()
+    if not target_idx:
+        raise KeyError(f"{target_id!r} not found in leaf set")
+    pos = target_idx[0]["idx"]
+
+    level = ranked.select(
+        "idx",
+        F.sha2(F.concat_ws(":", F.col("id").cast("string"), F.col("v").cast("string")), 256).alias("h"),
+    )
+    rows = []
+    for lvl in range(depth):
+        sib = pos ^ 1
+        sib_row = level.filter(F.col("idx") == sib).select("h").collect()
+        rows.append(
+            {
+                "level": lvl,
+                "sibling_hash": sib_row[0]["h"] if sib_row else ZERO,
+                "sibling_is_left": bool(sib < pos),
+            }
+        )
+        level = (
+            level.withColumn("pair", (F.col("idx") / 2).cast("long"))
+            .groupBy("pair")
+            .agg(
+                F.min(F.when(F.col("idx") % 2 == 0, F.col("h"))).alias("left"),
+                F.min(F.when(F.col("idx") % 2 == 1, F.col("h"))).alias("right"),
+            )
+            .select(
+                F.col("pair").alias("idx"),
+                F.sha2(
+                    F.concat(
+                        F.coalesce(F.col("left"), F.lit(ZERO)),
+                        F.coalesce(F.col("right"), F.lit(ZERO)),
+                    ),
+                    256,
+                ).alias("h"),
+            )
+        )
+        pos //= 2
+
+    spark = leaves.sparkSession
+    return spark.createDataFrame(
+        rows, "level long, sibling_hash string, sibling_is_left boolean"
+    )
+
+
+def verify_merkle_proof(
+    leaf_id, leaf_value, proof_rows: list, expected_root: str
+) -> bool:
+    """Client-side proof verification: fold the leaf hash up the path.
+    Pure Python by design — verification is what a *consumer* of the
+    commitment does, without Spark (mirrors `merkle.ts:169-195`)."""
+    import hashlib
+
+    h = hashlib.sha256(f"{leaf_id}:{leaf_value}".encode()).hexdigest()
+    for row in sorted(proof_rows, key=lambda r: r["level"]):
+        sib = row["sibling_hash"]
+        pair = (sib + h) if row["sibling_is_left"] else (h + sib)
+        h = hashlib.sha256(pair.encode()).hexdigest()
+    return h == expected_root

@@ -196,3 +196,40 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
+
+
+@register(
+    "moving_average_frame",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(14,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS avg_7,
+           CAST(SUM(CAST(value AS DECIMAL(14,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS sum_7
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("W5-frame", "moving-window"),
+)
+def moving_average_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-N-rows frame (rowsBetween(-6, 0)): 7-event moving sum/avg
+    per key — the bounded-trailing-window shape (SURVEY frame specs).
+    Exact decimal internals keep the moving sums engine-identical."""
+    from kamiyo_hive_spark.catalog import table as t
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias("avg_7"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_7"),
+    ).orderBy("user_id", "ts", "event_id")

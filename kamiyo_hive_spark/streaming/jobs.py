@@ -263,3 +263,137 @@ def streaming_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_completion(retained, "stream_retention_out", "complete")
     return spark.table("stream_retention_out").orderBy("user_id")
+
+
+def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage the events table as n time-ranged files so the file stream
+    source (maxFilesPerTrigger=1) delivers a genuine multi-micro-batch
+    stream — state must survive across batches, not just within one."""
+    import os
+
+    out = f"/root/repo/.scratch/events_stream_{os.path.basename(sf_dir)}"
+    from kamiyo_hive_spark.catalog import table as batch_table
+
+    batch_table(spark, sf_dir, "events").repartitionByRange(
+        n_files, "ts"
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+from kamiyo_hive_spark.operators.stateful import QUORUM, T1, T2  # noqa: E402
+
+
+@register(
+    "streaming_commit_reveal_stateful",
+    oracle=f"""
+    WITH commits AS (
+        SELECT user_id, count(*) AS n_commits FROM events
+        WHERE ts < TIMESTAMP '{T1}' GROUP BY 1
+    ),
+    reveals AS (
+        SELECT user_id,
+               max(value) AS winning_bid,
+               min(event_id) FILTER (WHERE value = max_val) AS winner_event_id
+        FROM (
+            SELECT *, max(value) OVER (PARTITION BY user_id) AS max_val
+            FROM events
+            WHERE ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+              AND event_type = 'purchase'
+        )
+        GROUP BY 1
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events)
+    SELECT k.user_id,
+           coalesce(c.n_commits, 0) AS n_commits,
+           r.winning_bid,
+           r.winner_event_id,
+           CASE WHEN coalesce(c.n_commits, 0) >= {QUORUM}
+                     AND r.winner_event_id IS NOT NULL
+                THEN 'Passed' ELSE 'Failed' END AS result
+    FROM keys k
+    LEFT JOIN commits c USING (user_id)
+    LEFT JOIN reveals r USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("ST3", "ST4", "W4", "applyInPandasWithState", "streaming"),
+)
+def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 as TRUE streaming state: the commit-reveal session machine in
+    `applyInPandasWithState`, fed 4 time-ranged micro-batches
+    (maxFilesPerTrigger=1). Per-key state (commit count, best bid with
+    tie-break) merges associatively across batches; the final update per
+    key must equal the batch resolution — same `lib.rs:93-156` semantics
+    as `commit_reveal_sessions`, now surviving micro-batch boundaries."""
+    import pandas as pd
+
+    from kamiyo_hive_spark.catalog import _EVENTS_READ_SCHEMA  # noqa: F401 (schema shared)
+
+    src = _multibatch_events_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+    out_schema = (
+        "user_id long, n_commits long, winning_bid double, "
+        "winner_event_id long, result string, n_updates long"
+    )
+    state_schema = "n_commits long, winning_bid double, winner_event_id long, n_updates long"
+
+    t1, t2 = pd.Timestamp(T1), pd.Timestamp(T2)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n_commits, winning_bid, winner, n_updates = state.get
+        else:
+            n_commits, winning_bid, winner, n_updates = 0, None, None, 0
+        for pdf in pdfs:
+            commits = pdf[pdf["ts"] < t1]
+            n_commits += len(commits)
+            reveals = pdf[
+                (pdf["ts"] >= t1) & (pdf["ts"] < t2) & (pdf["event_type"] == "purchase")
+            ]
+            for _, r in reveals.sort_values(["value", "event_id"], ascending=[False, True]).head(1).iterrows():
+                bid, eid = float(r["value"]), int(r["event_id"])
+                if (
+                    winning_bid is None
+                    or bid > winning_bid
+                    or (bid == winning_bid and eid < winner)
+                ):
+                    winning_bid, winner = bid, eid
+        n_updates += 1
+        state.update((n_commits, winning_bid, winner, n_updates))
+        passed = n_commits >= QUORUM and winner is not None
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_commits": n_commits,
+                    "winning_bid": winning_bid,
+                    "winner_event_id": winner,
+                    "result": "Passed" if passed else "Failed",
+                    "n_updates": n_updates,
+                }
+            ]
+        )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+    _run_to_completion(sessions, "stream_cr_out", "update")
+
+    from pyspark.sql import Window
+
+    updates = spark.table("stream_cr_out")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_updates"))
+    return (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_commits", "winning_bid", "winner_event_id", "result")
+        .orderBy("user_id")
+    )

@@ -33,3 +33,10 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis drives many examples
+    through one shared session)."""
+    return spark

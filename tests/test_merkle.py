@@ -41,3 +41,19 @@ def test_merkle_root_changes_on_any_leaf(spark):
     r1 = merkle_root(df1, "id", "v").collect()[0].root
     r2 = merkle_root(df2, "id", "v").collect()[0].root
     assert r1 != r2
+
+
+def test_merkle_proof_verifies_and_rejects(spark):
+    from kamiyo_hive_spark.operators.merkle import (
+        merkle_proof,
+        merkle_root,
+        verify_merkle_proof,
+    )
+
+    rows = [(i, f"agent-{i}") for i in range(11)]  # non-power-of-two
+    df = spark.createDataFrame(rows, "id long, v string")
+    root = merkle_root(df, "id", "v").collect()[0].root
+    proof = [r.asDict() for r in merkle_proof(df, "id", "v", 6).collect()]
+    assert verify_merkle_proof(6, "agent-6", proof, root)
+    assert not verify_merkle_proof(6, "agent-TAMPERED", proof, root)
+    assert not verify_merkle_proof(7, "agent-7", proof, root)

