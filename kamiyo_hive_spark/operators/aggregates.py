@@ -456,3 +456,34 @@ def composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * ((F.col("s_suppkey") % 100).cast("double") / 100.0)
     )
     return s.select("s_suppkey", "s_name", score.alias("score")).orderBy("s_suppkey")
+
+
+@register(
+    "revenue_forecast_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("A6", "tpch-q6"),
+)
+def revenue_forecast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan + single exact
+    aggregate — the pure filter-pushdown benchmark."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        money_sum(dec("l_extendedprice") * dec("l_discount", "decimal(4,2)")).alias(
+            "revenue_delta"
+        ),
+        F.count("*").alias("n_lines"),
+    )
