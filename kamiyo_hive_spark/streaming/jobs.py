@@ -397,3 +397,49 @@ def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "n_commits", "winning_bid", "winner_event_id", "result")
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN ts - lag(ts) OVER w >= INTERVAL 60 MINUTE THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("ST1", "session-window", "streaming"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: `session_window(ts, gap)` merges
+    events within a 60-minute silence into one stateful session — the
+    engine-managed version of the gaps-and-islands pattern, checked
+    against the batch window reconstruction."""
+    stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    sessions = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "60 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _run_to_completion(sessions, "stream_session_out", "complete")
+    return (
+        spark.table("stream_session_out")
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
