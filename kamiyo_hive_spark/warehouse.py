@@ -1,0 +1,139 @@
+"""Warehouse catalog: the Spark SQL surface over the star schema.
+
+The reference's query surface is ultimately SQL-over-catalog (Prisma →
+Postgres; BASELINE.json: "Spark SQL + Hive metastore integration").
+This module registers the testdata as named tables in the session
+catalog so the full engine is reachable from `spark.sql(...)` — with a
+Hive metastore configured (`enableHiveSupport()` on a cluster) the same
+DDL persists across sessions; in-session it lands in the default
+in-memory catalog. External `USING parquet LOCATION` tables keep the
+data in place — no copy, full pushdown/pruning through the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import SCHEMAS, TABLES
+from kamiyo_hive_spark.plans.registry import register
+
+DB = "kamiyo"
+
+
+def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotently (re)register the scale-factor directory as external
+    tables `kamiyo.<name>`. The events table is exposed as a VIEW over
+    its raw nanosecond form with the ns→µs conversion baked in, so SQL
+    users see the same UTC microsecond timestamps the DataFrame surface
+    serves."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    # Type-aware cleanup: DROP TABLE on a view (and vice versa) ERRORS
+    # rather than no-ops, so consult the catalog for what each name is.
+    existing = {t.name: t.tableType for t in spark.catalog.listTables(DB)}
+    for name, ttype in existing.items():
+        kind = "VIEW" if ttype == "VIEW" else "TABLE"
+        spark.sql(f"DROP {kind} IF EXISTS {DB}.{name}")
+    for name in TABLES:
+        if name == "events":
+            spark.sql(f"DROP TABLE IF EXISTS {DB}._events_raw")
+            spark.sql(
+                f"""CREATE TABLE {DB}._events_raw (
+                      event_id BIGINT, ts BIGINT, user_id BIGINT,
+                      event_type STRING, value DOUBLE, props STRING)
+                    USING parquet LOCATION '{sf_dir}/events.parquet'"""
+            )
+            spark.sql(
+                f"""CREATE VIEW {DB}.events AS
+                    SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+                           user_id, event_type, value, props
+                    FROM {DB}._events_raw"""
+            )
+        else:
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in SCHEMAS[name].fields
+            )
+            spark.sql(
+                f"CREATE TABLE {DB}.{name} ({cols}) USING parquet LOCATION '{sf_dir}/{name}.parquet'"
+            )
+
+
+@register(
+    "sql_surface_market_share",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend,
+           count(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY total_spend DESC, nation
+    """,
+    tags=("sql-surface", "warehouse", "A6"),
+)
+def sql_surface_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL path: register catalog tables, run ANSI SQL through
+    `spark.sql` — proving a reference user can keep writing SQL against
+    named tables and get identical results to the DataFrame surface
+    (Catalyst produces the same plan either way)."""
+    init_warehouse(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend,
+               count(DISTINCT o.o_custkey) AS n_customers
+        FROM {DB}.orders o
+        JOIN {DB}.customer c ON o.o_custkey = c.c_custkey
+        JOIN {DB}.nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+        ORDER BY total_spend DESC, nation
+        """
+    )
+
+
+@register(
+    "sql_surface_event_funnel",
+    oracle="""
+    WITH viewers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    clickers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    buyers AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT (SELECT count(*) FROM viewers) AS n_viewers,
+           (SELECT count(*) FROM clickers c WHERE c.user_id IN (SELECT user_id FROM viewers)) AS n_view_click,
+           (SELECT count(*) FROM buyers b WHERE b.user_id IN (SELECT user_id FROM clickers)
+                AND b.user_id IN (SELECT user_id FROM viewers)) AS n_full_funnel
+    """,
+    tags=("sql-surface", "funnel"),
+)
+def sql_surface_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis through the SQL surface (views → clicks →
+    purchases), exercising the events VIEW with its baked-in timestamp
+    conversion plus IN-subquery (semi-join) planning."""
+    init_warehouse(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH viewers AS (
+            SELECT DISTINCT user_id FROM {DB}.events WHERE event_type = 'view'
+        ),
+        clickers AS (
+            SELECT DISTINCT user_id FROM {DB}.events WHERE event_type = 'click'
+        ),
+        buyers AS (
+            SELECT DISTINCT user_id FROM {DB}.events WHERE event_type = 'purchase'
+        )
+        SELECT (SELECT count(*) FROM viewers) AS n_viewers,
+               (SELECT count(*) FROM clickers c WHERE c.user_id IN (SELECT user_id FROM viewers)) AS n_view_click,
+               (SELECT count(*) FROM buyers b WHERE b.user_id IN (SELECT user_id FROM clickers)
+                    AND b.user_id IN (SELECT user_id FROM viewers)) AS n_full_funnel
+        """
+    )
