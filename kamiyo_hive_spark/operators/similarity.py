@@ -213,3 +213,74 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_sim") >= 0.4)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF variant: k-means coarse quantizer (pyspark.ml), probe nearest cells.
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_PROBES = 4
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_CELLS):
+    """(assignments DataFrame, centers list): k-means cells over the
+    corpus (seeded — deterministic given the data), the IVF coarse
+    quantizer. At 100 TB the model is trained on a sample and the
+    corpus is written partitioned by cell id; probing then prunes to
+    `IVF_PROBES/IVF_CELLS` of the partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=42, maxIter=20).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "label", F.col("prediction").alias("cell")
+    )
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    probes: int = IVF_PROBES,
+) -> DataFrame:
+    """ANN top-k via IVF: score only vectors in the `probes` cells whose
+    centroids are closest to the query."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    q = (
+        e.filter(F.col("vec_id") == query_vec_id).select(emb.alias("q")).collect()[0]["q"]
+    )
+    assigned, centers = ivf_assignments(spark, sf_dir)
+
+    def dist2(c):
+        return sum((a - b) ** 2 for a, b in zip(q, c))
+
+    probe_cells = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:probes]
+
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    sim = _dot(emb, qlit) / (_norm(emb) * _norm(qlit))
+    candidates = e.join(
+        F.broadcast(assigned.filter(F.col("cell").isin(probe_cells)).select("vec_id")),
+        "vec_id",
+    )
+    return (
+        candidates.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+@register("knn_ivf_cosine", oracle=None, tags=("similarity", "ann-ivf"))
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF cell probing (recall measured against
+    the brute-force twin in tests/test_similarity.py)."""
+    return knn_ivf(spark, sf_dir)

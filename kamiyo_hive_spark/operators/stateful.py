@@ -118,9 +118,66 @@ def _resolve_session(pdf: pd.DataFrame) -> pd.DataFrame:
 def commit_reveal_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-reveal lifecycle resolved per key with quorum, deadline
     rejection, and argmax-with-tie-break — the reference's two-phase
-    voting session as a grouped-map stateful operator."""
+    voting session.
+
+    Batch path: pure DataFrame ops (conditional aggregation + max_by
+    with a struct tie-break) — the semantics ARE SQL-expressible in
+    batch, so the JVM path is the right one ("built-ins first"). The
+    pandas state machine (`_resolve_session`) is the same logic as a
+    grouped-map operator: the streaming variant
+    (`streaming_commit_reveal_stateful`) uses it where custom state is
+    genuinely required, and tests/test_stateful.py proves both paths
+    produce identical resolutions."""
+    return resolve_sessions_sql(spark, sf_dir)
+
+
+def resolve_sessions_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative twin of `_resolve_session`, one pass over events."""
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    out = e.groupBy("user_id").applyInPandas(_resolve_session, schema=_OUT_SCHEMA)
-    return out.orderBy("user_id")
+    t1 = F.lit(T1).cast("timestamp")
+    t2 = F.lit(T2).cast("timestamp")
+    is_commit = F.col("ts") < t1
+    is_reveal = (F.col("ts") >= t1) & (F.col("ts") < t2) & (F.col("event_type") == "purchase")
+    is_late = F.col("ts") >= t2
+    # winner: max bid, ties to the earliest event — max_by over a struct
+    # ordered (value, -event_id) resolves both in one aggregate.
+    winner = F.max_by(
+        F.when(is_reveal, F.struct(F.col("event_id"), F.col("value"))),
+        F.when(is_reveal, F.struct(F.col("value"), (-F.col("event_id")).alias("neg"))),
+    )
+    agg = e.groupBy("user_id").agg(
+        F.sum(is_commit.cast("long")).alias("n_commits"),
+        F.sum(is_reveal.cast("long")).alias("n_reveals"),
+        F.sum(is_late.cast("long")).alias("n_late"),
+        winner.alias("w"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            "n_commits",
+            "n_reveals",
+            "n_late",
+            F.col("w.value").alias("winning_bid"),
+            F.col("w.event_id").alias("winner_event_id"),
+            F.when(
+                (F.col("n_commits") >= QUORUM) & F.col("w.event_id").isNotNull(), "Passed"
+            )
+            .otherwise("Failed")
+            .alias("result"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def resolve_sessions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map (applyInPandas) form — custom-operator API twin
+    of `resolve_sessions_sql`, kept for parity testing and as the
+    template the streaming stateful variant builds on."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return e.groupBy("user_id").applyInPandas(_resolve_session, schema=_OUT_SCHEMA).orderBy(
+        "user_id"
+    )

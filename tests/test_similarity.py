@@ -22,3 +22,23 @@ def test_lsh_recall_floor(spark, sf_dir):
     # Random 64-d gaussian corpus: hamming-1 multiprobe over 8-bit SRP
     # keeps a modest but real recall; the floor guards regressions.
     assert recall >= 0.2, f"recall@10 collapsed: {recall}"
+
+
+def test_ivf_scores_match_bruteforce_exactly(spark, sf_dir):
+    from kamiyo_hive_spark.operators.similarity import knn_ivf
+
+    brute = {r.vec_id: r.cosine_sim for r in cosine_topk(spark, sf_dir, k=100).collect()}
+    approx = knn_ivf(spark, sf_dir, k=10).collect()
+    assert approx, "IVF probe returned nothing"
+    for r in approx:
+        if r.vec_id in brute:
+            assert brute[r.vec_id] == r.cosine_sim
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    from kamiyo_hive_spark.operators.similarity import knn_ivf
+
+    brute_top = [r.vec_id for r in cosine_topk(spark, sf_dir, k=10).collect()]
+    approx_top = {r.vec_id for r in knn_ivf(spark, sf_dir, k=10).collect()}
+    recall = len(set(brute_top) & approx_top) / len(brute_top)
+    assert recall >= 0.2, f"IVF recall@10 collapsed: {recall}"
