@@ -1,0 +1,169 @@
+"""End-to-end composite pipelines — the reference's facade queries.
+
+These chain many §2 operators into the exact shapes the reference's
+product paths run, proving the operators compose:
+- Discovery (`packages/hive-sdk/src/discovery.ts:25-62` +
+  `keiro-client.ts:129-219`): derive → filter → score → sort → paginate
+  → best-match.
+- Trust-graph HUD (`components/trust-graph/TrustGraphScene.tsx:146-170,
+  552-570`): node filter → edge double-semi-join → stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.plans.registry import register
+
+
+@register(
+    "discovery_pipeline",
+    oracle="""
+    WITH agents AS (
+        SELECT c.c_custkey AS agent_id,
+               c.c_name AS name,
+               c.c_acctbal,
+               count(o.o_orderkey) AS n_jobs,
+               CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_disputes
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    ),
+    derived AS (
+        SELECT agent_id, name, n_jobs,
+               CASE WHEN n_jobs = 0 THEN 100.0
+                    ELSE round((1.0 - n_disputes / CAST(n_jobs AS DOUBLE)) * 100.0, 0)
+               END AS success_rate,
+               least(greatest(c_acctbal / 10.0, 0.0), 1000.0) AS reputation
+        FROM agents
+    ),
+    scored AS (
+        SELECT *,
+               0.4 * (reputation / 1000.0)
+             + 0.3 * (success_rate / 100.0)
+             + 0.3 * least(CAST(n_jobs AS DOUBLE) / 20.0, 1.0) AS score
+        FROM derived
+        WHERE reputation >= 100.0 AND n_jobs >= 1
+    )
+    SELECT agent_id, name, n_jobs, success_rate, reputation, score
+    FROM scored
+    ORDER BY score DESC, agent_id
+    LIMIT 20
+    """,
+    tags=("pipeline", "S4", "P3", "A10", "A13", "W3", "O3", "O4"),
+)
+def discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discover() facade end-to-end: per-agent job stats → derived
+    success-rate (zero-guarded) and clamped reputation → predicate
+    filter → composite 0.4/0.3/0.3 score → ranked page of 20. One
+    aggregation and one TakeOrderedAndProject — the whole reference
+    pipeline is two shuffles."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    agents = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("agent_id"),
+            F.col("c_name").alias("name"),
+            "c_acctbal",
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_jobs"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_disputes"),
+        )
+    )
+    success = F.when(F.col("n_jobs") == 0, F.lit(100.0)).otherwise(
+        F.round((1.0 - F.col("n_disputes") / F.col("n_jobs").cast("double")) * 100.0, 0)
+    )
+    reputation = F.least(F.greatest(F.col("c_acctbal") / 10.0, F.lit(0.0)), F.lit(1000.0))
+    derived = agents.select(
+        "agent_id",
+        "name",
+        "n_jobs",
+        success.alias("success_rate"),
+        reputation.alias("reputation"),
+    )
+    score = (
+        0.4 * (F.col("reputation") / 1000.0)
+        + 0.3 * (F.col("success_rate") / 100.0)
+        + 0.3 * F.least(F.col("n_jobs").cast("double") / 20.0, F.lit(1.0))
+    )
+    return (
+        derived.filter((F.col("reputation") >= 100.0) & (F.col("n_jobs") >= 1))
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("agent_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "trust_graph_hud",
+    oracle="""
+    WITH nodes AS (
+        SELECT s_suppkey AS node_id,
+               CASE WHEN s_acctbal < 0 THEN 'ghost'
+                    WHEN s_acctbal < 3000 THEN 'scout'
+                    WHEN s_acctbal < 6000 THEN 'architect'
+                    ELSE 'oracle' END AS tier
+        FROM supplier
+    ),
+    visible AS (SELECT node_id, tier FROM nodes WHERE tier <> 'ghost'),
+    edges AS (
+        SELECT DISTINCT l_suppkey AS src, l_partkey % 10 AS dst_group,
+               CAST(l_quantity AS INT) AS weight
+        FROM lineitem
+    ),
+    visible_edges AS (
+        SELECT e.* FROM edges e
+        WHERE EXISTS (SELECT 1 FROM visible v WHERE v.node_id = e.src)
+    )
+    SELECT (SELECT count(*) FROM visible) AS total_nodes,
+           (SELECT count(*) FROM visible_edges) AS total_edges,
+           (SELECT CAST(SUM(CAST(weight AS BIGINT)) AS DOUBLE) / count(*) FROM visible_edges) AS avg_trust,
+           (SELECT count(*) FROM visible WHERE tier = 'scout') AS n_scout,
+           (SELECT count(*) FROM visible WHERE tier = 'architect') AS n_architect,
+           (SELECT count(*) FROM visible WHERE tier = 'oracle') AS n_oracle
+    """,
+    tags=("pipeline", "A7", "J3", "P7", "P8"),
+)
+def trust_graph_hud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trust-graph HUD stats: tier-band the nodes, hide one tier,
+    keep only edges whose source survives (semi-join visibility), then
+    compute totalNodes / totalEdges / avgTrust / tierCounts in one
+    single-row summary."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    tier = (
+        F.when(F.col("s_acctbal") < 0, "ghost")
+        .when(F.col("s_acctbal") < 3000, "scout")
+        .when(F.col("s_acctbal") < 6000, "architect")
+        .otherwise("oracle")
+    )
+    visible = s.select(F.col("s_suppkey").alias("node_id"), tier.alias("tier")).filter(
+        F.col("tier") != "ghost"
+    )
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") % 10).alias("dst_group"),
+        F.col("l_quantity").cast("int").alias("weight"),
+    ).distinct()
+    visible_edges = edges.join(
+        F.broadcast(visible.select("node_id")),
+        edges.src == F.col("node_id"),
+        "left_semi",
+    )
+    node_stats = visible.agg(
+        F.count("*").alias("total_nodes"),
+        F.sum(F.when(F.col("tier") == "scout", 1).otherwise(0)).alias("n_scout"),
+        F.sum(F.when(F.col("tier") == "architect", 1).otherwise(0)).alias("n_architect"),
+        F.sum(F.when(F.col("tier") == "oracle", 1).otherwise(0)).alias("n_oracle"),
+    )
+    edge_stats = visible_edges.agg(
+        F.count("*").alias("total_edges"),
+        (F.sum(F.col("weight").cast("long")).cast("double") / F.count("*")).alias("avg_trust"),
+    )
+    return node_stats.crossJoin(edge_stats).select(
+        "total_nodes", "total_edges", "avg_trust", "n_scout", "n_architect", "n_oracle"
+    )

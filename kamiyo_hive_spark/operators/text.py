@@ -215,3 +215,47 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# GPT-2-style pre-tokenizer approximation: contractions, letter runs,
+# digit runs, punctuation runs, each with optional leading space.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+_BPE_PATTERN_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}'))) AS DOUBLE)
+             / SUM(len(string_split_regex(trim(text), '\\s+'))) AS bpe_per_word
+    FROM documents
+    GROUP BY 1
+    ORDER BY lang
+    """,
+    tags=("text", "token-count", "bpe"),
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (contraction suffixes / letter runs / digit runs / punctuation, with
+    optional leading space) — the cheap token-budget estimator a
+    training pipeline runs before the real tokenizer, alongside the
+    whitespace count for the tokens-per-word ratio."""
+    d = table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
+    n_ws = F.size(_tokens())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_bpe).cast("long").alias("total_bpe_tokens"),
+            F.sum(n_ws).cast("long").alias("total_ws_tokens"),
+            (F.sum(n_bpe).cast("double") / F.sum(n_ws)).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )

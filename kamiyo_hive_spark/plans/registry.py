@@ -70,11 +70,13 @@ def load_registry() -> dict[str, QuerySpec]:
     if not _LOADED:
         from kamiyo_hive_spark.operators import (  # noqa: F401
             aggregates,
+            asof,
             dedup,
             joins,
             llm_pipeline,
             merkle,
             multimodal,
+            pipelines,
             relational,
             scalars,
             semistructured,
