@@ -487,3 +487,64 @@ def revenue_forecast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "rollup_hierarchy",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("hypertable-rollup", "A5", "A8"),
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: the day level is
+    REAGGREGATED from the hour level (counts sum, decimal sums sum),
+    never from raw rows — at 100 TB each coarser tier reads the much
+    smaller finer tier. The oracle aggregates raw directly, so the test
+    proves reaggregation is lossless."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).alias("total_value_dec"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value_dec").cast("double").alias("total_value"),
+        )
+    )
+    return daily.orderBy("day", "event_type")
+
+
+@register(
+    "intersect_retained_users",
+    oracle="""
+    SELECT user_id FROM (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    ORDER BY user_id
+    """,
+    tags=("E1", "intersect", "retention"),
+)
+def intersect_retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention intersect: users purchasing in BOTH halves of the
+    month (set intersection — the dual of the snapshot diff)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cut = _ts("2024-01-15 00:00:00")
+    first_half = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    second_half = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+    return first_half.intersect(second_half).orderBy("user_id")
