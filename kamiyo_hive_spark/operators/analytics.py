@@ -1,0 +1,236 @@
+"""Classic analytic query shapes (TPC-H-derived breadth).
+
+Each exercises a distinct optimizer/runtime shape not covered by the
+§2-mapped queries: HAVING over aggregate subqueries, disjunctive
+multi-column predicates, conditional-ratio metrics, ordered categorical
+bucketing. All decimal-exact and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus
+from kamiyo_hive_spark.plans.registry import register
+
+_REV = "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * one_minus("l_discount")
+
+
+@register(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch-q4", "J3", "A1"),
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one slow lineitem
+    (correlated EXISTS with a time condition → left-semi join)."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "returned_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM({_REV}) AS DOUBLE) AS lost_revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch-q10", "J1", "A6", "W1"),
+)
+def returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, top-20 customers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(money_sum(_revenue()).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV} END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) * 100.0 AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-02-01 00:00:00'
+    """,
+    tags=("tpch-q14", "A2", "J2"),
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio metric (promo revenue share)
+    — both numerator and denominator from one pass."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double")
+                * 100.0
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    WITH big_orders AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > CAST(150 AS DECIMAL(14,2))
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, b.total_qty
+    FROM big_orders b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 50
+    """,
+    tags=("tpch-q18", "having", "A6"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over an aggregate subquery feeding a
+    join — the aggregate filter runs BEFORE the customer join, so only
+    qualifying orders shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > F.lit(150).cast("decimal(14,2)"))
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+    tags=("tpch-q19", "P3", "disjunction"),
+)
+def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three disjunctive brand/size/quantity branches —
+    the optimizer must still push the common join key and prune columns
+    despite the OR tree."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+
+    def branch(brand: str, size_hi: int, q_lo: int, q_hi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = branch("Brand#12", 15, 1, 30) | branch("Brand#23", 25, 10, 40) | branch(
+        "Brand#25", 35, 20, 50
+    )
+    return j.filter(cond).agg(
+        money_sum(_revenue()).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+@register(
+    "shipmode_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 250000 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_priority
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY size_bucket, o_orderstatus
+    """,
+    tags=("tpch-q12", "A1", "case-banding"),
+)
+def shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: categorical bucketing with priority-class
+    conditional counts per bucket."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 250000, "medium")
+        .otherwise("large")
+    )
+    high = F.sum(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    )
+    return (
+        o.groupBy(bucket.alias("size_bucket"), "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), high.alias("n_high_priority"))
+        .orderBy("size_bucket", "o_orderstatus")
+    )

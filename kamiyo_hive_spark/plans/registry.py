@@ -70,6 +70,7 @@ def load_registry() -> dict[str, QuerySpec]:
     if not _LOADED:
         from kamiyo_hive_spark.operators import (  # noqa: F401
             aggregates,
+            analytics,
             asof,
             dedup,
             joins,
