@@ -128,3 +128,74 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+FRAME_SIZE = 64  # bytes per fake frame
+FRAME_STRIDE = 128  # sample every other frame-sized window
+
+
+def frame_sample(assets: DataFrame) -> DataFrame:
+    """Frame sampling: one binary payload → N frame rows (the
+    video-decode fan-out shape). The real decoder would emit decoded
+    frames; the deterministic stand-in slices the payload at a fixed
+    stride so schema, fan-out ratio, and batch behavior are all real.
+    Arrow-batched mapInPandas: each input batch yields a frame batch,
+    memory bounded by (batch size × frames per asset)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for idx, start in enumerate(range(0, len(data), FRAME_STRIDE)):
+                    chunk = data[start : start + FRAME_SIZE]
+                    if not chunk:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(chunk)
+                    out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(ceil(length(text) / 128.0) AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           count(*) AS n_assets,
+           CAST(max(n_frames) AS BIGINT) AS max_frames_per_asset
+    FROM frames
+    """,
+    tags=("multimodal", "frame-sample", "mapInPandas"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out rolled up to corpus totals: the frame
+    count per asset produced by the Arrow pipeline must equal the
+    closed-form ceil(bytes/stride) the oracle computes from the source
+    (texts are ASCII so byte length == char length)."""
+    docs = table(spark, sf_dir, "documents")
+    frames = frame_sample(as_binary_assets(docs))
+    per_asset = frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    return per_asset.agg(
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.count("*").alias("n_assets"),
+        F.max("n_frames").cast("long").alias("max_frames_per_asset"),
+    )

@@ -325,3 +325,32 @@ def exact_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "slot_time_conversion",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 400 AS slot,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + to_milliseconds((CAST(epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 400) * 400)
+             AS slot_start
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+    tags=("scalar-date", "slot-conversion"),
+)
+def slot_time_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slot ↔ wall-time conversion at 400 ms/slot (the chain-clock
+    convention, kamiyo-hive `programs/kamiyo-fast-voting/src/lib.rs:15-16`):
+    event time → slot number since genesis → slot start timestamp."""
+    from kamiyo_hive_spark.catalog import table as t
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    genesis_ms = F.unix_millis(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    slot = F.floor((F.unix_millis(F.col("ts")) - genesis_ms) / 400).cast("long")
+    slot_start = F.timestamp_millis(genesis_ms + slot * 400)
+    return e.select("event_id", slot.alias("slot"), slot_start.alias("slot_start")).orderBy(
+        "event_id"
+    )

@@ -74,3 +74,30 @@ def test_simhash_of_identical_texts_equal(spark_prop, seed):
     df = spark_prop.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
     h = {r.doc_id: r.simhash for r in simhash64(df).collect()}
     assert h[0] == h[1]
+
+
+# -- decimal money discipline: sums are partition-order invariant and
+#    equal exact Decimal arithmetic --
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.decimals(min_value=-99999, max_value=99999, places=2),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_money_sum_is_exact_and_partition_invariant(spark_prop, amounts):
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    from kamiyo_hive_spark.functions.money import dec
+
+    rows = [(i, float(a)) for i, a in enumerate(amounts)]
+    expected = float(sum(Decimal(str(a)) for a in amounts))
+    for n_parts in (1, 7):
+        df = spark_prop.createDataFrame(rows, "i long, v double").repartition(n_parts)
+        got = df.agg(F.sum(dec("v")).cast("double").alias("s")).collect()[0].s
+        assert got == expected, (n_parts, got, expected)
