@@ -401,6 +401,176 @@ def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: E402
+
+# transformWithStateInPandas speaks a protobuf protocol between the JVM
+# and its Python state workers; without the protobuf wheel the query
+# crashes at init. Gate registration so the declared-query manifest only
+# claims what the running environment can actually execute —
+# `streaming_commit_reveal_stateful` (applyInPandasWithState) is the
+# always-available stateful path with identical semantics.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAS_TWS_RUNTIME = True
+except Exception:  # ModuleNotFoundError in slim containers
+    HAS_TWS_RUNTIME = False
+
+
+def _register_if_tws(name: str, **kwargs):
+    """register() when the TWS runtime exists, else leave unregistered."""
+    if HAS_TWS_RUNTIME:
+        return register(name, **kwargs)
+    return lambda fn: fn
+
+
+class _CommitRevealProcessor(StatefulProcessor):
+    """StatefulProcessor for the commit-reveal session machine (ST3).
+
+    transformWithStateInPandas is the Spark 4 successor to
+    applyInPandasWithState: typed per-key state handles (ValueState here;
+    ListState/MapState/timers available), RocksDB-backed so state scales
+    past executor memory — the production shape for unbounded streams.
+    Same `lib.rs:93-156` semantics as `commit_reveal_sessions`.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "session",
+            "n_commits long, winning_bid double, winner_event_id long, n_updates long",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        t1, t2 = pd.Timestamp(T1), pd.Timestamp(T2)
+        got = self._state.get() if self._state.exists() else None
+        if got is not None:
+            n_commits, winning_bid, winner, n_updates = got
+        else:
+            n_commits, winning_bid, winner, n_updates = 0, None, None, 0
+        for pdf in rows:
+            n_commits += int((pdf["ts"] < t1).sum())
+            reveals = pdf[
+                (pdf["ts"] >= t1) & (pdf["ts"] < t2) & (pdf["event_type"] == "purchase")
+            ]
+            if len(reveals):
+                best = reveals.sort_values(
+                    ["value", "event_id"], ascending=[False, True]
+                ).iloc[0]
+                bid, eid = float(best["value"]), int(best["event_id"])
+                if (
+                    winning_bid is None
+                    or bid > winning_bid
+                    or (bid == winning_bid and eid < winner)
+                ):
+                    winning_bid, winner = bid, eid
+        n_updates += 1
+        self._state.update((n_commits, winning_bid, winner, n_updates))
+        passed = n_commits >= QUORUM and winner is not None
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_commits": n_commits,
+                    "winning_bid": winning_bid,
+                    "winner_event_id": winner,
+                    "result": "Passed" if passed else "Failed",
+                    "n_updates": n_updates,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@_register_if_tws(
+    "streaming_commit_reveal_tws",
+    oracle=f"""
+    WITH commits AS (
+        SELECT user_id, count(*) AS n_commits FROM events
+        WHERE ts < TIMESTAMP '{T1}' GROUP BY 1
+    ),
+    reveals AS (
+        SELECT user_id,
+               max(value) AS winning_bid,
+               min(event_id) FILTER (WHERE value = max_val) AS winner_event_id
+        FROM (
+            SELECT *, max(value) OVER (PARTITION BY user_id) AS max_val
+            FROM events
+            WHERE ts >= TIMESTAMP '{T1}' AND ts < TIMESTAMP '{T2}'
+              AND event_type = 'purchase'
+        )
+        GROUP BY 1
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events)
+    SELECT k.user_id,
+           coalesce(c.n_commits, 0) AS n_commits,
+           r.winning_bid,
+           r.winner_event_id,
+           CASE WHEN coalesce(c.n_commits, 0) >= {QUORUM}
+                     AND r.winner_event_id IS NOT NULL
+                THEN 'Passed' ELSE 'Failed' END AS result
+    FROM keys k
+    LEFT JOIN commits c USING (user_id)
+    LEFT JOIN reveals r USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("ST3", "ST4", "W4", "transformWithStateInPandas", "streaming"),
+)
+def streaming_commit_reveal_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 on the Spark 4 stateful API: transformWithStateInPandas with
+    a RocksDB-backed ValueState per action key, fed 4 time-ranged
+    micro-batches. The final per-key update must equal the batch
+    resolution — the unbounded-stream production form of
+    `commit_reveal_sessions` (state scales past memory, supports
+    timers/TTL for deadline-close triggers at cluster scale)."""
+    src = _multibatch_events_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select("user_id", "event_id", "ts", "event_type", "value")
+        )
+        out_schema = (
+            "user_id long, n_commits long, winning_bid double, "
+            "winner_event_id long, result string, n_updates long"
+        )
+        sessions = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_CommitRevealProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_to_completion(sessions, "stream_cr_tws_out", "update")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+
+    from pyspark.sql import Window
+
+    updates = spark.table("stream_cr_tws_out")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_updates"))
+    return (
+        updates.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_commits", "winning_bid", "winner_event_id", "result")
+        .orderBy("user_id")
+    )
+
+
 @register(
     "streaming_session_window",
     oracle="""

@@ -4,9 +4,16 @@ built-in aggregation path."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from kamiyo_hive_spark.operators.stateful import (
+    _resolve_session,
     resolve_sessions_pandas,
     resolve_sessions_sql,
+)
+from kamiyo_hive_spark.streaming.jobs import (
+    HAS_TWS_RUNTIME,
+    _CommitRevealProcessor,
 )
 
 
@@ -16,3 +23,63 @@ def test_sql_and_pandas_session_resolution_identical(spark, sf_dir):
     assert sql_rows.keys() == pd_rows.keys()
     for uid, row in sql_rows.items():
         assert row == pd_rows[uid], (uid, row, pd_rows[uid])
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _FakeValueState()
+
+
+def test_tws_processor_merges_across_batches_like_batch_resolution(spark, sf_dir):
+    """The transformWithStateInPandas processor, fed the same events as
+    time-split micro-batches, must converge to the batch resolution for
+    every key — the associativity the streaming variant depends on.
+    Runs the processor directly (fake state handle) so the merge logic
+    is verified even where the TWS protobuf runtime is absent."""
+    from kamiyo_hive_spark.catalog import table
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    cuts = e["ts"].quantile([0.33, 0.66]).tolist()
+    for uid, grp in list(e.groupby("user_id"))[:25]:
+        proc = _CommitRevealProcessor()
+        proc.init(_FakeHandle())
+        batches = [
+            grp[grp["ts"] < cuts[0]],
+            grp[(grp["ts"] >= cuts[0]) & (grp["ts"] < cuts[1])],
+            grp[grp["ts"] >= cuts[1]],
+        ]
+        out = None
+        for b in batches:  # one handleInputRows call per micro-batch
+            out = next(proc.handleInputRows((uid,), iter([b]), None))
+        expected = _resolve_session(grp).iloc[0]
+        got = out.iloc[0]
+        assert got["n_commits"] == expected["n_commits"], uid
+        assert got["winner_event_id"] == expected["winner_event_id"] or (
+            pd.isna(got["winner_event_id"]) and pd.isna(expected["winner_event_id"])
+        ), uid
+        assert got["result"] == expected["result"], uid
+
+
+def test_tws_query_registered_only_with_runtime():
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    reg = load_registry()
+    assert ("streaming_commit_reveal_tws" in reg) == HAS_TWS_RUNTIME
