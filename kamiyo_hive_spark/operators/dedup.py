@@ -392,3 +392,151 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quadrant_idx, quadrant_value) finds them without an N^2 scan."""
     docs = table(spark, sf_dir, "documents")
     return simhash64(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster resolution: candidate pairs → connected components → canonical
+# survivor. The last step of a dedup pipeline: LSH/Jaccard emit PAIRS, but
+# keep/drop decisions need CLUSTERS (A~B, B~C ⇒ keep one of {A,B,C}).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, *, max_iter: int = 25
+) -> DataFrame:
+    """(id, cluster_id): min-id label propagation over an undirected edge
+    set — each vertex converges to the smallest vertex id reachable from
+    it (hash-to-min, the standard MapReduce CC formulation).
+
+    Scale posture: one shuffle per round, rounds bounded by graph
+    diameter (near-dup graphs are shallow — dup clusters are cliques or
+    short chains, so 3-5 rounds in practice, `max_iter` is a safety
+    rail). Labels are re-checkpointed each round to truncate lineage;
+    at warehouse scale each round is a join of two id-partitioned
+    tables, and AQE handles the skewed mega-cluster case. GraphFrames'
+    large-star/small-star is the drop-in upgrade if diameters grow.
+
+    `vertices`: one column `id`. `edges`: columns `src`, `dst`.
+    """
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.union(prop).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dup_clusters_canonical",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+        WHERE doc_id < 100
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [] END) AS shingles
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.n_common AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles) - c.n_common) >= 0.02
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    verts AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    reach(v, lbl) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.cluster_id,
+           (c.doc_id = c.cluster_id) AS is_canonical,
+           s.cluster_size
+    FROM comp c JOIN sizes s USING (cluster_id)
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "connected-components", "clustering"),
+)
+def dup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs folded into duplicate CLUSTERS with one canonical
+    survivor each: word-3-gram Jaccard >= 0.02 edges (same pair pipeline
+    as `ngram_jaccard_pairs`, doc_id < 100 for the oracle) → distributed
+    connected components → keep the min-id doc per component.
+
+    The oracle recomputes the components as a recursive-CTE transitive
+    closure in DuckDB — a genuinely independent algorithm (closure vs
+    label propagation) agreeing on every cluster assignment.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    inv = shingle_rows(d).persist()
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    pairs = (
+        cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.02)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).persist()
+    comp = connected_components(d.select(F.col("doc_id").alias("id")), pairs)
+    # comp is checkpointed by the CC loop; upstream caches can go.
+    pairs.unpersist()
+    csize = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    out = (
+        comp.join(csize, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+    inv.unpersist()
+    return out

@@ -1,0 +1,115 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+At 100 TB, training-corpus sampling must be (a) reproducible across
+runs and engines — no RNG state, no `rand()` — and (b) executed as a
+pushdown-friendly filter, never a shuffle. Both operators key off a
+content-independent hash of the document id: `bucket = h(doc_id) % N`,
+so membership is a per-row projection + filter (whole-stage codegen,
+zero shuffles, prunable), the same row lands in the same
+sample/split on every engine and every rerun, and strata stay
+independent of row order or partitioning.
+
+The hash is the engine-portable md5-prefix form (see
+`operators.dedup._portable_hash`) so DuckDB reproduces every bucket
+bit-for-bit; a production Spark-only pipeline would swap in xxhash64
+(JVM-native) with the same structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.operators.dedup import _portable_hash
+from kamiyo_hive_spark.plans.registry import register
+
+# per-language keep rate, in buckets-of-1000: oversample the low-resource
+# languages, downsample the dominant one — the classic corpus-balancing
+# shape (rates are arbitrary fixture values).
+STRATUM_RATES = {"en": 300, "de": 600, "fr": 600, "ja": 800}
+DEFAULT_RATE = 500
+
+_SEED = 97
+
+
+def hash_bucket(col: F.Column, *, n: int = 1000, seed: int = _SEED) -> F.Column:
+    """Deterministic bucket in [0, n): portable-hash the id, mod n.
+    pmod because the 60-bit hash is sign-free but `%` follows the
+    dividend sign in Spark."""
+    return F.pmod(_portable_hash(col.cast("string"), seed), F.lit(n))
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Keep rows whose bucket falls under their stratum's rate."""
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in sorted(STRATUM_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.withColumn("bucket", hash_bucket(F.col("doc_id"))).filter(
+        F.col("bucket") < rate
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{_SEED}'), 1, 15)) AS BIGINT) % 1000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM bucketed
+    WHERE bucket < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600
+                             WHEN 'fr' THEN 600 WHEN 'ja' THEN 800
+                             ELSE 500 END
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "stratified", "training-pipeline"),
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified corpus sample: per-language keep rates
+    applied via deterministic hash buckets — a pure filter (no shuffle,
+    no RNG), so the sampled set is stable across engines, reruns, and
+    repartitioning."""
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(docs).select("doc_id", "lang", "bucket").orderBy("doc_id")
+
+
+@register(
+    "train_test_split_counts",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{_SEED + 1}'), 1, 15)) AS BIGINT) % 10 AS b
+        FROM documents
+    ),
+    labeled AS (
+        SELECT lang,
+               CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split
+        FROM bucketed
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM labeled
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+    tags=("sampling", "split", "training-pipeline"),
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by id-hash decile,
+    summarized per (split, language). Because membership is a projection
+    of the row id, the split is stable under reshuffling/backfill — new
+    rows join a split without moving old ones (no re-split churn, the
+    property RNG-based splits lack)."""
+    docs = table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), n=10, seed=_SEED + 1)
+    split = (
+        F.when(b < 8, "train").when(b == 8, "valid").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )

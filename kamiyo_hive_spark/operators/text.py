@@ -259,3 +259,78 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+        WHERE doc_id < 200
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 200),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(t.tf * ln((SELECT n_docs FROM n) / CAST(d.df AS DOUBLE)), 6) AS tfidf
+        FROM tf t JOIN df d USING (term)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    tags=("text", "tfidf", "training-pipeline"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (idf = ln(N/df),
+    docs sampled to doc_id < 200 for the oracle; the pipeline shape is
+    SF-independent).
+
+    Scale shape: one explode + two hash aggregations. The document
+    frequency table is tiny relative to the corpus (vocabulary-sized),
+    so it broadcast-joins back onto the term-frequency table — the
+    per-term shuffle happens on the vocab aggregation only, never on a
+    doc × vocab blowup. Per-doc ranking partitions by doc_id (the
+    table's natural key, no skew)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Two consumers (df aggregation + join probe): persist the term
+    # frequencies so the explode+agg runs once.
+    tf = tf.persist()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    out = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+    return out

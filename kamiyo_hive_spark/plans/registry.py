@@ -79,6 +79,7 @@ def load_registry() -> dict[str, QuerySpec]:
             multimodal,
             pipelines,
             relational,
+            sampling,
             scalars,
             semistructured,
             setops,

@@ -92,3 +92,29 @@ def test_lsh_candidates_superset_of_high_jaccard(spark, sf_dir):
         for r in minhash_lsh_candidates(minhash_signatures(docs)).collect()
     }
     assert truth <= cands
+
+
+def test_connected_components_known_graph(spark):
+    from kamiyo_hive_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "id long")
+    # chain 1-2-3 (transitive closure needed), pair 10-11, singleton 20
+    edges = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], "src long, dst long")
+    got = {r.id: r.cluster_id for r in connected_components(verts, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dup_clusters_canonical_invariants(spark, sf_dir):
+    from kamiyo_hive_spark.operators.dedup import dup_clusters_canonical
+
+    rows = dup_clusters_canonical(spark, sf_dir).collect()
+    assert rows, "no docs clustered"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        # exactly one canonical per cluster, and it is the min doc_id
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1, cid
+        assert canon[0].doc_id == min(m.doc_id for m in members) == cid
+        assert all(m.cluster_size == len(members) for m in members)

@@ -1,0 +1,38 @@
+"""Deterministic sampling invariants: membership is a pure function of
+the row id — stable under repartitioning and across reruns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.operators.sampling import stratified_sample
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    base = {r.doc_id for r in stratified_sample(docs).select("doc_id").collect()}
+    assert base, "empty sample"
+    shuffled = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(17)).select("doc_id").collect()
+    }
+    assert base == shuffled
+
+
+def test_stratified_sample_respects_stratum_rates(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n = docs.filter(F.col("lang") == "en").count()
+    kept = stratified_sample(docs).filter(F.col("lang") == "en").count()
+    # en rate is 300/1000; hash buckets are near-uniform
+    assert 0.15 * n <= kept <= 0.45 * n, (kept, n)
+
+
+def test_split_is_total_and_disjoint(spark, sf_dir):
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    q = load_registry()["train_test_split_counts"].builder
+    counts = {(r.split, r.lang): r.n_docs for r in q(spark, sf_dir).collect()}
+    total = sum(counts.values())
+    assert total == table(spark, sf_dir, "documents").count()
+    assert {s for s, _ in counts} == {"train", "valid", "test"}
