@@ -548,3 +548,84 @@ def intersect_retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_half = e.filter(F.col("ts") < cut).select("user_id").distinct()
     second_half = e.filter(F.col("ts") >= cut).select("user_id").distinct()
     return first_half.intersect(second_half).orderBy("user_id")
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    tags=("A6", "cube", "grouping-sets"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets — per-cell,
+    both marginals, and the grand total — in one pass. The dashboard
+    shape that would otherwise be 4 scans; Spark expands grouping sets
+    before the partial aggregate, so the fact table is still read
+    once."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(F.asc_nulls_first("status"), F.asc_nulls_first("priority"))
+    )
+
+
+@register(
+    "price_decile_stats",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile,
+           count(*) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM ranked
+    GROUP BY 1
+    ORDER BY decile
+    """,
+    tags=("W-ntile", "distribution"),
+)
+def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding via ntile over a total order (unique tie-break on
+    the key) + per-decile stats — the distribution-summary shape.
+
+    Scale note: a global ntile needs a total ORDER BY (single-partition
+    window) — fine for ranking a pre-aggregated or filtered set, wrong
+    for ranking raw facts. At 100 TB the same output comes from
+    `approxQuantile`-derived cut points applied as a filterless
+    projection (see `approx_distinct_dashboard` for the sketch path);
+    this query keeps the exact form the oracle can verify."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("decile")
+    )

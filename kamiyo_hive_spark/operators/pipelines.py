@@ -167,3 +167,80 @@ def trust_graph_hud(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_stats.crossJoin(edge_stats).select(
         "total_nodes", "total_edges", "avg_trust", "n_scout", "n_architect", "n_oracle"
     )
+
+
+@register(
+    "training_corpus_prep",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source, text,
+               md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    ),
+    keepers AS (
+        SELECT fingerprint, min(doc_id) AS keeper_id FROM fp GROUP BY 1
+    ),
+    deduped AS (
+        SELECT f.* FROM fp f
+        JOIN keepers k ON f.fingerprint = k.fingerprint AND f.doc_id = k.keeper_id
+    ),
+    quality AS (
+        SELECT doc_id, lang, source,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM deduped
+        WHERE length(text) >= 100
+    ),
+    sampled AS (
+        SELECT * FROM quality
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':97'), 1, 15)) AS BIGINT) % 1000
+              < CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600
+                          WHEN 'fr' THEN 600 WHEN 'ja' THEN 800
+                          ELSE 500 END
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sampled
+    GROUP BY 1, 2
+    ORDER BY lang, source
+    """,
+    tags=("pipeline", "training-pipeline", "dedup", "quality", "sampling"),
+)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE declarative plan:
+    exact dedup (min-id keeper per content hash) → quality gate
+    (length >= 100 chars) → deterministic stratified sample (per-language
+    id-hash rates) → corpus-card summary per (lang, source).
+
+    The point of composing it as a single DataFrame chain: Catalyst
+    fuses the stages — one scan of `documents`, the dedup window's
+    fingerprint shuffle is the only wide exchange before the final
+    summary agg, and the quality + sample predicates execute as filters
+    INSIDE that pipeline (sample before tokenize, so token counting
+    touches only surviving rows). At 100 TB each stage would otherwise
+    be its own job + materialization; here the optimizer schedules the
+    whole prep in two stages."""
+    from pyspark.sql import Window
+
+    from kamiyo_hive_spark.operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
+    w = Window.partitionBy("fingerprint")
+    deduped = (
+        d.withColumn("fingerprint", fp)
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+    )
+    quality = deduped.filter(F.length("text") >= 100)
+    sampled = stratified_sample(quality)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        sampled.select("lang", "source", n_tokens.alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
