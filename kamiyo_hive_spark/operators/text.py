@@ -334,3 +334,113 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", F.desc("tfidf"), "term")
     )
     return out
+
+
+@register(
+    "sequence_pack_bins",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY 1, 2
+    ORDER BY lang, bin_id
+    """,
+    tags=("text", "sequence-packing", "training-pipeline"),
+)
+def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: documents are packed in
+    deterministic id order into ~2048-token bins per language; a doc's
+    bin is floor(tokens-before-it / budget) — the contiguous greedy fill,
+    expressed as a running-sum window (no UDF, no driver loop).
+
+    Scale shape: one window per language partition (ordered by the
+    natural unique key) + one aggregation. Packing is deterministic and
+    restart-safe — a rerun or a backfill assigns every doc the same bin,
+    because bin identity derives from the data, not from task order."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)),
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+        WHERE doc_id < 50
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(t) - 32, 0) + 64, 64 - 16)) AS chunk_start
+        FROM toks
+    )
+    SELECT c.doc_id,
+           c.chunk_start,
+           least(c.chunk_start + 64, len(k.t)) - c.chunk_start AS chunk_len,
+           array_to_string(k.t[c.chunk_start + 1 : least(c.chunk_start + 64, len(k.t))], ' ') AS chunk_text
+    FROM chunks c JOIN toks k USING (doc_id)
+    WHERE c.chunk_start < len(k.t)
+    ORDER BY doc_id, chunk_start
+    """,
+    tags=("text", "chunking", "training-pipeline"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (64-token windows, 16-token
+    overlap, stride 48) — the RAG / context-window preprocessing shape:
+    one row per (doc, chunk) with the reassembled chunk text.
+
+    The 1→N fan-out is `sequence()` + `explode` (JVM-side generator,
+    no Python); chunk boundaries are pure arithmetic on the token
+    array, so the same doc always yields the same chunks."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    n = F.size("t")
+    stride = 48
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 32, F.lit(0)) + F.lit(63), F.lit(stride)
+    )
+    chunks = toks.select(
+        "doc_id", "t", F.explode(starts).alias("chunk_start")
+    ).filter(F.col("chunk_start") < F.size("t"))
+    chunk_len = F.least(F.col("chunk_start") + 64, F.size("t")) - F.col("chunk_start")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("chunk_start") + 1, chunk_len)).alias(
+            "chunk_text"
+        ),
+    ).orderBy("doc_id", "chunk_start")

@@ -26,30 +26,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.catalog import _EVENTS_READ_SCHEMA
 from kamiyo_hive_spark.functions.money import dec
 from kamiyo_hive_spark.plans.registry import register
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a bounded stream (one file = one batch)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """The events table as a genuine multi-micro-batch stream: staged
+    once per sf_dir as 4 time-ranged files, delivered one file per
+    trigger — so every streaming job's state (windows, dedup sets,
+    tallies) must survive micro-batch boundaries, exactly as on an
+    unbounded Kafka/file source. Event time arrives in watermark-safe
+    ascending ranges (the staging is range-partitioned on ts)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # File streaming sources take a directory; pathGlobFilter narrows it
-    # to the events table (in production this is the events/ partition
-    # root or a Kafka topic).
-    raw = (
-        spark.readStream.schema(_EVENTS_READ_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
+    src = _multibatch_events_dir(spark, sf_dir)
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
     )
 
 
@@ -328,7 +323,6 @@ def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     as `commit_reveal_sessions`, now surviving micro-batch boundaries."""
     import pandas as pd
 
-    from kamiyo_hive_spark.catalog import _EVENTS_READ_SCHEMA  # noqa: F401 (schema shared)
 
     src = _multibatch_events_dir(spark, sf_dir)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -604,9 +598,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-managed version of the gaps-and-islands pattern, checked
     against the batch window reconstruction."""
     stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    # No watermark: in complete mode a watermark EVICTS finalized
+    # sessions from state between micro-batches, so sessions closed
+    # before the last batch would vanish from the result table.
+    # Unbounded production runs use update mode + watermark instead.
     sessions = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "60 minutes").alias("sw"), "user_id")
+        stream.groupBy(F.session_window("ts", "60 minutes").alias("sw"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
     _run_to_completion(sessions, "stream_session_out", "complete")
