@@ -66,3 +66,100 @@ def bulk_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "upsert_scd1_roundtrip",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(100.00 AS DECIMAL(14,2)) AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000,
+               o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    merged AS (
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+               coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        FROM orders b FULL OUTER JOIN updates u USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM merged
+    GROUP BY 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("S3", "sink", "upsert", "merge", "dynamic-partition-overwrite"),
+)
+def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3's MERGE semantics on a plain parquet warehouse: upsert a batch
+    of updated + brand-new rows into a status-partitioned orders table,
+    rewriting ONLY the partitions the batch touches (dynamic partition
+    overwrite), then prove the reread equals the logical FULL OUTER
+    merge.
+
+    Scale shape: the merge is `updates ∪ (base ⟕̸ updates)` — new rows
+    win by key via a left-anti join of base against the (small,
+    broadcast) update batch. Untouched partitions are never read or
+    rewritten; at 100 TB with date partitioning, a daily upsert
+    rewrites one day, not the table. Delta/Iceberg MERGE is the same
+    plan with a transaction log on top."""
+    out = os.path.join(SCRATCH, "orders_upsert")
+    shutil.rmtree(out, ignore_errors=True)
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = table(spark, sf_dir, "orders").select(*base_cols)
+    write_partitioned(base, out, ["o_orderstatus"])
+
+    upd_price = (dec("o_totalprice") + F.lit("100.00").cast("decimal(14,2)")).cast(
+        "double"
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", upd_price.alias("o_totalprice"))
+        .union(
+            base.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+
+    stored = spark.read.parquet(out)
+    touched = [
+        r.o_orderstatus
+        for r in updates.select("o_orderstatus").distinct().collect()
+    ]
+    survivors = stored.filter(F.col("o_orderstatus").isin(touched)).join(
+        F.broadcast(updates), "o_orderkey", "left_anti"
+    )
+    # Materialize before overwriting: the merge plan reads the same
+    # files the dynamic overwrite is about to replace (Delta solves this
+    # with snapshot isolation; on plain parquet we cut the dependency).
+    merged_touched = (
+        survivors.select(*base_cols).union(updates.select(*base_cols)).localCheckpoint()
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Overwrites only the partitions present in merged_touched.
+        merged_touched.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    reread = spark.read.parquet(out)
+    return (
+        reread.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
