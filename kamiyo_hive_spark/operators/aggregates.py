@@ -629,3 +629,50 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY month, o_orderstatus
+    """,
+    tags=("incremental-agg", "materialized-view", "A5", "A8"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance shape: a monthly rollup maintained
+    incrementally — the pre-aggregated history (orders before 2000)
+    merged with a freshly aggregated increment (2000 onward) by
+    RE-AGGREGATING THE PARTIALS, never rescanning history. The oracle
+    recomputes from scratch; matching proves count/sum partials compose
+    associatively, which is what makes the 100 TB story work: a daily
+    load aggregates one day and merges O(groups) rows, and the exact
+    decimal internals make the merged result bit-identical to a full
+    recompute on any partitioning."""
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(month, "o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("price_partial"),
+        )
+
+    history = rollup(o.filter(F.col("o_orderdate") < cutoff))
+    increment = rollup(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        history.unionByName(increment)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("price_partial").cast("double").alias("total_price"),
+        )
+        .orderBy("month", "o_orderstatus")
+    )

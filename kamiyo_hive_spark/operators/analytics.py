@@ -8,7 +8,7 @@ bucketing. All decimal-exact and oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
@@ -233,4 +233,212 @@ def shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("size_bucket"), "o_orderstatus")
         .agg(F.count("*").alias("n_orders"), high.alias("n_high_priority"))
         .orderBy("size_bucket", "o_orderstatus")
+    )
+
+
+@register(
+    "cust_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_custs
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY n_custs DESC, n_orders DESC
+    """,
+    tags=("tpch-q13", "J1", "A7", "distribution"),
+)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    outer join (customers with zero orders must appear), count per
+    customer, then a histogram of those counts. Two hash aggregations;
+    the second input is customer-sized, tiny relative to the fact."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
+    )
+
+
+@register(
+    "small_lot_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS small_lot_revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+        FROM lineitem GROUP BY 1
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#2', 'Brand#4')
+      AND l.l_quantity < t.qty_threshold
+    GROUP BY 1
+    ORDER BY p_brand
+    """,
+    tags=("tpch-q17", "correlated-agg", "A6"),
+)
+def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (rows below 20%
+    of their part's average quantity) decorrelated into a per-part
+    aggregate + equi-join. The threshold table is part-sized → AQE
+    broadcasts it; the fact scans once for thresholds, once for the
+    probe — at warehouse scale the threshold side becomes a
+    materialized stat table and the probe is a single pass."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand").isin("Brand#2", "Brand#4"))
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(
+            money_sum(dec("l_extendedprice")).alias("small_lot_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "waiting_supplier_rank",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("tpch-q21", "exists", "not-exists", "W-decorrelated"),
+)
+def waiting_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact,
+    decorrelated into window aggregates — for each lineitem of a
+    finished order, keep it iff another supplier participated (EXISTS)
+    and no other supplier shipped later (NOT EXISTS). One shuffle on
+    l_orderkey computes all three per-order statistics (distinct
+    suppliers, global max shipdate, per-supplier max shipdate) instead
+    of the naive triple self-join; at 100 TB that is one exchange of
+    the fact vs three."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+
+    w_order = Window.partitionBy("l_orderkey")
+    w_osupp = Window.partitionBy("l_orderkey", "l_suppkey")
+    enriched = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_semi")
+        .withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w_order)))
+        .withColumn("order_max_ship", F.max("l_shipdate").over(w_order))
+        .withColumn("supp_max_ship", F.max("l_shipdate").over(w_osupp))
+        # max shipdate among OTHER suppliers: if some other supplier
+        # reaches the order max, it's the order max; else the runner-up
+        .withColumn(
+            "n_supps_at_max",
+            F.size(
+                F.collect_set(
+                    F.when(
+                        F.col("supp_max_ship") == F.col("order_max_ship"),
+                        F.col("l_suppkey"),
+                    )
+                ).over(w_order)
+            ),
+        )
+        .withColumn(
+            "runner_up_ship",
+            F.max(
+                F.when(
+                    F.col("supp_max_ship") < F.col("order_max_ship"),
+                    F.col("supp_max_ship"),
+                )
+            ).over(w_order),
+        )
+        .withColumn(
+            "other_max_ship",
+            F.when(
+                (F.col("supp_max_ship") == F.col("order_max_ship"))
+                & (F.col("n_supps_at_max") == 1),
+                F.col("runner_up_ship"),
+            ).otherwise(F.col("order_max_ship")),
+        )
+    )
+    kept = enriched.filter(
+        (F.col("n_supps") > 1) & (F.col("l_shipdate") >= F.col("other_max_ship"))
+    )
+    return (
+        kept.join(F.broadcast(s), kept.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "idle_customer_balance",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY 1
+    ORDER BY c_mktsegment
+    """,
+    tags=("tpch-q22", "anti-join", "scalar-subquery", "A6"),
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers dormant since
+    1999 — scalar aggregate subquery (broadcast single row) + left-anti
+    join. The anti-join probes a date-filtered, column-pruned o_custkey
+    scan; the comparison threshold never leaves the JVM."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            money_sum(dec("c_acctbal", "decimal(12,2)")).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -1,0 +1,261 @@
+"""Time-series operators: gap-fill/resample, inter-arrival deltas,
+first/last span (hypertable-style continuous-aggregate surface).
+
+Reference semantics: the reference's calendar-window earnings stats
+(`lib/hive-api.ts:327-334`) and epoch-bucketed governance charts
+(`app/[locale]/governance/page.tsx:10-22`) present dense time axes over
+sparse event data — the UI fills the gaps. Here gap-filling is an
+engine operator: a generated time spine (``sequence`` + ``explode``,
+JVM-side, no driver loop) outer-joined to the sparse aggregate, with
+forward-fill via ``last(..., ignorenulls=True)`` over an ordered
+window.
+
+Scale notes: the spine is |keys| x |buckets| rows — generated, never
+shuffled (the join shuffles on the key only). Forward-fill partitions
+by entity, so state is one row per partition-sort, linear work. The
+DuckDB oracles independently rebuild the spine with generate_series
+and IGNORE-NULLS window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.plans.registry import register
+
+
+@register(
+    "gap_fill_resample",
+    oracle="""
+    WITH spine AS (
+        SELECT u.user_id, d.day
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                          TIMESTAMP '2024-01-30',
+                                          INTERVAL 1 DAY)) AS day
+        ) d
+    ),
+    daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS day_value
+        FROM events
+        WHERE user_id % 10 = 0
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.day_value, 0.0) AS day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_value
+    FROM spine s
+    LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ORDER BY s.user_id, s.day
+    """,
+    tags=("time-series", "gap-fill", "resample", "A8"),
+)
+def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per user: generated day spine outer-joined to
+    the sparse daily aggregate; missing days zero-filled for counts and
+    forward-filled for the last observed value. The spine is built with
+    ``sequence``/``explode`` on executors — no driver loop, so the same
+    plan produces a year x 10^9-key spine on a cluster."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("day_value"),
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("timestamp"),
+                    F.lit("2024-01-30").cast("timestamp"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.last(daily.day_value, ignorenulls=True).over(w).alias("ffill_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           SUM(gap_s) AS total_gap_s,
+           MIN(gap_s) AS min_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+    tags=("time-series", "lag-lead", "inter-arrival", "W-frame"),
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gaps via ``lag`` over (user, event_type) streams,
+    rolled up per event type. Gaps are integer epoch-second deltas, so
+    the aggregate is exact on any partitioning. One shuffle for the
+    window, map-side-combined rollup after."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp("ts")
+    gaps = e.select(
+        "event_type", (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("total_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "first_last_event_span",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT f.user_id,
+           f.event_type AS first_type,
+           l.event_type AS last_type,
+           CAST(floor(epoch(l.ts)) AS BIGINT) - CAST(floor(epoch(f.ts)) AS BIGINT)
+               AS span_s
+    FROM (SELECT * FROM ordered WHERE rn_first = 1) f
+    JOIN (SELECT * FROM ordered WHERE rn_last = 1) l USING (user_id)
+    ORDER BY user_id
+    """,
+    tags=("time-series", "first-last-value", "W3"),
+)
+def first_last_event_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last event type and activity span — both
+    endpoints from ONE window pass (first_value/last_value with a full
+    frame over a deterministic order), not two ranked self-joins: one
+    shuffle on user_id, then dedup."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    epoch_s = F.unix_timestamp("ts")
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            (F.last(epoch_s).over(w) - F.first(epoch_s).over(w)).alias("span_s"),
+        )
+        .dropDuplicates(["user_id"])
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "scd2_history_intervals",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type AS status, ts,
+               lag(event_type) OVER w AS prev_status
+        FROM events
+        WHERE user_id % 25 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    transitions AS (
+        SELECT user_id, status, ts AS valid_from
+        FROM changes
+        WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT user_id, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS BIGINT) AS version,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM transitions
+    ORDER BY user_id, version
+    """,
+    tags=("scd2", "slowly-changing-dimension", "gaps-and-islands", "time-series"),
+)
+def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from a change
+    log: collapse consecutive same-status runs (gaps-and-islands via
+    lag), then open/close validity intervals with lead — valid_to of
+    one version is valid_from of the next, the open interval is the
+    current row. Two window passes over ONE shuffle on user_id (same
+    partition key, same sort); no self-join. At 100 TB the change log
+    is date-partitioned and the rebuild is incremental per partition,
+    merged by the same interval logic."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "ts",
+            F.lag("event_type").over(w_ev).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+        .select("user_id", "status", F.col("ts").alias("valid_from"))
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        transitions.select(
+            "user_id",
+            "status",
+            "valid_from",
+            F.lead("valid_from").over(w_ver).alias("valid_to"),
+            F.row_number().over(w_ver).cast("long").alias("version"),
+            F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -86,6 +86,7 @@ def load_registry() -> dict[str, QuerySpec]:
             similarity,
             stateful,
             text,
+            timeseries,
             windows,
         )
         from kamiyo_hive_spark import warehouse  # noqa: F401
