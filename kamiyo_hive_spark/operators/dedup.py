@@ -423,19 +423,24 @@ def connected_components(
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), F.col("label"))
+            .select(F.col("dst").alias("id"), F.col("label"), F.lit(False).alias("is_old"))
         )
+        # One shuffle per round: the tagged union lets the same aggregate
+        # produce the new label AND remember the old one, so convergence
+        # is a filter on the checkpointed result, not a second join.
         new_labels = (
-            labels.union(prop).groupBy("id").agg(F.min("label").alias("label"))
+            labels.withColumn("is_old", F.lit(True))
+            .union(prop)
+            .groupBy("id")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
         ).localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -133,6 +133,6 @@ def approx_distinct_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 2000).alias("price_quantiles"),
         F.count("*").alias("n_orders"),
     ).orderBy("o_orderpriority")
