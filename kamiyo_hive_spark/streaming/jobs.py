@@ -274,6 +274,18 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     batch_table(spark, sf_dir, "events").repartitionByRange(
         n_files, "ts"
     ).write.mode("overwrite").parquet(out)
+    # The file source orders micro-batches by modification time; one
+    # write job gives every part file the same mtime, leaving batch
+    # order unstable (a later time-range can arrive first, and its rows
+    # then look late to watermark-eviction operators like the
+    # stream-stream interval join). Pin mtimes so arrival order ==
+    # event-time order, the posture of a real tailing source.
+    import glob
+    import time
+
+    base = time.time() - 3600
+    for i, path in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
+        os.utime(path, (base + i, base + i))
     return out
 
 
@@ -611,4 +623,107 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("stream_session_out")
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "streaming_dim_enrich",
+    oracle="""
+    SELECT CASE WHEN c.c_acctbal >= 5000 THEN 'gold'
+                WHEN c.c_acctbal >= 0 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    ORDER BY tier, event_type
+    """,
+    tags=("streaming", "stream-static-join", "ST1", "J2"),
+)
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream is
+    enriched against the static customer dimension (broadcast per
+    batch — the streaming twin of J2's lookup join), then aggregated by
+    the derived tier in update-mode state. The dimension is re-read
+    per micro-batch, so a dimension update between batches is picked up
+    — the streaming SCD-1 read posture. Final state must equal the
+    batch join+aggregate."""
+    from kamiyo_hive_spark.catalog import table as batch_table
+
+    stream = _events_stream(spark, sf_dir)
+    dim = batch_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 0, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    _run_to_completion(agg, "stream_dim_enrich_out", "complete")
+    return spark.table("stream_dim_enrich_out").orderBy("tier", "event_type")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND v.event_type = 'view'
+     AND v.ts <= p.ts
+     AND v.ts > p.ts - INTERVAL 30 MINUTE
+    WHERE p.user_id < 40
+    ORDER BY p.user_id, purchase_id, view_id
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join", "J8", "ST2"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's views in the preceding 30 minutes, both sides watermarked so
+    the view-side buffer state is bounded by the interval + watermark,
+    never stream length — the attribution-join shape at 100 TB.
+    Append-mode pairs; the join condition's time bounds tell the state
+    store exactly when a buffered view can never match again and is
+    evicted."""
+    stream = _events_stream(spark, sf_dir).filter(F.col("user_id") < 40)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "10 minutes")
+    )
+    pairs = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user_id", "purchase_id", "view_id")
+    _run_to_completion(pairs, "stream_interval_join_out", "append")
+    return spark.table("stream_interval_join_out").orderBy(
+        "user_id", "purchase_id", "view_id"
     )
