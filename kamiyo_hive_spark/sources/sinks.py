@@ -163,3 +163,48 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "dpp_star_prune",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE year(o_orderdate) >= 2000
+    GROUP BY 1
+    ORDER BY o_year
+    """,
+    tags=("S3", "dynamic-partition-pruning", "star-join", "partition-pruning"),
+)
+def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a star join: the fact written
+    year-partitioned, joined to a generated calendar dimension whose
+    filter (recent years) is only known at runtime — Catalyst inserts a
+    dynamicpruning subquery so the fact scan reads ONLY the matching
+    year directories. At 100 TB with date partitioning this is the
+    difference between scanning 7 years and scanning 2; the plan
+    assertion lives in tests/test_bucketing.py."""
+    out = os.path.join(SCRATCH, "orders_by_year")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        base = table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    calendar = spark.range(1990, 2010).select(
+        F.col("id").cast("int").alias("cal_year"),
+        (F.col("id") >= 2000).alias("is_recent"),
+    )
+    dim = calendar.filter(F.col("is_recent"))
+    return (
+        fact.join(F.broadcast(dim), fact.o_year == dim.cal_year)
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_year")
+    )

@@ -66,3 +66,13 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .collect()
     }
     assert bucketed == plain
+
+
+def test_dpp_star_prune_plan_has_dynamic_pruning(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning partition filter —
+    i.e. only the dimension-selected year directories are read."""
+    from kamiyo_hive_spark.sources.sinks import dpp_star_prune
+
+    df = dpp_star_prune(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
