@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.functions.money import dec, money_sum
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -116,3 +117,39 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderstatus, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT o_orderstatus,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price
+        FROM orders
+        GROUP BY 1
+    )
+    UNPIVOT (val FOR metric IN (n_orders, total_price, max_price))
+    ORDER BY o_orderstatus, metric
+    """,
+    tags=("unpivot", "melt", "A8-pivot"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt): one aggregated row per status
+    exploded into (metric, value) rows via the native unpivot operator
+    — the inverse of `pivot_token_status`. Generator expansion, no
+    shuffle beyond the aggregation."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        money_sum(dec("o_totalprice")).alias("total_price"),
+        F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "val",
+    ).orderBy("o_orderstatus", "metric")

@@ -259,3 +259,47 @@ def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "trailing_range_frame",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_7d,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_7d
+    FROM events
+    WHERE user_id < 10
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("time-series", "range-frame", "W-frame", "A9"),
+)
+def trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day RANGE window frame — value-based bounds (every
+    row within 604800 s), not row counts, so dense and sparse users get
+    the same time horizon. One shuffle on user_id; frame evaluation is
+    a sliding two-pointer over the partition sort, linear work."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .over(w)
+            .cast("double")
+            .alias("value_7d"),
+            F.count("*").over(w).alias("n_7d"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
