@@ -187,7 +187,7 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     year directories. At 100 TB with date partitioning this is the
     difference between scanning 7 years and scanning 2; the plan
     assertion lives in tests/test_bucketing.py."""
-    out = os.path.join(SCRATCH, "orders_by_year")
+    out = os.path.join(SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         base = table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
