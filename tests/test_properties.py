@@ -101,3 +101,105 @@ def test_money_sum_is_exact_and_partition_invariant(spark_prop, amounts):
         df = spark_prop.createDataFrame(rows, "i long, v double").repartition(n_parts)
         got = df.agg(F.sum(dec("v")).cast("double").alias("s")).collect()[0].s
         assert got == expected, (n_parts, got, expected)
+
+
+# -- connected components: distributed hash-to-min labels must equal a
+#    pure-Python union-find on arbitrary graphs --
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(2, 25).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                max_size=40,
+            ),
+        )
+    )
+)
+def test_connected_components_matches_union_find(spark_prop, graph):
+    import pyspark.sql.functions as F
+
+    from kamiyo_hive_spark.operators.dedup import connected_components
+
+    n, edge_list = graph
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n)}
+    # min-id labeling: canonical root of each set is its min member
+    mins = {}
+    for x in range(n):
+        r = find(x)
+        mins[r] = min(mins.get(r, x), x)
+    expected = {x: mins[find(x)] for x in range(n)}
+
+    vertices = spark_prop.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark_prop.createDataFrame(
+        edge_list or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == expected
+
+
+# -- as-of join: must agree with a pure-Python per-key scan for
+#    arbitrary event interleavings (incl. same-instant ties) --
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 50),         # left ts
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),          # key
+            st.integers(0, 50),         # right ts
+            st.integers(100, 999),      # payload
+        ),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # one quote per (key, instant)
+    ),
+)
+def test_asof_join_matches_python(spark_prop, lefts, rights):
+    from kamiyo_hive_spark.operators.asof import asof_join
+
+    def py_asof(k, ts):
+        best = None
+        for rk, rts, payload in rights:
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, payload)
+        return best[1] if best else None
+
+    left = spark_prop.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)], "k long, lts long, rowid long"
+    )
+    right = spark_prop.createDataFrame(
+        rights or [(99, 0, 0)], "k long, rts long, payload long"
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts", right_payload=["payload"]
+    )
+    got = {r.rowid: r.asof_payload for r in out.collect()}
+    for i, (k, ts) in enumerate(lefts):
+        assert got[i] == py_asof(k, ts), (k, ts, got[i])
