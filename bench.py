@@ -64,6 +64,19 @@ def main() -> None:
     # Best-of-N reps per query: single-shot numbers on a shared 32-thread
     # JVM carry ±30% JIT/GC jitter; the minimum is the steady-state
     # latency (same convention as timeit).
+    #
+    # Cache hygiene between queries: builders that persist() multi-
+    # consumer intermediates leave those blocks cached after the action
+    # (the DataFrame handle is gone, so nothing ever frees them). Over a
+    # 100+ query session the orphaned blocks squeeze unified memory and
+    # degrade later queries. Unpersist whatever each query added,
+    # keeping the warm-up's blocks (the amortized IVF index) alive —
+    # the per-pipeline materialize-then-free discipline of a real
+    # deployment.
+    def persistent_rdds():
+        return dict(spark.sparkContext._jsc.getPersistentRDDs())
+
+    keep = set(persistent_rdds())
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(registry):
@@ -76,6 +89,9 @@ def main() -> None:
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        for rdd_id, jrdd in persistent_rdds().items():
+            if rdd_id not in keep:
+                jrdd.unpersist(False)
 
     out = {
         "metric": "sec total over declared-query manifest (noop sink, local)",
