@@ -87,6 +87,7 @@ def load_registry() -> dict[str, QuerySpec]:
             stateful,
             text,
             timeseries,
+            tpch_extra,
             windows,
         )
         from kamiyo_hive_spark import warehouse  # noqa: F401
