@@ -1,0 +1,265 @@
+"""Corpus-curation operators for LLM training pipelines.
+
+Driver-mandated extension (SURVEY §7.2 phase 5) beyond the basic text
+stats: the three curation passes every large pretraining pipeline runs
+between raw crawl and tokenizer —
+
+- repetition-based quality filters (the Gopher/MassiveText family:
+  top-n-gram fraction, duplicate-n-gram fraction) that catch boilerplate
+  and degenerate generations plain length/stopword scores miss;
+- PII redaction (regex-family scrub for emails/phones) with per-doc hit
+  accounting;
+- benchmark decontamination: drop training docs sharing too many
+  n-grams with an evaluation set, the standard n-gram-overlap
+  formulation.
+
+All three are built-in `pyspark.sql.functions` (JVM-side, whole-stage
+codegen) — no Python in the hot path.
+
+Scale posture (100 TB corpus): repetition stats are one explode + one
+(doc_id, gram) pre-aggregation + one doc_id aggregation — partial
+aggregation absorbs the gram skew of repetitive docs before the
+shuffle. The benchmark gram set is eval-suite-sized (≪ corpus), so
+decontamination is a broadcast semi-structure: corpus grams never
+shuffle, they stream past the broadcast set. PII scrub is a pure map —
+zero shuffles, fuses into whatever scan precedes it.
+
+Reference parity: the reference's only text analytics is the
+token-overlap quality oracle (`packages/hive-sdk/src/oracle.ts:146-175`);
+these extend the same explode/aggregate machinery to the corpus-prep
+surface the driver mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.plans.registry import register
+
+
+def _tokens() -> F.Column:
+    # Same tokenization contract as operators/text.py.
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _grams(tokens: F.Column, n: int) -> F.Column:
+    """Word n-grams as an array column, JVM-side (no UDF): slide by
+    zipping the token array against its shifted selves."""
+    if n == 2:
+        shifted = F.slice(tokens, 2, F.greatest(F.size(tokens) - 1, F.lit(0)))
+        pairs = F.zip_with(tokens, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # so the tail element degrades to a 1-gram — drop by word count.
+        return F.filter(pairs, lambda g: F.size(F.split(g, " ")) == 2)
+    if n == 3:
+        s1 = F.slice(tokens, 2, F.greatest(F.size(tokens) - 1, F.lit(0)))
+        s2 = F.slice(tokens, 3, F.greatest(F.size(tokens) - 2, F.lit(0)))
+        pairs = F.zip_with(tokens, s1, lambda a, b: F.concat_ws(" ", a, b))
+        triples = F.zip_with(pairs, s2, lambda p, c: F.concat_ws(" ", p, c))
+        return F.filter(triples, lambda g: F.size(F.split(g, " ")) == 3)
+    raise ValueError(f"unsupported n={n}")
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ),
+    g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks
+    ),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (
+        SELECT doc_id,
+               CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_2gram_frac
+        FROM c2 GROUP BY 1
+    ),
+    s3 AS (
+        SELECT doc_id,
+               1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS dup_3gram_frac
+        FROM g3 GROUP BY 1
+    )
+    SELECT k.doc_id, len(k.t) AS n_tokens, s2.top_2gram_frac, s3.dup_3gram_frac
+    FROM toks k
+    JOIN s2 ON s2.doc_id = k.doc_id
+    JOIN s3 ON s3.doc_id = k.doc_id
+    ORDER BY k.doc_id
+    """,
+    tags=("corpus", "quality", "repetition", "gopher-filters"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality stats per document (the Gopher filter
+    family): fraction of 2-gram mass held by the most frequent 2-gram,
+    and fraction of 3-gram occurrences that are repeats. Degenerate /
+    boilerplate docs score high on both; a curation pass filters on
+    thresholds (e.g. top_2gram_frac > 0.20). One explode per gram
+    order, pre-aggregated per (doc, gram) before the per-doc rollup —
+    the partial aggregate absorbs repetitive-doc skew map-side."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    g2 = d.select("doc_id", F.explode(_grams(F.col("t"), 2)).alias("g"))
+    g3 = d.select("doc_id", F.explode(_grams(F.col("t"), 3)).alias("g"))
+    s2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_2gram_frac"
+            )
+        )
+    )
+    s3 = g3.groupBy("doc_id").agg(
+        (
+            F.lit(1.0)
+            - F.count_distinct(F.col("g")).cast("double") / F.count("*").cast("double")
+        ).alias("dup_3gram_frac")
+    )
+    return (
+        d.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(s2, "doc_id")
+        .join(s3, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle="""
+    WITH staged AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or call 555-0142 today' AS raw
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+                   AS n_emails,
+               len(regexp_extract_all(raw, '\\d{3}-\\d{4}')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   '\\d{3}-\\d{4}', '<PHONE>', 'g') AS clean
+        FROM staged
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(clean) AS clean_hash
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "pii", "redaction"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and replace email / phone patterns,
+    emitting per-doc hit counts and a hash of the scrubbed text (the
+    hash is the parity check — both engines must produce byte-identical
+    redacted output). The synthetic corpus contains no organic PII, so
+    the query stages deterministic PII into each doc first — the scrub
+    itself is the operator under test. Pure map, zero shuffles; the
+    regex family is RE2/Java-compatible (char classes + bounded
+    quantifiers only)."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-0142 today"),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\d{3}-\d{4}"
+    staged = d.select("doc_id", raw.alias("raw"))
+    return (
+        staged.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("raw", F.lit(email), F.lit(0))).cast("long").alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("raw", F.lit(phone), F.lit(0))).cast("long").alias(
+                "n_phones"
+            ),
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace("raw", email, "<EMAIL>"), phone, "<PHONE>"
+                )
+            ).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "benchmark_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    g3 AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM toks
+    ),
+    bench_grams AS (
+        SELECT DISTINCT g FROM g3 WHERE doc_id % 97 = 0
+    ),
+    overlap AS (
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM g3 c JOIN bench_grams b ON c.g = b.g
+        WHERE c.doc_id % 97 <> 0
+        GROUP BY 1
+    )
+    SELECT k.doc_id,
+           coalesce(o.n_shared, 0) AS n_shared,
+           coalesce(o.n_shared, 0) >= 5 AS contaminated
+    FROM (SELECT doc_id FROM toks WHERE doc_id % 97 <> 0) k
+    LEFT JOIN overlap o ON o.doc_id = k.doc_id
+    ORDER BY k.doc_id
+    """,
+    tags=("corpus", "decontamination", "ngram-overlap"),
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 5
+    distinct word-3-grams with a held-out benchmark set (docs with
+    doc_id % 97 == 0 stand in for the eval suite). The benchmark gram
+    set is eval-sized, so it broadcasts; corpus grams stream past it
+    without shuffling — at 100 TB this is the only formulation that
+    works (the corpus side never materializes a join shuffle). Grams
+    are deduped per doc BEFORE the join so a repetitive doc can't
+    inflate its own overlap count."""
+    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    g3 = d.select(
+        "doc_id", F.explode(F.array_distinct(_grams(F.col("t"), 3))).alias("g")
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_grams = g3.filter(is_bench).select("g").distinct()
+    overlap = (
+        g3.filter(~is_bench)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    corpus = d.filter(~is_bench).select("doc_id")
+    return (
+        corpus.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= 5).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

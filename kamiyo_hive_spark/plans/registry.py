@@ -72,6 +72,7 @@ def load_registry() -> dict[str, QuerySpec]:
             aggregates,
             analytics,
             asof,
+            corpus,
             dedup,
             joins,
             llm_pipeline,
