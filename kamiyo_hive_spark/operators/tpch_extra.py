@@ -323,16 +323,17 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose ASIA-supplied shipment value
     exceeds 2x the average per-part value — a HAVING clause compared
     against a scalar aggregate of the same derived relation. The
-    per-part aggregate is computed once, cached by the plan's reused
-    exchange, and the grand total broadcasts as a single row: two
-    aggregations, one fact shuffle."""
+    per-part aggregate is materialized once (explicitly persisted —
+    Catalyst does not recognize the two consumers as a reusable
+    exchange across the broadcast-scalar boundary) and the grand total
+    broadcasts as a single row: one fact scan, one fact shuffle."""
     li = table(spark, sf_dir, "lineitem")
     s = _suppliers_in_region(spark, sf_dir, "ASIA").select("s_suppkey")
     per_part = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
-    )
+    ).persist()
     total = per_part.agg(
         (F.sum("value_dec").cast("double") / F.count("*")).alias("avg_value")
     )
