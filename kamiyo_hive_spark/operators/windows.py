@@ -233,3 +233,60 @@ def moving_average_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias("avg_7"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_7"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "segment_percentile_profile",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               percent_rank() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal) AS pr,
+               cume_dist() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal) AS cd
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(SUM(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top_decile,
+           min(CASE WHEN pr >= 0.9 THEN c_acctbal END) AS top_decile_min_bal,
+           max(CASE WHEN cd <= 0.25 THEN c_acctbal END) AS bottom_quartile_max_bal
+    FROM ranked
+    GROUP BY 1
+    ORDER BY c_mktsegment
+    """,
+    tags=("W-rank", "percent_rank", "cume_dist"),
+)
+def segment_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank profile per segment: percent_rank / cume_dist over
+    account balance, rolled up to decile/quartile boundary stats. The
+    rank ratios are integer-derived ((rank-1)/(n-1), peers share rank),
+    so the doubles are engine-identical without rounding. One exchange
+    on the segment key serves both window functions and the rollup."""
+    from kamiyo_hive_spark.catalog import table as t
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(F.when(F.col("pr") >= 0.9, 1).otherwise(0))
+            .cast("long")
+            .alias("n_top_decile"),
+            F.min(F.when(F.col("pr") >= 0.9, F.col("c_acctbal"))).alias(
+                "top_decile_min_bal"
+            ),
+            F.max(F.when(F.col("cd") <= 0.25, F.col("c_acctbal"))).alias(
+                "bottom_quartile_max_bal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

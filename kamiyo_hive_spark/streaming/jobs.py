@@ -48,14 +48,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_completion(result: DataFrame, name: str, mode: str) -> None:
+def _run_to_completion(
+    result: DataFrame, name: str, mode: str, partitions: int = 4
+) -> None:
     # The state store creates one instance per shuffle partition for the
     # life of the query; a host session left at the 200 default burns
     # ~200 empty state tasks per micro-batch. Pin a right-sized value
-    # for this bounded query, restore the host setting after.
+    # for this bounded query, restore the host setting after. The right
+    # value splits by where the work runs: JVM state stores are
+    # commit-overhead-bound at these key counts (4 measured ~20% faster
+    # than 8 at sf0.1), while Python-stateful operators
+    # (applyInPandasWithState / TWS) are per-key CPU-bound in the Python
+    # workers and WANT parallelism (16 measured fastest: 5.4s vs 6.5s@8
+    # vs 11.6s@4) — those call sites override `partitions`.
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = (
             result.writeStream.outputMode(mode)
@@ -393,7 +401,7 @@ def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
-    _run_to_completion(sessions, "stream_cr_out", "update")
+    _run_to_completion(sessions, "stream_cr_out", "update", partitions=16)
 
     from pyspark.sql import Window
 
@@ -561,7 +569,7 @@ def streaming_commit_reveal_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        _run_to_completion(sessions, "stream_cr_tws_out", "update")
+        _run_to_completion(sessions, "stream_cr_tws_out", "update", partitions=16)
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
 
