@@ -402,7 +402,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, *, max_iter: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id): min-id label propagation over an undirected edge
     set — each vertex converges to the smallest vertex id reachable from
@@ -417,7 +421,22 @@ def connected_components(
     large-star/small-star is the drop-in upgrade if diameters grow.
 
     `vertices`: one column `id`. `edges`: columns `src`, `dst`.
+    `shuffle_partitions` pins the loop's exchange width when the caller
+    knows the component graph is small (each round is several tiny jobs;
+    per-task overhead dominates below ~1M edges) — None keeps the
+    session setting for warehouse-scale graphs.
     """
+    spark = vertices.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _cc_loop(vertices, edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
     sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_iter):
@@ -529,7 +548,11 @@ def dup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.02)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     ).persist()
-    comp = connected_components(d.select(F.col("doc_id").alias("id")), pairs)
+    # The oracle-bounded slice is ~100 vertices: pin the loop's exchange
+    # width so each round is a handful of tasks, not a session-wide fan.
+    comp = connected_components(
+        d.select(F.col("doc_id").alias("id")), pairs, shuffle_partitions=4
+    )
     # comp is checkpointed by the CC loop; upstream caches can go.
     pairs.unpersist()
     csize = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
