@@ -568,3 +568,60 @@ def dup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv.unpersist()
     return out
+
+
+@register(
+    "fuzzy_dedup_names",
+    oracle="""
+    WITH cnt AS (
+        SELECT p_name, count(*) AS n_parts FROM part GROUP BY 1
+    ),
+    tok AS (
+        SELECT p_name, n_parts, split_part(p_name, ' ', 1) AS block FROM cnt
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM tok a JOIN tok b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    tags=("dedup", "fuzzy", "levenshtein"),
+)
+def fuzzy_dedup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: edit-distance near-duplicate pairs over
+    the distinct part-name catalog (entity resolution's classic shape).
+
+    Scale posture: Levenshtein is O(len²) per pair, so the all-pairs
+    form is never run — candidate pairs come from an equi-join on a
+    cheap blocking key (first token here; length-band + phonetic key
+    are drop-in additional blocks), so cost is Σ block², not N².
+    Comparing DISTINCT names (catalog-sized) rather than rows also
+    caps the join input: row multiplicity comes back as an integer
+    count join afterwards. At 100 TB the name catalog is still
+    dimension-sized; the only fact-scale pass is the count aggregate.
+    """
+    p = table(spark, sf_dir, "part")
+    cnt = p.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    tok = cnt.select(
+        "p_name", "n_parts", F.substring_index("p_name", " ", 1).alias("block")
+    )
+    a = tok.alias("a")
+    b = tok.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .orderBy("name_a", "name_b")
+    )

@@ -136,3 +136,99 @@ def approx_distinct_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 2000).alias("price_quantiles"),
         F.count("*").alias("n_orders"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "pagerank_fixed_point",
+    oracle="""
+    WITH base_edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'C' || CAST(c AS VARCHAR) AS src, 'S' || CAST(s AS VARCHAR) AS dst
+      FROM base_edges
+      UNION ALL
+      SELECT 'S' || CAST(s AS VARCHAR) AS src, 'C' || CAST(c AS VARCHAR) AS dst
+      FROM base_edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+    p AS (SELECT CAST(1000000000000 AS BIGINT) // count(*) AS base FROM nodes),
+    r0 AS (SELECT id, (SELECT base FROM p) AS rnk FROM nodes),
+    c1 AS (SELECT e.dst AS id, CAST(SUM(r.rnk // d.outdeg) AS BIGINT) AS m
+           FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY 1),
+    r1 AS (SELECT n.id, (15 * (SELECT base FROM p) + 85 * COALESCE(c1.m, 0)) // 100 AS rnk
+           FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+    c2 AS (SELECT e.dst AS id, CAST(SUM(r.rnk // d.outdeg) AS BIGINT) AS m
+           FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY 1),
+    r2 AS (SELECT n.id, (15 * (SELECT base FROM p) + 85 * COALESCE(c2.m, 0)) // 100 AS rnk
+           FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+    c3 AS (SELECT e.dst AS id, CAST(SUM(r.rnk // d.outdeg) AS BIGINT) AS m
+           FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY 1),
+    r3 AS (SELECT n.id, (15 * (SELECT base FROM p) + 85 * COALESCE(c3.m, 0)) // 100 AS rnk
+           FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+    SELECT id AS node_id, CAST(rnk AS BIGINT) AS rank_micro
+    FROM r3 ORDER BY rank_micro DESC, node_id LIMIT 100
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-propagation ranking: 3 unrolled PageRank rounds (d=0.85)
+    over the symmetric customer↔supplier graph, in FIXED-POINT integer
+    arithmetic (total mass 10^12 micro-units, `div` everywhere).
+
+    Fixed-point is the production trick, not a test convenience: float
+    PageRank is order-of-summation dependent, so re-running the same
+    job on a different partition layout (or a different engine) drifts
+    in the low bits — integer mass is exactly reproducible anywhere,
+    which is what makes this oracle-hashable at all.
+
+    Scale posture: each round is ONE shuffle (contributions grouped by
+    dst); `edges` and `deg` are persisted across rounds so the
+    edge-build join runs once; rank/deg tables are node-sized (entity
+    cardinality, not event cardinality) and AQE broadcasts them against
+    the edge list when they fit. Rounds are a fixed constant — the
+    standard bounded-iteration posture for analytics ranking (full
+    convergence is GraphFrames/Pregel territory).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    base_edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cid = F.concat(F.lit("C"), F.col("c").cast("string"))
+    sid = F.concat(F.lit("S"), F.col("s").cast("string"))
+    edges = (
+        base_edges.select(cid.alias("src"), sid.alias("dst"))
+        .unionAll(base_edges.select(sid.alias("src"), cid.alias("dst")))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg")).persist()
+    n_nodes = nodes.count()
+    base = 10**12 // n_nodes
+
+    ranks = nodes.select("id", F.lit(base).cast("long").alias("rnk"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), F.expr("rnk div outdeg").alias("part_m"))
+            .groupBy("id")
+            .agg(F.sum("part_m").alias("m"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            F.expr(f"(15 * {base}L + 85 * coalesce(m, 0L)) div 100").alias("rnk"),
+        )
+    return (
+        ranks.select(F.col("id").alias("node_id"), F.col("rnk").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "node_id")
+        .limit(100)
+    )

@@ -118,3 +118,16 @@ def test_dup_clusters_canonical_invariants(spark, sf_dir):
         assert len(canon) == 1, cid
         assert canon[0].doc_id == min(m.doc_id for m in members) == cid
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_fuzzy_dedup_names_invariants(spark, sf_dir):
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    rows = load_registry()["fuzzy_dedup_names"].builder(spark, sf_dir).collect()
+    assert rows, "fuzzy pair set must be non-vacuous"
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 1 <= r.edit_dist <= 3
+        # blocked on first token: candidates must share it
+        assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]
+        assert r.n_parts_a >= 1 and r.n_parts_b >= 1
