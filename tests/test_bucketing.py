@@ -76,3 +76,52 @@ def test_dpp_star_prune_plan_has_dynamic_pruning(spark, sf_dir):
     df = dpp_star_prune(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """The 100 TB fact-fact path: when neither join side broadcasts,
+    Spark injects a runtime bloom filter built from the selective side
+    into the big side's scan (semi-join reduction). Defaults gate it on
+    a >=10GB application-side scan — correctly OFF at test SF — so the
+    thresholds are scaled down here to prove the same declarative join
+    compiles to the reduced form at fact scale. No operator code
+    changes: the engine keeps joins declarative and lets the optimizer
+    inject the filter."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+
+    scaled = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in scaled}
+    for k, v in scaled.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # and the reduced plan still computes the right answer
+        expected = (
+            li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
