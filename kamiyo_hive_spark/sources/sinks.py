@@ -208,3 +208,74 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> str:
+    """Stage the customer table as REST-page-shaped JSONL: one line per
+    page, `{"page": N, "data": [ {customer record}, ... ]}` — the wire
+    shape of the reference's paginated list endpoints. Staged once per
+    sf_dir (deterministic payloads: pages keyed by custkey range, array
+    sorted by key)."""
+    out = f"{SCRATCH}/rest_pages_{os.path.basename(sf_dir)}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    c = table(spark, sf_dir, "customer")
+    rec = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    pages = (
+        c.withColumn("page", F.expr(f"c_custkey div {page_size}"))
+        .groupBy("page")
+        .agg(F.sort_array(F.collect_list(rec)).alias("data"))
+        .select(F.to_json(F.struct("page", "data")).alias("value"))
+    )
+    pages.write.mode("overwrite").text(out)
+    return out
+
+
+@register(
+    "rest_ingest_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_acctbal,
+           CAST(MIN(c_custkey) AS BIGINT) AS first_custkey
+    FROM customer
+    GROUP BY 1
+    ORDER BY c_mktsegment
+    """,
+    tags=("S4", "S5", "ingest", "json"),
+)
+def rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 made concrete: a paginated REST/GraphQL source is ingested
+    as JSON-lines pages (the reference's `lib/hive-api.ts:145-215`,
+    `lib/indexer.ts:45-62`, `packages/hive-sdk/src/discovery.ts:99-110`
+    wire shape), then read schema-on-read with a DECLARED StructType —
+    no inference job — flattened (`explode` of the page's `data` array)
+    and aggregated. The oracle computes from the original table, so the
+    hash proves the JSON roundtrip is lossless (doubles survive via
+    shortest-roundtrip repr; longs exactly).
+
+    Scale posture: each JSONL line is one page (bounded array), so the
+    JSON parse is row-local and pipelined inside whole-stage codegen;
+    the explode is a 1→page_size fan-out with no shuffle; the only
+    exchange is the final group-by. Ingest at 100 TB is this exact plan
+    with more files."""
+    src = _rest_pages_dir(spark, sf_dir)
+    schema = (
+        "page long, data array<struct<c_custkey:bigint,c_name:string,"
+        "c_nationkey:int,c_acctbal:double,c_mktsegment:string>>"
+    )
+    flat = (
+        spark.read.schema(schema)
+        .json(src)
+        .select(F.explode("data").alias("r"))
+        .select("r.*")
+    )
+    return (
+        flat.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money_sum(dec("c_acctbal")).alias("total_acctbal"),
+            F.min("c_custkey").alias("first_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
