@@ -279,3 +279,72 @@ def rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as byte-packed account rows: 24-byte big-endian
+    layout [orderkey u64 | custkey u64 | totalprice_cents u64] — the
+    reference's fixed-offset on-chain account encoding. Packing is pure
+    JVM expression work (hex/lpad/unhex), staged once per sf_dir."""
+    out = f"{SCRATCH}/packed_accounts_{os.path.basename(sf_dir)}"
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    o = table(spark, sf_dir, "orders")
+
+    def be64(col: F.Column) -> F.Column:
+        return F.unhex(F.lpad(F.hex(col), 16, "0"))
+
+    cents = F.round(dec("o_totalprice") * 100).cast("long")
+    packed = o.select(
+        F.concat(be64(F.col("o_orderkey")), be64(F.col("o_custkey")), be64(cents)).alias(
+            "raw"
+        )
+    )
+    packed.write.mode("overwrite").parquet(out)
+    return out
+
+
+@register(
+    "account_scan_decode",
+    oracle="""
+    SELECT o_custkey // 100 AS cust_bucket,
+           count(*) AS n_accounts,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1
+    ORDER BY cust_bucket
+    """,
+    tags=("S6", "ingest", "binary"),
+)
+def account_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 made concrete: a full scan over byte-packed account rows
+    (`programs/kamiyo-fast-voting/src/lib.rs:194-227` fixed layouts;
+    manual offset decode `lib/governance.ts:113-187`), decoded with
+    fixed-offset slices ENTIRELY JVM-side (substring → hex → conv —
+    no Python in the row path) and aggregated. The oracle computes from
+    the original typed table, so the hash proves pack→decode is
+    lossless, including the fixed-point cents encoding.
+
+    Scale posture: decode is a zero-shuffle projection fused into
+    whole-stage codegen over the scan; the only exchange is the final
+    group-by. This is the ingest-time posture SURVEY §2.1 assigns to
+    account stores — decode once at the edge, columnar after."""
+    src = _packed_accounts_dir(spark, sf_dir)
+
+    def u64_at(pos: int) -> F.Column:
+        return F.conv(F.hex(F.substring(F.col("raw"), pos, 8)), 16, 10).cast("long")
+
+    acct = spark.read.parquet(src).select(
+        u64_at(1).alias("orderkey"),
+        u64_at(9).alias("custkey"),
+        u64_at(17).alias("cents"),
+    )
+    return (
+        acct.groupBy(F.expr("custkey div 100").alias("cust_bucket"))
+        .agg(
+            F.count("*").alias("n_accounts"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("cust_bucket")
+    )
