@@ -263,3 +263,54 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_cap_curation",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM ranked
+    GROUP BY 1
+    ORDER BY source
+    """,
+    tags=("curation", "per-source-cap"),
+)
+def source_cap_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the RefinedWeb/C4 anti-domination pass):
+    keep at most K docs per source, preferring the longest (a quality
+    proxy; any scoring column drops in), with doc_id as the
+    deterministic tiebreak. Output is the per-source curation ledger —
+    kept/dropped counts and surviving char mass.
+
+    Scale posture: ONE exchange — the window partitions by source, and
+    the summary group-by reuses that exact partitioning (Catalyst elides
+    the second shuffle). Hot sources (crawl domination is exactly the
+    skew case) stream through a bounded rank: row_number needs no
+    per-group buffering beyond sort runs, and the cap drops the tail
+    before anything else consumes it."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    kept = F.col("rn") <= 10
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
