@@ -122,10 +122,12 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-# events.ts is written as Parquet TIMESTAMP(NANOS), which Spark cannot
-# read as TimestampType (µs). We read it as a raw long (legacy conf) and
-# convert ns → µs in the reader. The generator emits µs-aligned values,
-# so this is lossless and matches DuckDB's view of the column.
+# events.ts has been written two ways across testdata generations:
+# Parquet TIMESTAMP(NANOS) — which Spark cannot read as TimestampType
+# (µs) and needs the nanosAsLong legacy read + ns→µs convert — and
+# plain TIMESTAMP(MICROS), which reads natively. Sniff the physical
+# type from the parquet footer (one metadata read, cached per path) so
+# either generation is read losslessly and identically to DuckDB.
 _EVENTS_READ_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -137,6 +139,17 @@ _EVENTS_READ_SCHEMA = T.StructType(
     ]
 )
 
+_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    if path not in _EVENTS_TS_IS_NANOS:
+        import pyarrow.parquet as pq
+
+        ts_type = pq.read_schema(path).field("ts").type
+        _EVENTS_TS_IS_NANOS[path] = getattr(ts_type, "unit", None) == "ns"
+    return _EVENTS_TS_IS_NANOS[path]
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table with its declared schema enforced."""
@@ -147,7 +160,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session left on a local timezone would silently shift values.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

@@ -70,14 +70,23 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
 
 def feature_extract(assets: DataFrame, use_real_decode: bool = False) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads.
+
+    The decode kernel is bound through a LOCAL variable (None on the
+    stub path): executor Python workers unpickle the closure by value,
+    and a module-global reference would make cloudpickle serialize it
+    by reference — forcing every worker to import `kamiyo_hive_spark`,
+    which only exists on the driver's sys.path under the external
+    harness. Worker-side closures must stay self-contained.
+    """
+    decode_fn = decode_image_batch if use_real_decode else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if use_real_decode:
-                feats = decode_image_batch(pdf["payload"])  # NotImplementedError
+            if decode_fn is not None:
+                feats = decode_fn(pdf["payload"])  # NotImplementedError
             payload = pdf["payload"]
             n = payload.map(len).astype("int64")
             yield pd.DataFrame(

@@ -369,3 +369,96 @@ def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "label", "cosine_sim")
         .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               greatest(list_max(list_transform(e, x -> abs(x))) / 127.0, 1e-30) AS scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, e, scale,
+               list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS q
+        FROM s
+    ),
+    d AS (
+        SELECT vec_id, e, scale, q,
+               list_transform(q, v -> v * scale) AS deq
+        FROM q
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max,
+           round(list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - deq[i]))), 9)
+               AS max_abs_err,
+           round(
+               list_reduce(list_prepend(0.0, list_transform(range(1, len(e) + 1),
+                   i -> e[i] * deq[i])), (a, x) -> a + x)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                       (a, x) -> a + x))
+                  * sqrt(list_reduce(list_prepend(0.0, list_transform(deq, x -> x * x)),
+                         (a, x) -> a + x))),
+               9) AS cos_fidelity
+    FROM d
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "quantization", "training-pipeline"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus — the memory
+    path every large ANN deployment takes (4× smaller vectors, SIMD int8
+    dot products). Per vector: ``scale = max|x|/127``,
+    ``q_i = clamp(floor(x_i/scale + 0.5), ±127)``, plus the two numbers
+    an index builder actually monitors: max absolute dequantization
+    error and cosine fidelity between the original and dequantized
+    vector.
+
+    Pure per-row map over the corpus (no shuffle, no UDF — all
+    higher-order JVM expressions), so at 100 TB it parallelizes
+    perfectly and pipelines into the parquet write of the quantized
+    index. ``floor(x + 0.5)`` is used instead of ``round`` so Spark and
+    DuckDB share one deterministic rounding convention; folds are
+    left-to-right in both engines for bit-identical doubles."""
+    M = 1e-30
+    e_arr = F.col("embedding").cast("array<double>")
+    base = table(spark, sf_dir, "embeddings").select("vec_id", e_arr.alias("e"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))) / 127.0, F.lit(M)
+    )
+    with_scale = base.select("vec_id", "e", scale.alias("scale"))
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / F.col("scale") + 0.5))
+        ),
+    )
+    with_q = with_scale.select("vec_id", "e", "scale", q.alias("q"))
+    deq = F.transform(F.col("q"), lambda v: v * F.col("scale"))
+    with_deq = with_q.select("vec_id", "e", "scale", "q", deq.alias("deq"))
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("deq"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norm_e = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    norm_d = F.sqrt(F.aggregate(F.col("deq"), F.lit(0.0), lambda a, x: a + x * x))
+    return with_deq.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.aggregate(F.col("q"), F.lit(0.0), lambda a, x: a + x).cast("long").alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.round(
+            F.array_max(F.zip_with(F.col("e"), F.col("deq"), lambda x, y: F.abs(x - y))), 9
+        ).alias("max_abs_err"),
+        F.round(dot / (norm_e * norm_d), 9).alias("cos_fidelity"),
+    ).orderBy("vec_id")

@@ -444,3 +444,109 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     ).orderBy("doc_id", "chunk_start")
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_reduce(
+                   list_prepend(0::BIGINT, list_transform(toks,
+                       x -> CAST(concat('0x', substr(md5(x || ':rh'), 1, 7)) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_hash,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(range(1, len(toks) - 1),
+                       i -> CAST(concat('0x', substr(md5(
+                            array_to_string(list_slice(toks, i, i + 2), ' ') || ':g'), 1, 7)) AS BIGINT))
+               ELSE [] END AS grams
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, n_tokens, rolling_hash,
+               CASE WHEN len(grams) >= 4 THEN
+                   list_distinct(list_transform(range(1, len(grams) - 2),
+                       j -> list_min(list_slice(grams, j, j + 3))))
+               ELSE list_distinct(grams) END AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           rolling_hash,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS fp_min,
+           COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS fp_sum
+    FROM f
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "rolling-hash", "winnowing", "training-pipeline"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting, two classic forms in one
+    scan:
+
+    1. **Rabin–Karp rolling hash** of the whole token stream —
+       ``h = (h*131 + hash(tok)) mod (2^31-1)`` folded left-to-right
+       with ``F.aggregate`` (JVM-side, whole-stage codegen).
+    2. **Winnowed fingerprints** (Schleimer et al., MOSS): hash every
+       3-token gram, slide a window of 4 gram-hashes, keep each
+       window's minimum — the canonical local-sampling fingerprint set
+       whose guarantee is that any shared run of ≥ 6 tokens between two
+       docs shares ≥ 1 fingerprint.
+
+    Per-row map work only — no shuffle, no UDF; at 100 TB this is
+    embarrassingly parallel over document partitions, and the
+    fingerprint sets feed the same band-bucket join as MinHash-LSH.
+    Token/gram hashes are engine-portable (md5-derived 28-bit ints), so
+    DuckDB computes the identical fingerprints independently."""
+    M = 2147483647
+
+    def h28(col: F.Column) -> F.Column:
+        return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 7), 16, 10).cast("long")
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    rolling = F.aggregate(
+        F.transform(toks, lambda x: h28(F.concat(x, F.lit(":rh")))),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % M,
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: h28(
+                F.concat(F.concat_ws(" ", F.slice(toks, i, 3)), F.lit(":g"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        rolling.alias("rolling_hash"),
+        grams.alias("grams"),
+    )
+    m = F.size("grams")
+    fps = F.array_distinct(
+        F.when(
+            m >= 4,
+            F.transform(
+                F.sequence(F.lit(1), m - 3),
+                lambda j: F.array_min(F.slice(F.col("grams"), j, 4)),
+            ),
+        ).otherwise(F.col("grams"))
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "rolling_hash",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.array_min(fps).alias("fp_min"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    ).orderBy("doc_id")
