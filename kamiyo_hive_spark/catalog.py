@@ -175,6 +175,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
+def parallel_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Read a table and hash-repartition it across the cluster for
+    compute-heavy per-row work (md5/n-gram/array kernels).
+
+    Why: a parquet scan parallelizes by row group, and the small test
+    files have ONE row group — so a map-heavy operator chained onto the
+    scan runs serially no matter how many cores exist. On a production
+    lake the scan has thousands of splits and this repartition moves
+    data that is about to be shuffled anyway (or costs one extra pass
+    of the *input* — MBs per row for text, dwarfed by the per-row
+    compute it parallelizes). The explicit partition count keeps AQE
+    from coalescing the tiny local exchange back to one partition
+    (advisory size is 64 MB; a few MB of text would merge otherwise).
+    """
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+    return table(spark, sf_dir, name).repartition(n, F.col(key))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for the SQL surface."""
     for name in TABLES:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.catalog import parallel_table, table
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -108,7 +108,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (e.g. top_2gram_frac > 0.20). One explode per gram
     order, pre-aggregated per (doc, gram) before the per-doc rollup —
     the partial aggregate absorbs repetitive-doc skew map-side."""
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    d = parallel_table(spark, sf_dir, "documents", "doc_id").select("doc_id", _tokens().alias("t"))
     g2 = d.select("doc_id", F.explode(_grams(F.col("t"), 2)).alias("g"))
     g3 = d.select("doc_id", F.explode(_grams(F.col("t"), 3)).alias("g"))
     s2 = (
@@ -172,7 +172,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is the operator under test. Pure map, zero shuffles; the
     regex family is RE2/Java-compatible (char classes + bounded
     quantifiers only)."""
-    d = table(spark, sf_dir, "documents")
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -241,12 +241,21 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     works (the corpus side never materializes a join shuffle). Grams
     are deduped per doc BEFORE the join so a repetitive doc can't
     inflate its own overlap count."""
-    d = table(spark, sf_dir, "documents").select("doc_id", _tokens().alias("t"))
+    is_bench = F.col("doc_id") % 97 == 0
+    # Two independent lineages on purpose: the benchmark side is
+    # eval-sized, so it reads a plain scan (a broadcast build re-executes
+    # its subtree — keeping it shuffle-free makes that rebuild cheap);
+    # the corpus side carries the heavy gram explode and gets the
+    # parallel repartition.
+    bench_d = table(spark, sf_dir, "documents").filter(is_bench)
+    bench_grams = (
+        bench_d.select(F.explode(F.array_distinct(_grams(_tokens(), 3))).alias("g"))
+        .distinct()
+    )
+    d = parallel_table(spark, sf_dir, "documents", "doc_id").select("doc_id", _tokens().alias("t"))
     g3 = d.select(
         "doc_id", F.explode(F.array_distinct(_grams(F.col("t"), 3))).alias("g")
     )
-    is_bench = F.col("doc_id") % 97 == 0
-    bench_grams = g3.filter(is_bench).select("g").distinct()
     overlap = (
         g3.filter(~is_bench)
         .join(F.broadcast(bench_grams), "g")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.catalog import parallel_table, table
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -304,7 +304,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by (a) the oracle-checked `minhash_algebra_proof` below and
     (b) unit tests planting true near-duplicates (tests/test_dedup.py).
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents", "doc_id")
     # Stage materialization: the signature table feeds both sides of the
     # band self-join — persist it (P longs/doc, tiny). The shingle index
     # is NOT persisted although three consumers recompute it: measured
@@ -390,7 +390,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing on 16-bit quadrants: docs whose hashes differ in <= 3 bits
     share at least one exact quadrant (pigeonhole), so an equi-join on
     (quadrant_idx, quadrant_value) finds them without an N^2 scan."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallel_table(spark, sf_dir, "documents", "doc_id")
     return simhash64(docs).orderBy("doc_id")
 
 

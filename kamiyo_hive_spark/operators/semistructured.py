@@ -214,6 +214,12 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     base = 10**12 // n_nodes
 
+    # NOTE on broadcast hints: rank/deg/contrib are node-sized and look
+    # broadcastable, but hinting them broadcast re-executes each round's
+    # full lineage per broadcast build (no shuffle-stage reuse), which
+    # measured 5x SLOWER at sf0.1. Shuffle joins + AQE's runtime
+    # broadcast promotion keep stage reuse AND pick broadcast when the
+    # runtime sizes justify it.
     ranks = nodes.select("id", F.lit(base).cast("long").alias("rnk"))
     for _ in range(3):
         contrib = (

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.catalog import parallel_table, table
 from kamiyo_hive_spark.plans.registry import register
 
 QUERY_VEC_ID = 0  # the corpus vector used as the similarity query
@@ -430,7 +430,9 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right in both engines for bit-identical doubles."""
     M = 1e-30
     e_arr = F.col("embedding").cast("array<double>")
-    base = table(spark, sf_dir, "embeddings").select("vec_id", e_arr.alias("e"))
+    base = parallel_table(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", e_arr.alias("e")
+    )
     scale = F.greatest(
         F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))) / 127.0, F.lit(M)
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.catalog import parallel_table, table
 from kamiyo_hive_spark.plans.registry import register
 
 # Tokenization contract shared with every oracle: trim, split on runs of
@@ -246,7 +246,7 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     optional leading space) — the cheap token-budget estimator a
     training pipeline runs before the real tokenizer, alongside the
     whitespace count for the tokens-per-word ratio."""
-    d = table(spark, sf_dir, "documents")
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
     n_bpe = F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN))
     n_ws = F.size(_tokens())
     return (
@@ -453,19 +453,22 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents
     ),
-    g AS (
+    h AS (
         SELECT doc_id,
                len(toks) AS n_tokens,
-               list_reduce(
-                   list_prepend(0::BIGINT, list_transform(toks,
-                       x -> CAST(concat('0x', substr(md5(x || ':rh'), 1, 7)) AS BIGINT))),
-                   (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_hash,
-               CASE WHEN len(toks) >= 3 THEN
-                   list_transform(range(1, len(toks) - 1),
-                       i -> CAST(concat('0x', substr(md5(
-                            array_to_string(list_slice(toks, i, i + 2), ' ') || ':g'), 1, 7)) AS BIGINT))
-               ELSE [] END AS grams
+               list_transform(toks,
+                   x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) AS th
         FROM t
+    ),
+    g AS (
+        SELECT doc_id, n_tokens,
+               list_reduce(list_prepend(0::BIGINT, th),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_hash,
+               CASE WHEN n_tokens >= 3 THEN
+                   list_transform(range(1, n_tokens - 1),
+                       i -> ((th[i] * 131 + th[i + 1]) * 131 + th[i + 2]) % 2147483647)
+               ELSE [] END AS grams
+        FROM h
     ),
     f AS (
         SELECT doc_id, n_tokens, rolling_hash,
@@ -490,47 +493,51 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting, two classic forms in one
     scan:
 
-    1. **Rabin–Karp rolling hash** of the whole token stream —
+    1. **Rabin-Karp rolling hash** of the whole token stream --
        ``h = (h*131 + hash(tok)) mod (2^31-1)`` folded left-to-right
        with ``F.aggregate`` (JVM-side, whole-stage codegen).
-    2. **Winnowed fingerprints** (Schleimer et al., MOSS): hash every
-       3-token gram, slide a window of 4 gram-hashes, keep each
-       window's minimum — the canonical local-sampling fingerprint set
-       whose guarantee is that any shared run of ≥ 6 tokens between two
-       docs shares ≥ 1 fingerprint.
+    2. **Winnowed fingerprints** (Schleimer et al., MOSS): a 3-token
+       gram hash composed arithmetically from the token hashes, a
+       sliding window of 4 gram-hashes, keep each window's minimum --
+       the canonical local-sampling fingerprint set whose guarantee is
+       that any shared run of >= 6 tokens between two docs shares >= 1
+       fingerprint.
 
-    Per-row map work only — no shuffle, no UDF; at 100 TB this is
-    embarrassingly parallel over document partitions, and the
-    fingerprint sets feed the same band-bucket join as MinHash-LSH.
-    Token/gram hashes are engine-portable (md5-derived 28-bit ints), so
+    One md5 per token is the only non-arithmetic work: gram hashes are
+    polynomial combinations of the token-hash array (no re-hashing of
+    joined strings). The input is hash-repartitioned across the cluster
+    (`parallel_table`) because this is pure compute -- a single-split
+    local file would otherwise serialize it. No other shuffle, no UDF;
+    the fingerprint sets feed the same band-bucket join as MinHash-LSH.
+    Token hashes are engine-portable (md5-derived 28-bit ints), so
     DuckDB computes the identical fingerprints independently."""
     M = 2147483647
 
-    def h28(col: F.Column) -> F.Column:
-        return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 7), 16, 10).cast("long")
-
-    d = table(spark, sf_dir, "documents")
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    rolling = F.aggregate(
-        F.transform(toks, lambda x: h28(F.concat(x, F.lit(":rh")))),
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 131 + x) % M,
+    th = F.transform(
+        toks,
+        lambda x: F.conv(F.substring(F.md5(F.encode(x, "UTF-8")), 1, 7), 16, 10).cast(
+            "long"
+        ),
     )
     n = F.size(toks)
+    hashed = d.select(
+        "doc_id", n.cast("long").alias("n_tokens"), th.alias("th")
+    )
+    rolling = F.aggregate(
+        F.col("th"), F.lit(0).cast("long"), lambda acc, x: (acc * 131 + x) % M
+    )
+    gram = lambda i: (
+        (F.element_at("th", i) * 131 + F.element_at("th", i + 1)) * 131
+        + F.element_at("th", i + 2)
+    ) % M
     grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: h28(
-                F.concat(F.concat_ws(" ", F.slice(toks, i, 3)), F.lit(":g"))
-            ),
-        ),
+        F.col("n_tokens") >= 3,
+        F.transform(F.sequence(F.lit(1), (F.col("n_tokens") - 2).cast("int")), gram),
     ).otherwise(F.array().cast("array<long>"))
-    base = d.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        rolling.alias("rolling_hash"),
-        grams.alias("grams"),
+    base = hashed.select(
+        "doc_id", "n_tokens", rolling.alias("rolling_hash"), grams.alias("grams")
     )
     m = F.size("grams")
     fps = F.array_distinct(
