@@ -238,3 +238,86 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "node_id")
         .limit(100)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT c.c_nationkey AS cn, s.s_nationkey AS sn
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    edges AS (
+        SELECT DISTINCT least(cn, sn) AS a, greatest(cn, sn) AS b FROM pairs
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, count(*) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY 1
+    )
+    SELECT n.n_name AS nation, p.n_triangles
+    FROM per_node p JOIN nation n ON n.n_nationkey = p.node
+    ORDER BY nation
+    """,
+    tags=("graph", "triangle-count", "A7"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the inter-nation trade graph (nations are
+    adjacent when any customer of one buys from a supplier of the
+    other) — the clustering-coefficient primitive of graph analytics.
+
+    Edge derivation is the event-scale work: one distinct over the
+    4-way star join, after which the edge list is entity-scale. The
+    enumeration uses the canonical ordered-triple formulation
+    (a < b < c via least/greatest normalization), so each triangle is
+    produced exactly once — and on big graphs the same two self-joins
+    run degree-ordered (compact-forward) with the edge list
+    hash-partitioned on the join key; the shape is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b")
+    ).distinct()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        per_node.join(n, n.n_nationkey == per_node.node)
+        .select(F.col("n_name").alias("nation"), "n_triangles")
+        .orderBy("nation")
+    )

@@ -303,3 +303,78 @@ def trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id,
+               CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events
+        GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+    ),
+    cells AS (
+        SELECT c.cohort_week,
+               CAST(datediff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
+                   AS age_weeks,
+               count(*) AS n_active
+        FROM activity a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT l.cohort_week, l.age_weeks, l.n_active, s.cohort_size,
+           round(100.0 * l.n_active / s.cohort_size, 4) AS retention_pct
+    FROM cells l JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, age_weeks
+    """,
+    tags=("time-series", "cohort", "retention", "A8"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event log — the classic
+    product-analytics shape: users bucketed by first-seen week, each
+    later active week counted as (cohort, age) cells with a retention
+    percentage against the cohort size.
+
+    Two aggregations over one scan lineage (first-seen per user,
+    distinct user-weeks), then user-keyed join + cell rollup. Both aggs
+    shuffle on user_id, so they SHARE the exchange; the cells table is
+    (weeks x weeks)-sized — dimension-scale output from event-scale
+    input, the shape that stays cheap at 100 TB because nothing after
+    the first user_id exchange is event-sized. Week buckets are
+    Monday-start `date_trunc` in both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct().withColumnRenamed("week", "active_week")
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    cells = (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_active",
+            "cohort_size",
+            F.round(100.0 * F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
