@@ -113,3 +113,81 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "mixture_sampling_plan",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM stats),
+    target AS (
+        SELECT * FROM (VALUES
+            ('src0', 0.40), ('src1', 0.30), ('src2', 0.20), ('src3', 0.10)
+        ) AS t(source, weight)
+    )
+    SELECT s.source,
+           s.n_docs,
+           s.n_tokens,
+           t.weight AS target_weight,
+           round(CAST(s.n_tokens AS DOUBLE) / tot.total_tokens, 6) AS actual_frac,
+           round(least(1.0,
+               (t.weight * tot.total_tokens) / CAST(s.n_tokens AS DOUBLE)), 6)
+               AS keep_rate,
+           CAST(floor(least(1.0,
+               (t.weight * tot.total_tokens) / CAST(s.n_tokens AS DOUBLE))
+               * s.n_tokens) AS BIGINT) AS planned_tokens
+    FROM stats s JOIN target t USING (source) CROSS JOIN tot
+    ORDER BY source
+    """,
+    tags=("sampling", "data-mixture", "training-pipeline"),
+)
+def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: given target mixture weights per source
+    (the Pile/Dolma-style recipe), compute each source's downsampling
+    keep-rate and the token budget it contributes. `keep_rate =
+    min(1, weight * total_tokens / source_tokens)` — oversubscribed
+    sources are downsampled, undersubscribed ones are capped at 1.0
+    (upsampling is an epoch-repeat decision, not a filter).
+
+    One token-count aggregation over the corpus; the per-source stats
+    and the weight table are recipe-sized, so everything after the
+    single groupBy(source) exchange is driver-trivial at any corpus
+    size. The keep-rate feeds `stratified_hash_sample`'s portable
+    hash-bucket filter for the actual selection pass."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("n_tokens"),
+    )
+    target = spark.createDataFrame(
+        [("src0", 0.40), ("src1", 0.30), ("src2", 0.20), ("src3", 0.10)],
+        "source string, target_weight double",
+    )
+    total = stats.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    keep = F.least(
+        F.lit(1.0),
+        (F.col("target_weight") * F.col("total_tokens")) / F.col("n_tokens").cast("double"),
+    )
+    return (
+        stats.join(target, "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_weight",
+            F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
+                "actual_frac"
+            ),
+            F.round(keep, 6).alias("keep_rate"),
+            F.floor(keep * F.col("n_tokens")).cast("long").alias("planned_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -300,9 +300,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
         .distinct()
     )
-    edges = pairs.select(
-        F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b")
-    ).distinct()
+    # The edge list is entity-scale output of event-scale work; a lazy
+    # self-join would re-execute the star join once PER ALIAS (3x).
+    # Materialize it first — at warehouse scale this is the edge table
+    # any graph pipeline lands before enumeration.
+    edges = (
+        pairs.select(F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
@@ -310,9 +316,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
     )
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
