@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kamiyo_hive_spark.catalog import table
+from kamiyo_hive_spark.catalog import parallel_table, table
 from kamiyo_hive_spark.functions.money import dec, money_sum
 from kamiyo_hive_spark.plans.registry import register
 
@@ -196,7 +196,10 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence is GraphFrames/Pregel territory).
     """
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    # The fact side is the probe of a broadcast join; on a single-split
+    # local file that probe would run in one task, so spread it first
+    # (free at scale — the scan already has many splits there).
+    li = parallel_table(spark, sf_dir, "lineitem", "l_orderkey")
     base_edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
@@ -209,8 +212,16 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(base_edges.select(sid.alias("src"), cid.alias("dst")))
         .persist()
     )
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg")).persist()
+    # Node-sized relations are materialized once (localCheckpoint), and
+    # each round's ranks are re-checkpointed — same discipline as the
+    # CC loop: every round then compiles to the SAME flat plan (codegen
+    # cache hit) instead of a lineage that grows per round.
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    deg = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint()
+    )
     n_nodes = nodes.count()
     base = 10**12 // n_nodes
 
@@ -232,7 +243,7 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.join(contrib, "id", "left").select(
             "id",
             F.expr(f"(15 * {base}L + 85 * coalesce(m, 0L)) div 100").alias("rnk"),
-        )
+        ).localCheckpoint()
     return (
         ranks.select(F.col("id").alias("node_id"), F.col("rnk").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "node_id")
