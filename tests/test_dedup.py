@@ -131,3 +131,79 @@ def test_fuzzy_dedup_names_invariants(spark, sf_dir):
         # blocked on first token: candidates must share it
         assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]
         assert r.n_parts_a >= 1 and r.n_parts_b >= 1
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a contiguous run of
+    >= gram+window+1 = 6 tokens share at least one fingerprint; and the
+    fingerprint columns are internally consistent."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.operators.text import doc_winnow_fingerprints
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    shared_runs = {}
+    rows = []
+    for pair in range(20):
+        run = [rng.choice(vocab) for _ in range(rng.randint(6, 12))]
+        shared_runs[pair] = run
+        for side in (0, 1):
+            filler = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+            tail = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+            rows.append((pair * 2 + side, " ".join(filler + run + tail)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # stage through parquet so the operator's own reader runs
+        df.coalesce(1).write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = doc_winnow_fingerprints(spark, tmp).collect()
+
+    assert len(out) == 40
+    by_id = {r.doc_id: r for r in out}
+    for r in out:
+        assert r.n_fingerprints >= 1
+        assert r.fp_min is not None and 0 <= r.fp_min < 2147483647
+        assert 0 <= r.rolling_hash < 2147483647
+
+    # independent python model of the same pipeline: recompute the
+    # fingerprint SETS per doc to assert pairwise sharing
+    fps = {}
+    import hashlib
+
+    def h28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    M = 2147483647
+    for doc_id, text in rows:
+        t = text.strip().split()
+        th = [h28(x) for x in t]
+        grams = [((th[i] * 131 + th[i + 1]) * 131 + th[i + 2]) % M
+                 for i in range(len(th) - 2)]
+        if len(grams) >= 4:
+            sel = {min(grams[j:j + 4]) for j in range(len(grams) - 3)}
+        else:
+            sel = set(grams)
+        fps[doc_id] = sel
+        assert by_id[doc_id].n_fingerprints == len(sel)
+
+    for pair in shared_runs:
+        a, b = fps[pair * 2], fps[pair * 2 + 1]
+        assert a & b, f"pair {pair} shares a >=6-token run but no fingerprint"
+
+
+def test_int8_quantization_invariants(spark, sf_dir):
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    rows = load_registry()["embedding_int8_quantization"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.q_min <= r.q_max <= 127
+        # max dequantization error bounded by half a quantization step
+        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        # 64-dim gaussian-ish vectors keep >0.99 cosine after int8
+        assert r.cos_fidelity > 0.99
