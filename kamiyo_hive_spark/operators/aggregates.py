@@ -676,3 +676,47 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "o_orderstatus")
     )
+
+
+@register(
+    "salted_hot_key_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+    tags=("A6", "skew", "salting"),
+)
+def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the explicit salting path
+    (`functions/skew.salted_agg`): phase 1 aggregates on
+    (event_type, salt) so a key owning a large fraction of the corpus
+    spreads over 16 reducers, phase 2 merges the partials per key.
+
+    The oracle is the plain GROUP BY — salting must be semantically
+    invisible, which also only holds because the summed measure is
+    exact decimal (partial-merge order can't perturb it). AQE skew-join
+    handles most runtime skew; this is the declarative fallback for
+    the pathological standing-skew case (a boilerplate fingerprint
+    owning 10% of a 100 TB corpus)."""
+    from kamiyo_hive_spark.functions.skew import salted_agg
+
+    e = table(spark, sf_dir, "events")
+    counts = salted_agg(
+        e.select("event_type"),
+        "event_type",
+        partial=lambda: F.count("*"),
+        merge=F.sum,
+        out="n_events",
+    ).select("event_type", F.col("n_events").cast("long").alias("n_events"))
+    values = salted_agg(
+        e.select("event_type", "value"),
+        "event_type",
+        partial=lambda: F.sum(dec("value")),
+        merge=F.sum,
+        out="total_value",
+    ).select("event_type", F.col("total_value").cast("double").alias("total_value"))
+    return counts.join(values, "event_type").orderBy("event_type")
