@@ -310,12 +310,12 @@ def trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cohorts AS (
         SELECT user_id,
-               CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+               min(date_trunc('week', ts)) AS cohort_week
         FROM events
         GROUP BY 1
     ),
     activity AS (
-        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
         FROM events
     ),
     sizes AS (
@@ -349,8 +349,12 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     input, the shape that stays cheap at 100 TB because nothing after
     the first user_id exchange is event-sized. Week buckets are
     Monday-start `date_trunc` in both engines."""
+    # week buckets stay TIMESTAMP (Monday 00:00): the engine convention
+    # is to never emit DATE columns — Spark hands them to pandas as
+    # python dates while DuckDB hands midnight datetimes, so DATE
+    # outputs can false-positive in representation-sensitive compares.
     e = table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
     )
     cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = e.distinct().withColumnRenamed("week", "active_week")
