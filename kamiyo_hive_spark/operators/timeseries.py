@@ -382,3 +382,73 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_ts
+        FROM events
+    ),
+    views AS (
+        SELECT epoch_us(next_purchase_ts) - epoch_us(ts) AS delay_us,
+               next_purchase_ts IS NOT NULL
+                   AND next_purchase_ts <= ts + INTERVAL 1 HOUR AS converted
+        FROM seq WHERE event_type = 'view'
+    )
+    SELECT count(*) AS n_views,
+           CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS n_converted,
+           round(100.0 * count(*) FILTER (WHERE converted) / count(*), 6)
+               AS conversion_pct,
+           round(CAST(SUM(CASE WHEN converted THEN delay_us END) AS DOUBLE)
+                 / count(*) FILTER (WHERE converted) / 1e6, 6) AS avg_delay_s
+    FROM views
+    """,
+    tags=("time-series", "funnel", "conversion", "W-frames"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View → purchase funnel with a 1-hour conversion window: for every
+    view, the user's FIRST subsequent purchase (strictly later row in
+    (ts, event_id) order) decides conversion — the forward-looking dual
+    of the as-of join, expressed as one `first(..., ignorenulls=True)`
+    window over a FOLLOWING frame. One shuffle on user_id; delay math
+    stays integral (epoch micros) until the final division so the
+    aggregate is partition-order independent."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first(purchase_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
+    views = seq.filter(F.col("event_type") == "view").select(
+        (F.unix_micros("next_purchase_ts") - F.unix_micros("ts")).alias("delay_us"),
+        (
+            F.col("next_purchase_ts").isNotNull()
+            & (F.col("next_purchase_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        ).alias("converted"),
+    )
+    n_conv = F.sum(F.when(F.col("converted"), 1).otherwise(0))
+    return views.agg(
+        F.count("*").alias("n_views"),
+        n_conv.cast("long").alias("n_converted"),
+        F.round(100.0 * n_conv / F.count("*"), 6).alias("conversion_pct"),
+        F.round(
+            F.sum(F.when(F.col("converted"), F.col("delay_us"))).cast("double")
+            / n_conv
+            / 1e6,
+            6,
+        ).alias("avg_delay_s"),
+    )

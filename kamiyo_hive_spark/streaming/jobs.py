@@ -735,3 +735,81 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_interval_join_out").orderBy(
         "user_id", "purchase_id", "view_id"
     )
+
+
+def _idempotent_sink_run(spark: SparkSession, sf_dir: str, reset: bool) -> DataFrame:
+    """Run the foreachBatch exactly-once sink job; with reset=False the
+    query restarts from the existing checkpoint (replay/restart path)."""
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir)
+    sink = f"/root/repo/.scratch/idempotent_sink_{tag}"
+    ckpt = f"/root/repo/.scratch/idempotent_ckpt_{tag}"
+    if reset:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent by construction: a retried/replayed micro-batch
+        # overwrites ITS OWN batch directory, never appends — the
+        # standard foreachBatch exactly-once recipe for non-
+        # transactional sinks.
+        batch_df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from pyspark.sql import Window
+
+    sunk = spark.read.option("basePath", sink).parquet(sink)
+    latest = Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
+    return (
+        sunk.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_events", "total_value")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_idempotent_sink",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+    tags=("streaming", "foreachBatch", "exactly-once", "S3"),
+)
+def streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink via foreachBatch: the update-mode
+    aggregation writes each micro-batch's changed keys to a
+    batch_id-keyed parquet partition (overwrite = idempotent under
+    retry/replay), and readers resolve the latest value per key — the
+    upsert-sink pattern for non-transactional stores. The final
+    resolved state must equal the batch aggregation of the whole event
+    log; `tests/test_stateful.py` additionally restarts the query on
+    the same checkpoint and asserts the sink is byte-stable (no
+    reprocessing, no duplicates)."""
+    return _idempotent_sink_run(spark, sf_dir, reset=True)

@@ -83,3 +83,15 @@ def test_tws_query_registered_only_with_runtime():
 
     reg = load_registry()
     assert ("streaming_commit_reveal_tws" in reg) == HAS_TWS_RUNTIME
+
+
+def test_idempotent_sink_restart_stable(spark, sf_dir):
+    """Restarting the foreachBatch sink query on its existing checkpoint
+    must not reprocess or duplicate anything: the resolved sink state is
+    identical after a second run."""
+    from kamiyo_hive_spark.streaming.jobs import _idempotent_sink_run
+
+    first = _idempotent_sink_run(spark, sf_dir, reset=True).collect()
+    again = _idempotent_sink_run(spark, sf_dir, reset=False).collect()
+    assert first == again
+    assert len(first) > 0
