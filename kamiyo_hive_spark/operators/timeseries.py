@@ -318,9 +318,6 @@ def trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
         FROM events
     ),
-    sizes AS (
-        SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
-    ),
     cells AS (
         SELECT c.cohort_week,
                CAST(datediff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
@@ -328,10 +325,16 @@ def trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_active
         FROM activity a JOIN cohorts c USING (user_id)
         GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort_week, age_weeks, n_active,
+               max(CASE WHEN age_weeks = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week) AS cohort_size
+        FROM cells
     )
-    SELECT l.cohort_week, l.age_weeks, l.n_active, s.cohort_size,
-           round(100.0 * l.n_active / s.cohort_size, 4) AS retention_pct
-    FROM cells l JOIN sizes s USING (cohort_week)
+    SELECT cohort_week, age_weeks, n_active, cohort_size,
+           round(100.0 * n_active / cohort_size, 4) AS retention_pct
+    FROM sized
     ORDER BY cohort_week, age_weeks
     """,
     tags=("time-series", "cohort", "retention", "A8"),
@@ -358,7 +361,6 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = e.distinct().withColumnRenamed("week", "active_week")
-    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
     cells = (
         activity.join(cohorts, "user_id")
         .groupBy(
@@ -369,16 +371,21 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+    # Every user is active in their own first week, so the age-0 cell
+    # IS the cohort size — a window over the tiny cells table replaces
+    # a second pass over the cohorts lineage.
+    w = Window.partitionBy("cohort_week")
+    cohort_size = F.max(F.when(F.col("age_weeks") == 0, F.col("n_active"))).over(w)
     return (
-        cells.join(sizes, "cohort_week")
-        .select(
+        cells.select(
             "cohort_week",
             "age_weeks",
             "n_active",
-            "cohort_size",
-            F.round(100.0 * F.col("n_active") / F.col("cohort_size"), 4).alias(
-                "retention_pct"
-            ),
+            cohort_size.alias("cohort_size"),
+        )
+        .withColumn(
+            "retention_pct",
+            F.round(100.0 * F.col("n_active") / F.col("cohort_size"), 4),
         )
         .orderBy("cohort_week", "age_weeks")
     )

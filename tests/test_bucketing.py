@@ -125,3 +125,40 @@ def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_winnow_plan_is_map_only(spark, sf_dir):
+    """Fingerprinting must stay a map over the (repartitioned) scan:
+    exactly the parallel-spread exchange plus the output sort, no
+    aggregation exchange, no join."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    plan = _physical(load_registry()["doc_winnow_fingerprints"].builder(spark, sf_dir))
+    assert "Join" not in plan
+    # hashpartitioning = parallel_table spread; rangepartitioning = final orderBy
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" not in plan
+
+
+def test_cohort_retention_single_fact_exchange(spark, sf_dir):
+    """Both per-user aggregations must hash-partition the event scan on
+    user_id; everything downstream is dimension-sized."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    plan = _physical(load_registry()["cohort_retention"].builder(spark, sf_dir))
+    fact_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert fact_exchanges <= 2, plan  # one per agg lineage, pre-AQE-reuse
+
+
+def test_funnel_conversion_one_exchange(spark, sf_dir):
+    """The funnel is one user_id window pass + a scalar aggregate: a
+    single hash exchange over the events scan."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    plan = _physical(load_registry()["funnel_conversion"].builder(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
