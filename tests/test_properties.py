@@ -203,3 +203,32 @@ def test_asof_join_matches_python(spark_prop, lefts, rights):
     got = {r.rowid: r.asof_payload for r in out.collect()}
     for i, (k, ts) in enumerate(lefts):
         assert got[i] == py_asof(k, ts), (k, ts, got[i])
+
+
+def test_results_invariant_to_shuffle_width(spark, sf_dir):
+    """The determinism contract: results are independent of the
+    partition layout. Decimal-exact aggregates, integer fixed-point
+    PageRank mass, and md5-derived fingerprints must collect the
+    identical rows whether the session shuffles 3 ways or 32."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    reg = load_registry()
+    names = [
+        "pricing_summary",
+        "weighted_sum",
+        "doc_winnow_fingerprints",
+        "pagerank_fixed_point",
+        "knn_bruteforce_cosine",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for width in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            for n in names:
+                rows = [tuple(r) for r in reg[n].builder(spark, sf_dir).collect()]
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (narrow, wide) in results.items():
+        assert narrow == wide, f"{n}: results differ across shuffle widths"
