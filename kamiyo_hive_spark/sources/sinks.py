@@ -26,6 +26,29 @@ from kamiyo_hive_spark.plans.registry import register
 SCRATCH = "/root/repo/.scratch"
 
 
+def staging_current(out: str, source: str) -> bool:
+    """True iff the staged dir at `out` was built from the CURRENT
+    source file. The driver regenerates testdata between rounds; a
+    staged copy keyed only by path would silently serve stale rows, so
+    every staging records (mtime_ns, size) of its source and is rebuilt
+    on mismatch."""
+    marker = os.path.join(out, "_SOURCE_FINGERPRINT")
+    if not (os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(marker)):
+        return False
+    with open(marker) as fh:
+        return fh.read() == _fingerprint(source)
+
+
+def _fingerprint(source: str) -> str:
+    st = os.stat(source)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def record_staging(out: str, source: str) -> None:
+    with open(os.path.join(out, "_SOURCE_FINGERPRINT"), "w") as fh:
+        fh.write(_fingerprint(source))
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Bulk-insert sink: atomic-overwrite partitioned parquet append
     target. (Delta/Iceberg MERGE is the transactional upgrade; their
@@ -188,11 +211,13 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between scanning 7 years and scanning 2; the plan
     assertion lives in tests/test_bucketing.py."""
     out = os.path.join(SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    source = os.path.join(sf_dir, "orders.parquet")
+    if not staging_current(out, source):
         base = table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
         )
         base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+        record_staging(out, source)
     fact = spark.read.parquet(out)
     calendar = spark.range(1990, 2010).select(
         F.col("id").cast("int").alias("cal_year"),
@@ -217,7 +242,8 @@ def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> s
     sf_dir (deterministic payloads: pages keyed by custkey range, array
     sorted by key)."""
     out = f"{SCRATCH}/rest_pages_{os.path.basename(sf_dir)}"
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    source = os.path.join(sf_dir, "customer.parquet")
+    if staging_current(out, source):
         return out
     c = table(spark, sf_dir, "customer")
     rec = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
@@ -228,6 +254,7 @@ def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> s
         .select(F.to_json(F.struct("page", "data")).alias("value"))
     )
     pages.write.mode("overwrite").text(out)
+    record_staging(out, source)
     return out
 
 
@@ -287,7 +314,8 @@ def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
     reference's fixed-offset on-chain account encoding. Packing is pure
     JVM expression work (hex/lpad/unhex), staged once per sf_dir."""
     out = f"{SCRATCH}/packed_accounts_{os.path.basename(sf_dir)}"
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    source = os.path.join(sf_dir, "orders.parquet")
+    if staging_current(out, source):
         return out
     o = table(spark, sf_dir, "orders")
 
@@ -301,6 +329,7 @@ def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     packed.write.mode("overwrite").parquet(out)
+    record_staging(out, source)
     return out
 
 

@@ -273,10 +273,18 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     source (maxFilesPerTrigger=1) delivers a genuine multi-micro-batch
     stream — state must survive across batches, not just within one."""
     import os
+    import shutil
+
+    from kamiyo_hive_spark.sources.sinks import record_staging, staging_current
 
     out = f"/root/repo/.scratch/events_stream_{os.path.basename(sf_dir)}"
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out  # deterministic source data: stage once per sf_dir
+    # Staging is cached, but ONLY for the exact source file: the driver
+    # regenerates testdata between rounds, and a stale staging would
+    # make every streaming query diverge from its batch oracle.
+    source = os.path.join(sf_dir, "events.parquet")
+    if staging_current(out, source):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
     from kamiyo_hive_spark.catalog import table as batch_table
 
     batch_table(spark, sf_dir, "events").repartitionByRange(
@@ -294,6 +302,7 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     base = time.time() - 3600
     for i, path in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
         os.utime(path, (base + i, base + i))
+    record_staging(out, source)
     return out
 
 
