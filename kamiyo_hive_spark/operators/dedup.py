@@ -625,3 +625,72 @@ def fuzzy_dedup_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "span_dedup_candidates",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 32 THEN
+                   list_transform(range(1, len(t) - 30, 16),
+                       i -> md5(array_to_string(list_slice(t, i, i + 31), ' ')))
+               ELSE [] END) AS span_hash
+        FROM toks
+    ),
+    dup AS (
+        SELECT span_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               min(doc_id) AS first_doc_id
+        FROM spans
+        GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT span_hash, n_docs, n_occurrences, first_doc_id
+    FROM dup
+    ORDER BY n_docs DESC, n_occurrences DESC, span_hash
+    LIMIT 200
+    """,
+    tags=("dedup", "span-dedup", "substring", "training-pipeline"),
+)
+def span_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup candidates — the
+    repeated-long-substring removal step of training-data pipelines
+    (Lee et al. 2022 deduplicate exact substrings >= 50 tokens; here
+    32-token spans at stride 16, so any shared run of >= 47 tokens is
+    guaranteed to align on at least one staged span). Doc-level
+    fingerprints miss boilerplate shared ACROSS different documents;
+    span hashes catch it.
+
+    One explode of span hashes (stride keeps the blowup at ~n/16 rows
+    per doc) → one groupBy(span_hash) with map-side partials → HAVING
+    n_docs >= 2. The hash is md5 of the joined span in both engines, so
+    DuckDB derives identical candidates. At 100 TB the span index is
+    the materialized table that drives the actual cut-list job."""
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    span_hashes = F.when(
+        n >= 32,
+        F.transform(
+            F.sequence(F.lit(1), n - 31, F.lit(16)),
+            lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i, 32)), "UTF-8")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = d.select("doc_id", F.explode(span_hashes).alias("span_hash"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span_hash")
+        .limit(200)
+    )
