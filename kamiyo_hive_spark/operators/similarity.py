@@ -168,10 +168,70 @@ def knn_lsh(
     )
 
 
-@register("knn_lsh_cosine", oracle=None, tags=("similarity", "ann-lsh"))
+def _knn_lsh_oracle() -> str:
+    """DuckDB oracle for the SRP-LSH probe: the deterministic
+    hyperplanes inline as literals, bucket bits and cosine folds
+    computed with the same left-to-right order as the Spark
+    expressions, multiprobe = hamming-1 neighborhood."""
+    rows = ",\n            ".join(
+        f"({j}, {plane!r})" for j, plane in enumerate(_hyperplanes())
+    )
+    return f"""
+    WITH planes AS (
+        SELECT * FROM (VALUES
+            {rows}
+        ) p(j, plane)
+    ),
+    e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bits AS (
+        SELECT e.vec_id, p.j,
+               list_reduce(list_prepend(0.0,
+                   list_transform(list_zip(e.v, p.plane), z -> z[1] * z[2])),
+                   (a, x) -> a + x) >= 0 AS bit
+        FROM e CROSS JOIN planes p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1
+    ),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (
+        SELECT qbucket AS pb FROM qb
+        UNION
+        SELECT xor(qbucket, CAST(1 << j AS BIGINT)) FROM qb CROSS JOIN planes
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+        SELECT e.vec_id, e.label, e.v
+        FROM e JOIN buckets b USING (vec_id)
+        WHERE b.bucket IN (SELECT pb FROM probes) AND e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT c.vec_id, c.label,
+           round(
+             list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(c.v, q.qv), z -> z[1] * z[2])), (a, x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(c.v, x -> x * x)), (a, x) -> a + x))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(q.qv, x -> x * x)), (a, x) -> a + x))), 9)
+               AS cosine_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """
+
+
+@register("knn_lsh_cosine", oracle=_knn_lsh_oracle(), tags=("similarity", "ann-lsh"))
 def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via SRP-LSH bucket probing (recall measured
-    against the brute-force twin in tests/test_similarity.py)."""
+    """Approximate top-10 via SRP-LSH bucket probing. The oracle
+    recomputes the ENTIRE probe in DuckDB — hyperplane literals, bucket
+    bits, hamming-1 multiprobe, exact cosine on the candidate set —
+    so the approximation itself is hash-checked, not just its recall
+    (which tests/test_similarity.py measures against brute force)."""
     return knn_lsh(spark, sf_dir)
 
 
