@@ -694,3 +694,75 @@ def span_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span_hash")
         .limit(200)
     )
+
+
+def _simhash_proof_oracle() -> str:
+    """Generated DuckDB twin of the 32-bit md5-based SimHash: same
+    portable token hash, same 32 bit-majority conditional sums."""
+    bit_sums = ",\n               ".join(
+        f"CAST(SUM((h >> {j}) & 1) AS BIGINT) AS b_{j}" for j in range(32)
+    )
+    bit_terms = "\n             + ".join(
+        f"(CASE WHEN b_{j} * 2 > n_tok THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(unnest(
+                   string_split_regex(lower(trim(text)), '\\s+')) || ':sh'), 1, 8))
+                   AS BIGINT) AS h
+        FROM documents WHERE doc_id < 100
+    ),
+    bits AS (
+        SELECT doc_id,
+               count(*) AS n_tok,
+               {bit_sums}
+        FROM tok GROUP BY 1
+    )
+    SELECT doc_id,
+           {bit_terms} AS simhash32
+    FROM bits
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "simhash_algebra_proof",
+    oracle=_simhash_proof_oracle(),
+    tags=("dedup", "simhash", "portable-proof"),
+)
+def simhash_algebra_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash semantics proven against DuckDB: the same bit-majority
+    algebra as the production `simhash_fingerprints` (explode → one
+    groupBy computing every bit as a conditional sum → bit pack), but
+    over an engine-portable md5-derived 32-bit token hash so DuckDB
+    recomputes identical fingerprints. The production path keeps
+    xxhash64 (JVM-native, no md5 cost); this proof pins the ALGORITHM,
+    the paired unit tests pin the production path's hamming behavior."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = d.select("doc_id", F.explode(toks).alias("token")).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.encode(F.concat(F.col("token"), F.lit(":sh")), "UTF-8")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    h = F.col("h")
+    aggs = [
+        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
+        for j in range(32)
+    ] + [F.count("*").alias("n_tok")]
+    bits = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(32):
+        bit = F.when(
+            F.col(f"b_{j}") * 2 > F.col("n_tok"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return bits.select("doc_id", sim.alias("simhash32")).orderBy("doc_id")
