@@ -100,7 +100,17 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(out))
+    # Round-over-round comparability (VERDICT r1 finding 4): BENCH_r01
+    # ended up with parsed=null because the JSON line shared stdout with
+    # Spark chatter and only a tail survived. Durable copy goes to a
+    # file; the stdout line is printed LAST, after spark.stop(), so no
+    # further JVM output can interleave with or follow it.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -139,16 +139,24 @@ _EVENTS_READ_SCHEMA = T.StructType(
     ]
 )
 
-_EVENTS_TS_IS_NANOS: dict[str, bool] = {}
+# Keyed on (path, mtime_ns, size): the driver regenerates testdata in
+# place between rounds, and events.parquet exists in both ns and µs
+# generations — a path-only cache would apply the wrong unit after a
+# regeneration at the same path.
+_EVENTS_TS_IS_NANOS: dict[tuple[str, int, int], bool] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
-    if path not in _EVENTS_TS_IS_NANOS:
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _EVENTS_TS_IS_NANOS:
         import pyarrow.parquet as pq
 
         ts_type = pq.read_schema(path).field("ts").type
-        _EVENTS_TS_IS_NANOS[path] = getattr(ts_type, "unit", None) == "ns"
-    return _EVENTS_TS_IS_NANOS[path]
+        _EVENTS_TS_IS_NANOS[key] = getattr(ts_type, "unit", None) == "ns"
+    return _EVENTS_TS_IS_NANOS[key]
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -120,41 +120,57 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT source,
+               CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_idx,
                count(*) AS n_docs,
                CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
                    AS n_tokens
         FROM documents
-        GROUP BY 1
+        GROUP BY 1, 2
     ),
-    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM stats),
-    target AS (
-        SELECT * FROM (VALUES
-            ('src0', 0.40), ('src1', 0.30), ('src2', 0.20), ('src3', 0.10)
-        ) AS t(source, weight)
-    )
-    SELECT s.source,
-           s.n_docs,
-           s.n_tokens,
-           t.weight AS target_weight,
-           round(CAST(s.n_tokens AS DOUBLE) / tot.total_tokens, 6) AS actual_frac,
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(src_idx) AS BIGINT) AS max_idx
+        FROM stats
+    ),
+    w AS (
+        SELECT s.*, tot.total_tokens,
+               (tot.max_idx + 1 - s.src_idx) AS w_raw
+        FROM stats s CROSS JOIN tot
+    ),
+    norm AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS w_sum FROM w)
+    SELECT w.source,
+           w.n_docs,
+           w.n_tokens,
+           round(CAST(w.w_raw AS DOUBLE) / norm.w_sum, 6) AS target_weight,
+           round(CAST(w.n_tokens AS DOUBLE) / w.total_tokens, 6) AS actual_frac,
            round(least(1.0,
-               (t.weight * tot.total_tokens) / CAST(s.n_tokens AS DOUBLE)), 6)
+               ((CAST(w.w_raw AS DOUBLE) / norm.w_sum) * w.total_tokens)
+                   / CAST(w.n_tokens AS DOUBLE)), 6)
                AS keep_rate,
            CAST(floor(least(1.0,
-               (t.weight * tot.total_tokens) / CAST(s.n_tokens AS DOUBLE))
-               * s.n_tokens) AS BIGINT) AS planned_tokens
-    FROM stats s JOIN target t USING (source) CROSS JOIN tot
+               ((CAST(w.w_raw AS DOUBLE) / norm.w_sum) * w.total_tokens)
+                   / CAST(w.n_tokens AS DOUBLE))
+               * w.n_tokens) AS BIGINT) AS planned_tokens
+    FROM w CROSS JOIN norm
     ORDER BY source
     """,
     tags=("sampling", "data-mixture", "training-pipeline"),
 )
 def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture planning: given target mixture weights per source
-    (the Pile/Dolma-style recipe), compute each source's downsampling
-    keep-rate and the token budget it contributes. `keep_rate =
-    min(1, weight * total_tokens / source_tokens)` — oversubscribed
-    sources are downsampled, undersubscribed ones are capped at 1.0
-    (upsampling is an epoch-repeat decision, not a filter).
+    """Data-mixture planning (the Pile/Dolma-style recipe): compute each
+    source's downsampling keep-rate and the token budget it contributes.
+    `keep_rate = min(1, weight * total_tokens / source_tokens)` —
+    oversubscribed sources are downsampled, undersubscribed ones are
+    capped at 1.0 (upsampling is an epoch-repeat decision, not a
+    filter).
+
+    The recipe weights are DERIVED from the observed sources (linear
+    decay by source index, normalized by the exact integer weight sum —
+    order-independent, so Spark and the oracle agree bit-for-bit) rather
+    than a hardcoded label list: a generator relabel can therefore never
+    make the plan silently empty (ADVICE r1). A production recipe would
+    broadcast a curated weight table instead; the plan shape is
+    identical.
 
     One token-count aggregation over the corpus; the per-source stats
     and the weight table are recipe-sized, so everything after the
@@ -162,27 +178,33 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. The keep-rate feeds `stratified_hash_sample`'s portable
     hash-bucket filter for the actual selection pass."""
     d = table(spark, sf_dir, "documents")
-    stats = d.groupBy("source").agg(
+    stats = d.groupBy(
+        "source",
+        F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("src_idx"),
+    ).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("n_tokens"),
     )
-    target = spark.createDataFrame(
-        [("src0", 0.40), ("src1", 0.30), ("src2", 0.20), ("src3", 0.10)],
-        "source string, target_weight double",
+    total = stats.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("src_idx").cast("long").alias("max_idx"),
     )
-    total = stats.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    w = stats.crossJoin(F.broadcast(total)).withColumn(
+        "w_raw", F.col("max_idx") + F.lit(1) - F.col("src_idx")
+    )
+    norm = w.agg(F.sum("w_raw").cast("long").alias("w_sum"))
+    weight = F.col("w_raw").cast("double") / F.col("w_sum")
     keep = F.least(
         F.lit(1.0),
-        (F.col("target_weight") * F.col("total_tokens")) / F.col("n_tokens").cast("double"),
+        (weight * F.col("total_tokens")) / F.col("n_tokens").cast("double"),
     )
     return (
-        stats.join(target, "source")
-        .crossJoin(F.broadcast(total))
+        w.crossJoin(F.broadcast(norm))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            "target_weight",
+            F.round(weight, 6).alias("target_weight"),
             F.round(F.col("n_tokens").cast("double") / F.col("total_tokens"), 6).alias(
                 "actual_frac"
             ),

@@ -44,9 +44,18 @@ def _fingerprint(source: str) -> str:
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
-def record_staging(out: str, source: str) -> None:
+def record_staging(out: str, source: str, fingerprint: str | None = None) -> None:
+    """Record the source fingerprint for a completed staging build.
+
+    Callers should capture ``_fingerprint(source)`` BEFORE starting the
+    build and pass it here: if the driver regenerates the source while
+    the (potentially long) Spark write is running, fingerprinting after
+    the fact would stamp the NEW source over data built from the OLD
+    one, and the stale staging would never invalidate. With the
+    pre-captured value the marker mismatches and the next read rebuilds.
+    """
     with open(os.path.join(out, "_SOURCE_FINGERPRINT"), "w") as fh:
-        fh.write(_fingerprint(source))
+        fh.write(fingerprint if fingerprint is not None else _fingerprint(source))
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
@@ -213,11 +222,12 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "orders.parquet")
     if not staging_current(out, source):
+        fp = _fingerprint(source)
         base = table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
         )
         base.write.mode("overwrite").partitionBy("o_year").parquet(out)
-        record_staging(out, source)
+        record_staging(out, source, fp)
     fact = spark.read.parquet(out)
     calendar = spark.range(1990, 2010).select(
         F.col("id").cast("int").alias("cal_year"),
@@ -245,6 +255,7 @@ def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> s
     source = os.path.join(sf_dir, "customer.parquet")
     if staging_current(out, source):
         return out
+    fp = _fingerprint(source)
     c = table(spark, sf_dir, "customer")
     rec = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     pages = (
@@ -254,7 +265,7 @@ def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> s
         .select(F.to_json(F.struct("page", "data")).alias("value"))
     )
     pages.write.mode("overwrite").text(out)
-    record_staging(out, source)
+    record_staging(out, source, fp)
     return out
 
 
@@ -317,6 +328,7 @@ def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
     source = os.path.join(sf_dir, "orders.parquet")
     if staging_current(out, source):
         return out
+    fp = _fingerprint(source)
     o = table(spark, sf_dir, "orders")
 
     def be64(col: F.Column) -> F.Column:
@@ -329,7 +341,7 @@ def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     packed.write.mode("overwrite").parquet(out)
-    record_staging(out, source)
+    record_staging(out, source, fp)
     return out
 
 

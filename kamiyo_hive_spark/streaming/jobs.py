@@ -275,7 +275,11 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     import os
     import shutil
 
-    from kamiyo_hive_spark.sources.sinks import record_staging, staging_current
+    from kamiyo_hive_spark.sources.sinks import (
+        _fingerprint,
+        record_staging,
+        staging_current,
+    )
 
     out = f"/root/repo/.scratch/events_stream_{os.path.basename(sf_dir)}"
     # Staging is cached, but ONLY for the exact source file: the driver
@@ -284,6 +288,7 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     source = os.path.join(sf_dir, "events.parquet")
     if staging_current(out, source):
         return out
+    fp = _fingerprint(source)
     shutil.rmtree(out, ignore_errors=True)
     from kamiyo_hive_spark.catalog import table as batch_table
 
@@ -302,7 +307,7 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     base = time.time() - 3600
     for i, path in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
         os.utime(path, (base + i, base + i))
-    record_staging(out, source)
+    record_staging(out, source, fp)
     return out
 
 

@@ -203,7 +203,9 @@ def test_int8_quantization_invariants(spark, sf_dir):
     assert rows
     for r in rows:
         assert -127 <= r.q_min <= r.q_max <= 127
-        # max dequantization error bounded by half a quantization step
-        assert r.max_abs_err <= r.scale / 2 + 1e-12
+        # max dequantization error bounded by half a quantization step;
+        # cushion at the 9-decimal rounding granularity of both sides
+        # (each can move up to 5e-10, so 1e-12 would be a latent flake)
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
         # 64-dim gaussian-ish vectors keep >0.99 cosine after int8
         assert r.cos_fidelity > 0.99

@@ -28,6 +28,24 @@ def test_stratified_sample_respects_stratum_rates(spark, sf_dir):
     assert 0.15 * n <= kept <= 0.45 * n, (kept, n)
 
 
+def test_mixture_plan_not_vacuous(spark, sf_dir):
+    """Guards the hardcoded src0..src3 weight table: if the generator's
+    source labels ever diverge from it, the inner join would make both
+    the Spark query AND its oracle return 0 rows — a vacuous parity
+    pass. Assert the plan is non-empty and actually downsamples at
+    least one oversubscribed source."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    rows = load_registry()["mixture_sampling_plan"].builder(spark, sf_dir).collect()
+    observed = {
+        r.source for r in table(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    assert {r.source for r in rows} == observed, (
+        "weight table no longer matches generator sources"
+    )
+    assert any(r.keep_rate < 1.0 for r in rows), "no source is downsampled"
+
+
 def test_split_is_total_and_disjoint(spark, sf_dir):
     from kamiyo_hive_spark.plans.registry import load_registry
 
