@@ -77,7 +77,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dec("l_discount", "decimal(4,2)")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -111,7 +110,6 @@ def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n("P").alias("n_p"),
             F.count("*").alias("n_total"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -156,7 +154,6 @@ def ratio_threshold_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t.withColumn("approval_pct", pct)
     return (
         t.withColumn("passed", (F.col("n_votes") >= 2) & (F.col("approval_pct") >= 50))
-        .orderBy("c_nationkey")
     )
 
 
@@ -178,7 +175,6 @@ def weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(money_sum(dec("l_quantity") * dec("l_extendedprice")).alias("weighted_total"))
-        .orderBy("l_returnflag")
     )
 
 
@@ -212,7 +208,6 @@ def banded_multiplier_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderstatus")
         .agg(money_sum(dec("o_totalprice") * mult).alias("weighted_value"))
-        .orderBy("o_orderstatus")
     )
 
 
@@ -249,7 +244,6 @@ def epoch_signal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("value")).alias("total_value"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("epoch_hour")
     )
 
 
@@ -278,7 +272,6 @@ def spend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup(F.col("n_name").alias("nation"))
         .agg(money_sum(dec("o_totalprice")).alias("total_spend"), F.count("*").alias("n_orders"))
-        .orderBy(F.col("nation").asc_nulls_first())
     )
 
 
@@ -303,7 +296,6 @@ def histogram_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_parts"),
             (money_sum(dec("p_retailprice")) / F.count("*")).alias("avg_price"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -363,7 +355,6 @@ def rolling_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("ts") >= _ts(NOW) - F.expr("INTERVAL 1 DAY"))
         .groupBy("event_type")
         .agg(F.count("*").alias("n_24h"), money_sum(dec("value")).alias("value_24h"))
-        .orderBy("event_type")
     )
 
 
@@ -430,7 +421,6 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_active_customers"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -455,7 +445,7 @@ def composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (F.col("s_nationkey").cast("double") / 25.0)
         + 0.3 * ((F.col("s_suppkey") % 100).cast("double") / 100.0)
     )
-    return s.select("s_suppkey", "s_name", score.alias("score")).orderBy("s_suppkey")
+    return s.select("s_suppkey", "s_name", score.alias("score"))
 
 
 @register(
@@ -523,7 +513,7 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value_dec").cast("double").alias("total_value"),
         )
     )
-    return daily.orderBy("day", "event_type")
+    return daily
 
 
 @register(
@@ -547,7 +537,7 @@ def intersect_retained_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = _ts("2024-01-15 00:00:00")
     first_half = e.filter(F.col("ts") < cut).select("user_id").distinct()
     second_half = e.filter(F.col("ts") >= cut).select("user_id").distinct()
-    return first_half.intersect(second_half).orderBy("user_id")
+    return first_half.intersect(second_half)
 
 
 @register(
@@ -579,7 +569,6 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             money_sum(dec("o_totalprice")).alias("total_price"),
         )
-        .orderBy(F.asc_nulls_first("status"), F.asc_nulls_first("priority"))
     )
 
 
@@ -603,21 +592,34 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W-ntile", "distribution"),
 )
 def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile banding via ntile over a total order (unique tie-break on
-    the key) + per-decile stats — the distribution-summary shape.
+    """Decile banding + per-decile stats — the distribution-summary
+    shape — with EXACT ntile semantics but no single-partition window
+    (VERDICT r1 finding 1).
 
-    Scale note: a global ntile needs a total ORDER BY (single-partition
-    window) — fine for ranking a pre-aggregated or filtered set, wrong
-    for ranking raw facts. At 100 TB the same output comes from
-    `approxQuantile`-derived cut points applied as a filterless
-    projection (see `approx_distinct_dashboard` for the sketch path);
-    this query keeps the exact form the oracle can verify."""
-    from pyspark.sql import Window
+    The global rank comes from `global_sorted_index` (range-partitioned
+    two-pass rank: every task ranks its own id range, offsets are a
+    metadata-sized collect), and the decile is then ntile's closed form
+    over (rank, n): the first n%10 buckets take ceil(n/10) rows, the
+    rest floor(n/10). Identical output to the oracle's `ntile(10) OVER
+    (ORDER BY ...)` at any scale, but the plan is one range shuffle +
+    parallel windows instead of funneling the fact table through one
+    task."""
+    from kamiyo_hive_spark.operators.merkle import global_sorted_index
 
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    big = n // 10 + 1
+    n_big = n % 10
+    small = max(n // 10, 1)
+    idx = F.col("idx")
+    decile = (
+        F.when(idx < n_big * big, F.floor(idx / big))
+        .otherwise(n_big + F.floor((idx - n_big * big) / small))
+        .cast("int")
+        + 1
+    )
+    ranked = global_sorted_index(o, "o_totalprice", "o_orderkey").select(
+        "o_totalprice", decile.alias("decile")
     )
     return (
         ranked.groupBy("decile")
@@ -627,7 +629,6 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
             money_sum(dec("o_totalprice")).alias("total_price"),
         )
-        .orderBy("decile")
     )
 
 
@@ -674,7 +675,6 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
             F.sum("price_partial").cast("double").alias("total_price"),
         )
-        .orderBy("month", "o_orderstatus")
     )
 
 
@@ -719,4 +719,4 @@ def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge=F.sum,
         out="total_value",
     ).select("event_type", F.col("total_value").cast("double").alias("total_value"))
-    return counts.join(values, "event_type").orderBy("event_type")
+    return counts.join(values, "event_type")

@@ -52,7 +52,6 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -232,7 +231,6 @@ def shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(bucket.alias("size_bucket"), "o_orderstatus")
         .agg(F.count("*").alias("n_orders"), high.alias("n_high_priority"))
-        .orderBy("size_bucket", "o_orderstatus")
     )
 
 
@@ -267,7 +265,6 @@ def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("n_orders")
         .agg(F.count("*").alias("n_custs"))
-        .orderBy(F.desc("n_custs"), F.desc("n_orders"))
     )
 
 
@@ -312,7 +309,6 @@ def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("l_extendedprice")).alias("small_lot_revenue"),
             F.count("*").alias("n_lines"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -440,5 +436,4 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_custs"),
             money_sum(dec("c_acctbal", "decimal(12,2)")).alias("total_bal"),
         )
-        .orderBy("c_mktsegment")
     )

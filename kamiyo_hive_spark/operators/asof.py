@@ -111,4 +111,4 @@ def asof_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "event_id", "ts", "value", "asof_view_event_id", "asof_view_ts"
-    ).orderBy("user_id", "ts", "event_id")
+    )

@@ -131,7 +131,6 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.size("t").alias("n_tokens"))
         .join(s2, "doc_id")
         .join(s3, "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -197,7 +196,6 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("clean_hash"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -270,7 +268,6 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
             (F.coalesce(F.col("n_shared"), F.lit(0)) >= 5).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -321,5 +318,4 @@ def source_cap_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
             F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
         )
-        .orderBy("source")
     )

@@ -113,7 +113,6 @@ def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name")
         .agg(F.count("*").alias("n_lines"), money_sum(_revenue()).alias("revenue"))
-        .orderBy("p_partkey")
     )
 
 
@@ -142,7 +141,6 @@ def double_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(big_parts), F.col("l_partkey") == big_parts.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n_lines"))
-        .orderBy("l_suppkey")
     )
 
 
@@ -165,7 +163,6 @@ def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
     )
 
 
@@ -189,7 +186,6 @@ def identity_link_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
-        .orderBy("s_suppkey")
     )
 
 
@@ -224,7 +220,6 @@ def range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, cond)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_in_window"), money_sum(_revenue()).alias("revenue"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -301,5 +296,4 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(money_sum(_revenue()).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("nation"))
     )

@@ -75,7 +75,7 @@ def plan_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             (F.lit(3) + (F.size(t) / 40).cast("long")).cast("long"), F.lit(12).cast("long")
         ).alias("max_steps"),
-    ).orderBy("mission_id")
+    )
 
 
 @register(
@@ -113,7 +113,6 @@ def synthesize_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_steps"),
             F.sum(F.length("text")).cast("long").alias("total_chars"),
         )
-        .orderBy("run_id")
     )
 
 
@@ -156,7 +155,74 @@ def critique_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("run_id"),
         score.alias("score"),
         (score >= 70).alias("critique_ok"),
-    ).orderBy("run_id")
+    )
+
+
+def _infer_kit():
+    """LLM client contract, built as NESTED functions/classes so
+    cloudpickle ships them BY VALUE to executor workers (module-level
+    names pickle by reference, and `kamiyo_hive_spark` is only on the
+    driver's sys.path under the external harness — caught live by the
+    /tmp-cwd driver simulation). Driver-side module aliases below are
+    the same objects, usable in unit tests."""
+
+    class LLMOutputError(ValueError):
+        """The backend returned a malformed batch (wrong length, nulls,
+        or non-string values) — surfaced instead of silently writing
+        bad rows."""
+
+    def validate_output(out, n_prompts: int):
+        """Output-schema enforcement: exactly one non-null string per
+        prompt. A real LLM client can drop, truncate, or null responses
+        on partial failures; letting that through corrupts the column."""
+        import pandas as pd
+
+        if not isinstance(out, pd.Series):
+            out = pd.Series(list(out)) if hasattr(out, "__iter__") else None
+        if out is None or len(out) != n_prompts:
+            got = "non-iterable" if out is None else f"{len(out)} rows"
+            raise LLMOutputError(f"backend returned {got} for {n_prompts} prompts")
+        if out.isna().any():
+            raise LLMOutputError("backend returned null responses")
+        if not all(isinstance(v, str) for v in out):
+            raise LLMOutputError("backend returned non-string responses")
+        return out.reset_index(drop=True)
+
+    def infer_with_retry(
+        fn,
+        prompts,
+        *,
+        max_retries: int = 3,
+        backoff_base_s: float = 0.05,
+        backoff_mult: float = 2.0,
+        sleep=None,
+    ):
+        """One batch call with validation + exponential-backoff retry —
+        the client contract of the reference's swarm SDK (bounded
+        attempts, multiplicative backoff; kamiyo-hive
+        `packages/hive-sdk/src/swarmteams/client.ts:174-232`). Retries
+        on ANY backend exception including malformed output; re-raises
+        the last error once attempts are exhausted. `sleep` is
+        injectable so tests can assert the exact backoff schedule."""
+        import time as _time
+
+        do_sleep = sleep if sleep is not None else _time.sleep
+        delay = backoff_base_s
+        last = None
+        for attempt in range(max_retries + 1):
+            if attempt:
+                do_sleep(delay)
+                delay *= backoff_mult
+            try:
+                return validate_output(fn(prompts), len(prompts))
+            except Exception as e:  # noqa: BLE001 — client contract: retry anything
+                last = e
+        raise last
+
+    return LLMOutputError, validate_output, infer_with_retry
+
+
+LLMOutputError, _validate_output, infer_with_retry = _infer_kit()
 
 
 def llm_batch_infer(
@@ -165,29 +231,62 @@ def llm_batch_infer(
     out_col: str,
     infer_fn: Callable[[pd.Series], pd.Series] | None = None,
     batch_size: int = 64,
+    max_retries: int = 3,
+    backoff_base_s: float = 0.05,
+    backoff_mult: float = 2.0,
+    max_concurrency: int = 4,
 ) -> DataFrame:
     """The LLM-backed operator shape: Arrow-batched `mapInPandas` over a
-    text column, pluggable backend.
+    text column, pluggable backend, production client semantics.
 
     `infer_fn` receives a pandas Series of prompts and returns a Series
-    of responses; the default is the deterministic echo-scorer so tests
-    stay hermetic (no model in this container). Real deployments pass a
-    rate-limited client; batch size bounds per-call latency and memory.
+    of responses (default: deterministic echo so tests are hermetic).
+    Per Arrow batch, prompts are sliced into `batch_size` chunks and
+    dispatched over a bounded thread pool (`max_concurrency` in-flight
+    calls per executor — LLM calls are network-bound, so overlapping
+    them hides latency while the bound is the rate-limit knob; total
+    in-flight across the cluster = executors × max_concurrency). Every
+    call is wrapped in `infer_with_retry` (validation + exponential
+    backoff), and results reassemble in row order regardless of
+    completion order.
+
     This is the only Python-side operator in the family, and it is
-    Arrow-vectorized end to end.
+    Arrow-vectorized end to end; at 100 TB the bottleneck is the model
+    endpoint, not Spark — which is exactly what the concurrency bound
+    governs.
     """
     from pyspark.sql import types as T
 
+    # deterministic echo default (a LAMBDA, shipped by value) so tests
+    # stay hermetic; `retry` is the kit's nested function, also by value
     fn = infer_fn or (lambda s: "synth:" + s.str.slice(0, 24))
+    retry = infer_with_retry
     # copy the fields: StructType.add would mutate df's cached schema
     schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size].copy()
-                chunk[out_col] = fn(chunk[text_col])
-                yield chunk
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                chunks = [
+                    pdf.iloc[start : start + batch_size].copy()
+                    for start in range(0, len(pdf), batch_size)
+                ]
+                futures = [
+                    pool.submit(
+                        retry,
+                        fn,
+                        chunk[text_col],
+                        max_retries=max_retries,
+                        backoff_base_s=backoff_base_s,
+                        backoff_mult=backoff_mult,
+                    )
+                    for chunk in chunks
+                ]
+                for chunk, fut in zip(chunks, futures):  # row order preserved
+                    chunk[out_col] = fut.result().values
+                    yield chunk
 
     return df.mapInPandas(run, schema=schema)
 
@@ -208,4 +307,4 @@ def llm_infer_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     backend — proves the Arrow batch plumbing (schema evolution, batch
     slicing) against a SQL oracle."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
-    return llm_batch_infer(d, "text", "response").select("doc_id", "response").orderBy("doc_id")
+    return llm_batch_infer(d, "text", "response").select("doc_id", "response")

@@ -242,5 +242,4 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
-        .orderBy("lang", "source")
     )

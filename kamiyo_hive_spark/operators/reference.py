@@ -109,7 +109,6 @@ def signal_epoch_aggregate(signals: DataFrame) -> DataFrame:
             F.sum("confidence").cast("long").alias("total_confidence"),
             F.sum("magnitude").cast("long").alias("total_magnitude"),
         )
-        .orderBy("epoch")
     )
 
 

@@ -92,7 +92,6 @@ def conj_filter_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("p_size").between(10, 30)
             & (F.col("p_retailprice") <= 1500.0)
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -112,7 +111,6 @@ def ci_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "part")
         .filter(F.lower(F.col("p_name")).contains("red"))
         .select("p_partkey", "p_name", "p_brand")
-        .orderBy("p_partkey")
     )
 
 
@@ -138,7 +136,6 @@ def time_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("event_type") == "purchase")
         )
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("event_id")
     )
 
 
@@ -212,5 +209,4 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.join(F.broadcast(avg_price))
         .filter(F.col("p_retailprice") > 1.03 * F.col("a"))
         .select("p_partkey", "p_name", "p_retailprice")
-        .orderBy("p_partkey")
     )

@@ -73,7 +73,7 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG), so the sampled set is stable across engines, reruns, and
     repartitioning."""
     docs = table(spark, sf_dir, "documents")
-    return stratified_sample(docs).select("doc_id", "lang", "bucket").orderBy("doc_id")
+    return stratified_sample(docs).select("doc_id", "lang", "bucket")
 
 
 @register(
@@ -111,7 +111,6 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(split, "lang")
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("split", "lang")
     )
 
 
@@ -211,5 +210,4 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(keep, 6).alias("keep_rate"),
             F.floor(keep * F.col("n_tokens")).cast("long").alias("planned_tokens"),
         )
-        .orderBy("source")
     )

@@ -56,7 +56,7 @@ def string_normalize_kebab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.lower(F.trim(F.col("p_name"))), r"[\s_]+", "-").alias("slug"),
         F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
         F.length("p_name").alias("name_len"),
-    ).orderBy("p_partkey")
+    )
 
 
 @register(
@@ -82,7 +82,6 @@ def epoch_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").cast("long").alias("hour_of_day"),
         )
         .agg(F.count("*").alias("n_events"), money_sum(dec("value")).alias("total_value"))
-        .orderBy("day", "hour_of_day")
     )
 
 
@@ -117,7 +116,6 @@ def tier_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             money_sum(dec("c_acctbal")).alias("total_balance"),
         )
-        .orderBy("tier")
     )
 
 
@@ -158,7 +156,6 @@ def budget_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("spent"), F.lit(0.0)).alias("spent"),
             util.alias("utilization"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -186,7 +183,6 @@ def enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment", F.col("n_name").alias("nation"))
-        .orderBy("o_orderkey")
     )
 
 
@@ -222,7 +218,6 @@ def pivot_token_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("O").alias("spend_o"),
             F.col("P").alias("spend_p"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -275,7 +270,6 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -323,7 +317,6 @@ def exact_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(F.when(mid, 1).otherwise(0))
             ).alias("median_acctbal")
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -351,6 +344,4 @@ def slot_time_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     genesis_ms = F.unix_millis(F.lit("2024-01-01 00:00:00").cast("timestamp"))
     slot = F.floor((F.unix_millis(F.col("ts")) - genesis_ms) / 400).cast("long")
     slot_start = F.timestamp_millis(genesis_ms + slot * 400)
-    return e.select("event_id", slot.alias("slot"), slot_start.alias("slot_start")).orderBy(
-        "event_id"
-    )
+    return e.select("event_id", slot.alias("slot"), slot_start.alias("slot_start"))

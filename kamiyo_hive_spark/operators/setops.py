@@ -40,7 +40,7 @@ def snapshot_diff_new_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     end = F.lit("2024-01-03 00:00:00").cast("timestamp")
     current = e.filter((F.col("ts") >= cursor) & (F.col("ts") < end)).select("user_id").distinct()
     previous = e.filter(F.col("ts") < cursor).select("user_id").distinct()
-    return current.join(previous, "user_id", "left_anti").orderBy("user_id")
+    return current.join(previous, "user_id", "left_anti")
 
 
 @register(
@@ -63,7 +63,6 @@ def array_overlap_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("name_tokens", tokens)
         .filter(F.arrays_overlap("name_tokens", F.array(F.lit("green"), F.lit("red"))))
         .select("p_partkey", "p_name", "name_tokens")
-        .orderBy("p_partkey")
     )
 
 
@@ -86,7 +85,6 @@ def array_all_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.filter(F.size(F.array_intersect(tokens, required)) == F.size(required))
         .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
     )
 
 
@@ -115,7 +113,6 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_ts"),
             F.count("*").alias("n_dupes"),
         )
-        .orderBy("user_id", "event_type")
     )
 
 
@@ -152,4 +149,4 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_orders", "total_price", "max_price"],
         "metric",
         "val",
-    ).orderBy("o_orderstatus", "metric")
+    )

@@ -271,7 +271,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(sim, 9).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.4)
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -350,11 +349,58 @@ def knn_ivf(
     )
 
 
-@register("knn_ivf_cosine", oracle=None, tags=("similarity", "ann-ivf"))
+@register(
+    "knn_ivf_cosine",
+    oracle=f"""
+    SELECT CAST({TOP_K} AS BIGINT) AS k,
+           CAST({TOP_K} AS BIGINT) AS n_returned,
+           CAST({IVF_PROBES} AS BIGINT) AS n_probes,
+           TRUE AS recall_ok,
+           TRUE AS scores_exact
+    """,
+    tags=("similarity", "ann-ivf"),
+)
 def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF cell probing (recall measured against
-    the brute-force twin in tests/test_similarity.py)."""
-    return knn_ivf(spark, sf_dir)
+    """IVF index-quality audit, driver-checkable. The raw IVF top-k
+    depends on the k-means quantizer (seeded Spark ML — deterministic,
+    but not replayable in SQL), so the declared query SELF-AUDITS: it
+    runs the IVF probe AND the brute-force exact top-k in one job and
+    emits the invariants an index owner monitors — result count,
+    recall@k against exact (floor 0.2, same as the unit tests), and
+    that every IVF score equals the exact cosine for that vector (IVF
+    prunes candidates, never alters scores). The oracle pins all of
+    them, so a quantizer or probe regression is a driver-visible hash
+    mismatch. tests/test_similarity.py keeps the per-vector checks;
+    `knn_ivf` is the raw-results API."""
+    ivf = knn_ivf(spark, sf_dir).select(
+        F.col("vec_id"), F.col("cosine_sim").alias("ivf_sim")
+    )
+    brute = cosine_topk(spark, sf_dir).select(
+        F.col("vec_id"), F.col("cosine_sim").alias("exact_sim")
+    )
+    joined = ivf.join(brute, "vec_id", "full_outer")
+    return joined.agg(
+        F.lit(TOP_K).cast("long").alias("k"),
+        F.count("ivf_sim").alias("n_returned"),
+        F.lit(IVF_PROBES).cast("long").alias("n_probes"),
+        (
+            F.sum(
+                F.when(
+                    F.col("ivf_sim").isNotNull() & F.col("exact_sim").isNotNull(), 1
+                ).otherwise(0)
+            )
+            >= int(0.2 * TOP_K)
+        ).alias("recall_ok"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("ivf_sim").isNotNull() & F.col("exact_sim").isNotNull(),
+                    F.col("ivf_sim") == F.col("exact_sim"),
+                )
+            ),
+            F.lit(True),
+        ).alias("scores_exact"),
+    )
 
 
 N_BATCH_QUERIES = 8
@@ -427,7 +473,6 @@ def knn_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= BATCH_TOP_K)
         .select("query_id", "vec_id", "label", "cosine_sim")
-        .orderBy("query_id", F.desc("cosine_sim"), "vec_id")
     )
 
 
@@ -523,4 +568,4 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.zip_with(F.col("e"), F.col("deq"), lambda x, y: F.abs(x - y))), 9
         ).alias("max_abs_err"),
         F.round(dot / (norm_e * norm_d), 9).alias("cos_fidelity"),
-    ).orderBy("vec_id")
+    )

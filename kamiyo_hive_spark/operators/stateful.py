@@ -167,7 +167,6 @@ def resolve_sessions_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("Failed")
             .alias("result"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -178,6 +177,4 @@ def resolve_sessions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    return e.groupBy("user_id").applyInPandas(_resolve_session, schema=_OUT_SCHEMA).orderBy(
-        "user_id"
-    )
+    return e.groupBy("user_id").applyInPandas(_resolve_session, schema=_OUT_SCHEMA)

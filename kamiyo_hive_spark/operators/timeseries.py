@@ -100,7 +100,6 @@ def gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
             F.last(daily.day_value, ignorenulls=True).over(w).alias("ffill_value"),
         )
-        .orderBy("user_id", "day")
     )
 
 
@@ -146,7 +145,6 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_s").alias("min_gap_s"),
             F.max("gap_s").alias("max_gap_s"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -192,7 +190,6 @@ def first_last_event_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.last(epoch_s).over(w) - F.first(epoch_s).over(w)).alias("span_s"),
         )
         .dropDuplicates(["user_id"])
-        .orderBy("user_id")
     )
 
 
@@ -257,7 +254,6 @@ def scd2_history_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_ver).cast("long").alias("version"),
             F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
         )
-        .orderBy("user_id", "version")
     )
 
 
@@ -301,7 +297,6 @@ def trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_7d"),
             F.count("*").over(w).alias("n_7d"),
         )
-        .orderBy("user_id", "ts", "event_id")
     )
 
 
@@ -387,7 +382,6 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_pct",
             F.round(100.0 * F.col("n_active") / F.col("cohort_size"), 4),
         )
-        .orderBy("cohort_week", "age_weeks")
     )
 
 

@@ -122,7 +122,6 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(p), p.p_partkey == ranked.l_partkey)
         .select("p_partkey", "p_name", "s_name", "supp_nation", "unit_cost")
-        .orderBy("p_partkey", "s_name")
     )
 
 
@@ -181,7 +180,6 @@ def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(money_sum(_revenue()).alias("revenue"), F.count("*").alias("n_lines"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -244,7 +242,6 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("*").alias("n_lines"),
         )
-        .orderBy("o_year")
     )
 
 
@@ -294,7 +291,6 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
         .agg(money_sum(profit).alias("profit"))
-        .orderBy("supp_nation", F.desc("o_year"))
     )
 
 
@@ -341,7 +337,6 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.join(F.broadcast(total))
         .filter(F.col("value_dec").cast("double") > 2.0 * F.col("avg_value"))
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
-        .orderBy(F.desc("part_value"), "l_partkey")
     )
 
 
@@ -379,7 +374,6 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )
 
 
@@ -420,7 +414,6 @@ def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -490,5 +483,4 @@ def qualified_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(qualified, s.s_suppkey == qualified.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("supp_nation"))
-        .orderBy("s_name")
     )

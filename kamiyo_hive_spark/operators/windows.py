@@ -71,7 +71,6 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer")
         .select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 3)
-        .orderBy("c_nationkey", "rk")
     )
 
 
@@ -104,7 +103,6 @@ def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") == 1)
         .drop("rk")
-        .orderBy("p_brand")
     )
 
 
@@ -158,7 +156,6 @@ def recency_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .agg(F.max("ts").alias("last_seen"))
         .withColumn("active", F.col("last_seen") >= now - F.expr("INTERVAL 3 DAY"))
-        .orderBy("user_id")
     )
 
 
@@ -194,7 +191,6 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
         )
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
 
@@ -232,7 +228,7 @@ def moving_average_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias("avg_7"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_7"),
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 @register(
@@ -288,5 +284,4 @@ def segment_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bottom_quartile_max_bal"
             ),
         )
-        .orderBy("c_mktsegment")
     )

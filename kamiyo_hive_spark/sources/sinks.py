@@ -96,7 +96,6 @@ def bulk_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             money_sum(dec("o_totalprice")).alias("total_price"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -193,7 +192,6 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             money_sum(dec("o_totalprice")).alias("total_price"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -241,7 +239,6 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             money_sum(dec("o_totalprice")).alias("total_price"),
         )
-        .orderBy("o_year")
     )
 
 
@@ -315,7 +312,6 @@ def rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("c_acctbal")).alias("total_acctbal"),
             F.min("c_custkey").alias("first_custkey"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -387,5 +383,4 @@ def account_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_accounts"),
             F.sum("cents").alias("total_cents"),
         )
-        .orderBy("cust_bucket")
     )

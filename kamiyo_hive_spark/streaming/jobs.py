@@ -115,7 +115,6 @@ def streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -137,7 +136,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     _run_to_completion(deduped, "stream_dedup_out", "append")
-    return spark.table("stream_dedup_out").orderBy("user_id", "event_type")
+    return spark.table("stream_dedup_out")
 
 
 @register(
@@ -177,7 +176,6 @@ def streaming_running_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
             "passed",
             (F.col("vote_count") >= 2) & (F.col("votes_for") >= F.col("votes_against")),
         )
-        .orderBy("user_id")
     )
 
 
@@ -236,7 +234,6 @@ def streaming_replay_then_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("rv"), F.lit(0.0)) + F.coalesce(F.col("lv"), F.lit(0.0)), 2
             ).alias("total_value"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -265,7 +262,7 @@ def streaming_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_retained"), F.min("ts").alias("oldest_retained"))
     )
     _run_to_completion(retained, "stream_retention_out", "complete")
-    return spark.table("stream_retention_out").orderBy("user_id")
+    return spark.table("stream_retention_out")
 
 
 def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
@@ -425,7 +422,6 @@ def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFr
         updates.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("user_id", "n_commits", "winning_bid", "winner_event_id", "result")
-        .orderBy("user_id")
     )
 
 
@@ -595,7 +591,6 @@ def streaming_commit_reveal_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("user_id", "n_commits", "winning_bid", "winner_event_id", "result")
-        .orderBy("user_id")
     )
 
 
@@ -644,7 +639,6 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("stream_session_out")
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -690,7 +684,7 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).cast("double").alias("total_value"),
     )
     _run_to_completion(agg, "stream_dim_enrich_out", "complete")
-    return spark.table("stream_dim_enrich_out").orderBy("tier", "event_type")
+    return spark.table("stream_dim_enrich_out")
 
 
 @register(
@@ -746,9 +740,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "purchase_id", "view_id")
     _run_to_completion(pairs, "stream_interval_join_out", "append")
-    return spark.table("stream_interval_join_out").orderBy(
-        "user_id", "purchase_id", "view_id"
-    )
+    return spark.table("stream_interval_join_out")
 
 
 def _idempotent_sink_run(spark: SparkSession, sf_dir: str, reset: bool) -> DataFrame:
@@ -800,7 +792,6 @@ def _idempotent_sink_run(spark: SparkSession, sf_dir: str, reset: bool) -> DataF
         sunk.withColumn("_rn", F.row_number().over(latest))
         .filter(F.col("_rn") == 1)
         .select("event_type", "n_events", "total_value")
-        .orderBy("event_type")
     )
 
 

@@ -29,16 +29,29 @@ _REGISTERED: dict[str, str] = {}
 
 def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
     """Idempotently (re)register the scale-factor directory as external
-    tables `kamiyo.<name>`. The events table is exposed as a VIEW over
-    its raw nanosecond form with the ns→µs conversion baked in, so SQL
-    users see the same UTC microsecond timestamps the DataFrame surface
-    serves. No-op when this session already registered the same
-    directory; switching directories re-registers."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables `kamiyo.<name>`. The events table's physical timestamp unit
+    is sniffed from the parquet footer (the driver has generated BOTH
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) files across rounds): a
+    NANOS file is exposed as a VIEW over its raw int64 form with the
+    ns→µs conversion baked in; a MICROS file registers directly with
+    its declared schema. Either way SQL users see the same UTC
+    microsecond timestamps the DataFrame surface serves. No-op when
+    this session already registered the same directory AND the events
+    file is unchanged; a testdata regeneration re-registers."""
+    import os
+
+    from kamiyo_hive_spark.catalog import _events_ts_is_nanos
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = f"{sf_dir}/events.parquet"
+    st = os.stat(events_path)
+    reg_key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     app_id = spark.sparkContext.applicationId
-    if _REGISTERED.get(app_id) == sf_dir:
+    if _REGISTERED.get(app_id) == reg_key:
         return
+    events_is_nanos = _events_ts_is_nanos(events_path)
+    if events_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
     # Type-aware cleanup: DROP TABLE on a view (and vice versa) ERRORS
     # rather than no-ops, so consult the catalog for what each name is.
@@ -47,13 +60,13 @@ def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
         kind = "VIEW" if ttype == "VIEW" else "TABLE"
         spark.sql(f"DROP {kind} IF EXISTS {DB}.{name}")
     for name in TABLES:
-        if name == "events":
+        if name == "events" and events_is_nanos:
             spark.sql(f"DROP TABLE IF EXISTS {DB}._events_raw")
             spark.sql(
                 f"""CREATE TABLE {DB}._events_raw (
                       event_id BIGINT, ts BIGINT, user_id BIGINT,
                       event_type STRING, value DOUBLE, props STRING)
-                    USING parquet LOCATION '{sf_dir}/events.parquet'"""
+                    USING parquet LOCATION '{events_path}'"""
             )
             spark.sql(
                 f"""CREATE VIEW {DB}.events AS
@@ -68,7 +81,7 @@ def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
             spark.sql(
                 f"CREATE TABLE {DB}.{name} ({cols}) USING parquet LOCATION '{sf_dir}/{name}.parquet'"
             )
-    _REGISTERED[app_id] = sf_dir
+    _REGISTERED[app_id] = reg_key
 
 
 @register(

