@@ -14,7 +14,7 @@ degree/stat workloads, and plain joins scale with AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -103,7 +103,16 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_edge_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """avgTrust-style edge statistics: weighted edges aggregated from
-    facts, then whole-graph summary (totalNodes/totalEdges/avgTrust)."""
+    facts, then whole-graph summary (totalNodes/totalEdges/avgTrust).
+
+    Plan note (measured, kept on purpose): the two DISTINCT aggregates
+    plan an Expand, but it triples only the ENTITY-scale edge rows
+    feeding a map-side-combined single-group agg — the event-scale
+    star join still runs exactly once. The tempting "split each
+    distinct into its own two-level agg" variant re-executes the star
+    join per branch (column pruning differs per branch, so the
+    exchange isn't reused) — same speed at sf0.1 and strictly worse at
+    100 TB."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     edges = (
@@ -152,26 +161,32 @@ def approx_distinct_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Perf notes from measurement at sf0.1: exact `percentile` cost 10×
     the query budget and accuracy-40000 sketches 70× (KLL merge cost
     scales with accuracy) — the band check stays at dashboard accuracy
-    on purpose. The DISTINCT aggregates live in their OWN aggregation,
-    joined back on the 5-row group key: a distinct aggregate mixed with
-    sketch aggregates makes Catalyst plan an Expand where the sketch
-    partials are keyed by (group, custkey) — ~100k one-row sketches to
-    merge, measured 40× slower than this split. Input spread via
-    `parallel_table` so the partial aggregation isn't one task on a
-    single-split local file."""
+    on purpose. A DISTINCT aggregate mixed with sketch aggregates makes
+    Catalyst plan an Expand where the sketch partials are keyed by
+    (group, custkey) — ~100k one-row sketches (HLL or KLL alike) to
+    merge, measured 4-40× slower than keeping every sketch in ONE
+    plain aggregation. So: all sketches (HLL + both KLL arrays) in a
+    single non-distinct agg, and the exact distinct count as a
+    two-level groupBy (dedup on (group, custkey), then count) — both
+    map-side-combinable, joined on the 5-row group key. Input spread
+    via `parallel_table` so the partial aggregation isn't one task on
+    a single-split local file."""
     o = parallel_table(spark, sf_dir, "orders", "o_orderkey")
-    distinct_agg = o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
+    exact_agg = (
+        o.groupBy("o_orderpriority", "o_custkey")
+        .agg(F.lit(1))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("exact_customers"))
     )
     sketch_agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 2000).alias("pq"),
         F.percentile_approx(
             "o_totalprice", [0.45, 0.55, 0.93, 0.97, 0.985, 0.995], 2000
         ).alias("eq"),
         F.count("*").alias("n_orders"),
     )
-    agg = sketch_agg.join(distinct_agg, "o_orderpriority")
+    agg = sketch_agg.join(exact_agg, "o_orderpriority")
     hll_ok = (
         F.abs(F.col("approx_customers") - F.col("exact_customers"))
         / F.col("exact_customers")
@@ -265,25 +280,26 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The public ids are formatted only on the final 100-row output.
     cid = (F.col("c") * 2).cast("long")
     sid = (F.col("s") * 2 + 1).cast("long")
-    edges = (
-        base_edges.select(cid.alias("src"), sid.alias("dst"))
-        .unionAll(base_edges.select(sid.alias("src"), cid.alias("dst")))
-        .persist()
+    bare_edges = base_edges.select(cid.alias("src"), sid.alias("dst")).unionAll(
+        base_edges.select(sid.alias("src"), cid.alias("dst"))
     )
+    # outdeg is FOLDED INTO the persisted edge list (one window over the
+    # src-partitioned edges, computed once): each PageRank round then
+    # joins edges against ranks alone — one join + one shuffle per
+    # round instead of two joins. At 100 TB the per-round rank exchange
+    # dominates; halving the joins in the loop body is the whole game.
+    edges = bare_edges.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src"))
+    ).persist()
     # Node-sized relations are materialized once (localCheckpoint), and
     # each round's ranks are re-checkpointed — same discipline as the
     # CC loop: every round then compiles to the SAME flat plan (codegen
     # cache hit) instead of a lineage that grows per round.
     nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
-    deg = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.count("*").alias("outdeg"))
-        .localCheckpoint()
-    )
     n_nodes = nodes.count()
     base = 10**12 // n_nodes
 
-    # NOTE on broadcast hints: rank/deg/contrib are node-sized and look
+    # NOTE on broadcast hints: rank/contrib are node-sized and look
     # broadcastable, but hinting them broadcast re-executes each round's
     # full lineage per broadcast build (no shuffle-stage reuse), which
     # measured 5x SLOWER at sf0.1. Shuffle joins + AQE's runtime
@@ -293,7 +309,6 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         contrib = (
             edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), F.expr("rnk div outdeg").alias("part_m"))
             .groupBy("id")
             .agg(F.sum("part_m").alias("m"))
