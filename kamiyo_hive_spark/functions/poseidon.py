@@ -1,0 +1,173 @@
+"""Poseidon hash over the BN254 scalar field (SURVEY §2.10 U5).
+
+The reference commits to its agent set with Poseidon-hashed Merkle
+trees (`packages/hive-sdk/src/swarmteams/merkle.ts:18-27`, circomlibjs;
+proof verification `client.ts:59-63`) because Poseidon is cheap inside
+ZK circuits. This module implements the Poseidon permutation x^5
+instance over BN254 from PUBLIC specification only:
+
+- Parameters follow the Poseidon paper's reference generation: round
+  constants and the Cauchy MDS matrix are derived from the published
+  Grain-LFSR procedure (80-bit state, taps b62^b51^b38^b23^b13^b0,
+  160 discarded init bits, pair-filtered output, rejection sampling to
+  the field; matrix x/y vectors drawn from the same stream after the
+  round constants). `tests/test_poseidon.py` pins generated values so
+  any regression in the generator is caught exactly.
+- Full rounds R_F=8, partial rounds per width from the published
+  x^5/254 instance table.
+- Evaluation is the paper's reference algorithm: per round ARK (t
+  constants) -> S-box (all cells in full rounds, cell 0 in partial
+  rounds) -> MDS row-vector multiply; sponge state [0, inputs...],
+  digest = state[0].
+
+PARITY NOTE (honest limitation): this container is offline and ships
+no circomlib constant tables, so byte-for-byte agreement with the
+exact constants the reference's circomlibjs build bundles cannot be
+verified here. The permutation accepts injected (C, M) tables —
+dropping in another instance's published tables is a constructor
+argument, not a code change.
+
+Everything here is pure Python big-int math by design: a ZK-friendly
+hash has no JVM builtin, so the Spark integration ships these
+functions BY VALUE inside Arrow-batched kernels (see
+operators/merkle.py for the fold; executors never import this module).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+# BN254 (alt_bn128) scalar field modulus — public curve parameter.
+P = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+R_F = 8
+# Partial rounds for widths t=2..17 of the x^5/254 instance family.
+N_ROUNDS_P = [56, 57, 56, 60, 60, 63, 64, 63, 60, 66, 60, 65, 70, 60, 64, 68]
+
+
+class _Grain:
+    """The Poseidon paper's Grain-LFSR parameter generator."""
+
+    def __init__(self, field: int, sbox: int, n: int, t: int, r_f: int, r_p: int):
+        bits: list[int] = []
+        for val, width in ((field, 2), (sbox, 4), (n, 12), (t, 12), (r_f, 10), (r_p, 10)):
+            bits += [int(b) for b in bin(val)[2:].zfill(width)]
+        bits += [1] * 30
+        assert len(bits) == 80
+        self._s = bits
+        for _ in range(160):
+            self._update()
+
+    def _update(self) -> int:
+        s = self._s
+        nb = s[62] ^ s[51] ^ s[38] ^ s[23] ^ s[13] ^ s[0]
+        s.pop(0)
+        s.append(nb)
+        return nb
+
+    def _bit(self) -> int:
+        # Pair rule: emit the second bit of a pair iff the first is 1.
+        while True:
+            b1 = self._update()
+            b2 = self._update()
+            if b1:
+                return b2
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self._bit()
+        return v
+
+    def field_element(self, n: int) -> int:
+        while True:
+            v = self.bits(n)
+            if v < P:
+                return v
+
+
+@lru_cache(maxsize=16)
+def poseidon_params(t: int) -> tuple[tuple[int, ...], tuple[tuple[int, ...], ...]]:
+    """(round_constants, mds_matrix) for state width ``t``.
+
+    One Grain stream per width: (R_F + R_P) * t rejection-sampled round
+    constants first, then 2t field elements x_0..x_{t-1}, y_0..y_{t-1}
+    forming the Cauchy MDS M[i][j] = (x_i + y_j)^-1.
+    """
+    if not 2 <= t <= len(N_ROUNDS_P) + 1:
+        raise ValueError(f"unsupported Poseidon width t={t}")
+    r_p = N_ROUNDS_P[t - 2]
+    g = _Grain(field=1, sbox=0, n=254, t=t, r_f=R_F, r_p=r_p)
+    n_const = (R_F + r_p) * t
+    c = tuple(g.field_element(254) for _ in range(n_const))
+    xs = [g.field_element(254) for _ in range(t)]
+    ys = [g.field_element(254) for _ in range(t)]
+    m = tuple(
+        tuple(pow((xs[i] + ys[j]) % P, P - 2, P) for j in range(t)) for i in range(t)
+    )
+    return c, m
+
+
+def poseidon_perm(
+    state: list[int],
+    c: tuple[int, ...],
+    m: tuple[tuple[int, ...], ...],
+    r_p: int,
+) -> list[int]:
+    """Reference Poseidon permutation (ARK -> S-box -> MDS per round)."""
+    t = len(state)
+    half = R_F // 2
+    for r in range(R_F + r_p):
+        state = [(state[i] + c[r * t + i]) % P for i in range(t)]
+        if r < half or r >= half + r_p:
+            state = [pow(s, 5, P) for s in state]
+        else:
+            state[0] = pow(state[0], 5, P)
+        state = [sum(m[i][j] * state[j] for j in range(t)) % P for i in range(t)]
+    return state
+
+
+def poseidon_hash(
+    inputs: list[int],
+    params: tuple[tuple[int, ...], tuple[tuple[int, ...], ...]] | None = None,
+) -> int:
+    """Poseidon sponge digest of 1..16 field elements (capacity cell 0,
+    digest = state[0]). ``params`` overrides the generated (C, M) tables
+    — the circomlib-parity injection point."""
+    t = len(inputs) + 1
+    c, m = params if params is not None else poseidon_params(t)
+    state = [0] + [x % P for x in inputs]
+    return poseidon_perm(state, c, m, N_ROUNDS_P[t - 2])[0]
+
+
+def field_from_bytes(data: bytes) -> int:
+    """Map arbitrary bytes into the field via sha256 (mod P) — the
+    standard off-circuit leaf encoding for byte payloads."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha256(data).digest(), "big") % P
+
+
+@lru_cache(maxsize=1)
+def zero_hashes(depth: int = 32) -> tuple[int, ...]:
+    """Per-level zero-subtree hashes: z_0 = 0, z_{l+1} =
+    poseidon(z_l, z_l) — the reference's precomputed padding ladder
+    (`merkle.ts:62-79`)."""
+    zs = [0]
+    for _ in range(depth):
+        zs.append(poseidon_hash([zs[-1], zs[-1]]))
+    return tuple(zs)
+
+
+def sequential_merkle_root(leaves: list[int], depth: int) -> int:
+    """Single-threaded reference fold (test/audit oracle): pairwise
+    poseidon with per-level zero padding for exactly ``depth`` levels."""
+    zs = zero_hashes(max(depth, 1))
+    level = list(leaves)
+    for lvl in range(depth):
+        nxt = []
+        for i in range(0, len(level), 2):
+            right = level[i + 1] if i + 1 < len(level) else zs[lvl]
+            nxt.append(poseidon_hash([level[i], right]))
+        level = nxt if nxt else [zs[lvl + 1]]
+    return level[0]

@@ -190,6 +190,166 @@ def merkle_root_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merkle_root(c, "c_custkey", "c_name")
 
 
+def merkle_root_poseidon(
+    leaves: DataFrame, id_col: str, value_col: str, block_bits: int = 12
+) -> DataFrame:
+    """Poseidon-hashed Merkle commitment (SURVEY U5 + A15): the same
+    two-stage aligned-block fold as `merkle_root`, but with the
+    reference's ZK-friendly hash — leaf = poseidon(id, sha256(value)
+    mod p), parent = poseidon(left, right), and PER-LEVEL zero-subtree
+    padding hashes z_{l+1} = poseidon(z_l, z_l) exactly as
+    `packages/hive-sdk/src/swarmteams/merkle.ts:62-79` precomputes them
+    (the sha256 variant uses a flat zero constant instead).
+
+    Poseidon has no JVM builtin, so both the leaf hashing and the fold
+    run in the Arrow-batched block kernels; the (C, M) parameter tables
+    and the permutation math are captured BY VALUE (executors never
+    import this package). Field elements travel between the two stages
+    as 0x-free hex strings.
+    """
+    from kamiyo_hive_spark.functions.poseidon import (
+        N_ROUNDS_P,
+        P,
+        poseidon_params,
+        zero_hashes,
+    )
+
+    n = leaves.count()
+    depth = max(1, (n - 1).bit_length())
+    kb = min(block_bits, depth)
+    c3, m3 = poseidon_params(3)
+    r_p3 = N_ROUNDS_P[1]
+    zs = zero_hashes(depth)
+    prime = P
+
+    # Self-contained Poseidon pair hash: the ~15 lines of permutation
+    # math are re-stated here (rather than referencing
+    # functions.poseidon) so cloudpickle ships the closure by value.
+    def pair_hash(left: int, right: int) -> int:
+        state = [0, left % prime, right % prime]
+        half = 4  # R_F // 2
+        for r in range(8 + r_p3):
+            state = [(state[i] + c3[r * 3 + i]) % prime for i in range(3)]
+            if r < half or r >= half + r_p3:
+                state = [pow(s, 5, prime) for s in state]
+            else:
+                state[0] = pow(state[0], 5, prime)
+            state = [
+                sum(m3[i][j] * state[j] for j in range(3)) % prime for i in range(3)
+            ]
+        return state[0]
+
+    def fold_levels(hs: list, levels: int, base_level: int) -> int:
+        for lvl in range(base_level, base_level + levels):
+            hs = [
+                pair_hash(hs[i], hs[i + 1] if i + 1 < len(hs) else zs[lvl])
+                for i in range(0, len(hs), 2)
+            ]
+        return hs[0]
+
+    level = global_sorted_index(leaves, id_col).select(
+        "idx",
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+
+    def fold_block(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx")
+        blk = int(pdf["idx"].iloc[0]) >> kb
+        hs = [
+            pair_hash(
+                int(i),
+                int.from_bytes(hashlib.sha256(str(v).encode()).digest(), "big")
+                % prime,
+            )
+            for i, v in zip(pdf["_id"], pdf["_v"])
+        ]
+        return pd.DataFrame({"idx": [blk], "h": [format(fold_levels(hs, kb, 0), "x")]})
+
+    blocks = (
+        level.groupBy(F.expr(f"idx div {2 ** kb}").alias("_blk"))
+        .applyInPandas(fold_block, "idx long, h string")
+    )
+
+    rest = depth - kb
+    if rest > 0:
+        def fold_top(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("idx")
+            hs = [int(h, 16) for h in pdf["h"]]
+            return pd.DataFrame({"h": [format(fold_levels(hs, rest, kb), "x")]})
+
+        root = blocks.groupBy(F.lit(0).alias("_g")).applyInPandas(fold_top, "h string")
+    else:
+        root = blocks.select("h")
+    return root.select(
+        F.col("h").alias("root"),
+        F.lit(n).cast("long").alias("n_leaves"),
+        F.lit(depth).cast("long").alias("depth"),
+    )
+
+
+@register(
+    "merkle_poseidon_commitment",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_leaves,
+           GREATEST(1, CAST(ceil(log2(count(*))) AS BIGINT)) AS depth,
+           TRUE AS root_in_field,
+           TRUE AS matches_reference
+    FROM customer
+    """,
+    tags=("U5", "A15", "merkle", "zk"),
+    bench=False,
+)
+def merkle_poseidon_commitment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-auditing Poseidon Merkle commitment over the customer set
+    (the reference's depth-20 agent-set commitment, `merkle.ts:51-233`,
+    with our Grain-generated BN254 instance — see functions/poseidon.py
+    for the parity note).
+
+    DuckDB has no 254-bit modular arithmetic, so — like the sketch
+    flagships — the query SELF-AUDITS: it computes the root through the
+    distributed block fold AND through the single-threaded reference
+    fold (`sequential_merkle_root`, pure Python over the collected
+    sorted leaves — audit-only; the collect is bounded by the
+    correctness scale factor) and emits booleans the oracle pins to
+    TRUE. A divergence in the fold topology, the padding ladder, or the
+    permutation itself is a driver-visible hash mismatch.
+    `tests/test_poseidon.py` additionally pins generated constants and
+    property-tests the permutation."""
+    from kamiyo_hive_spark.functions.poseidon import (
+        P,
+        field_from_bytes,
+        poseidon_hash,
+        sequential_merkle_root,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    spark_row = merkle_root_poseidon(c, "c_custkey", "c_name").collect()[0]
+    leaves = [
+        poseidon_hash([int(r["c_custkey"]), field_from_bytes(str(r["c_name"]).encode())])
+        for r in c.select("c_custkey", "c_name").orderBy("c_custkey").collect()
+    ]
+    ref_root = sequential_merkle_root(leaves, int(spark_row["depth"]))
+    spark_root = int(spark_row["root"], 16)
+    return spark.createDataFrame(
+        [
+            (
+                int(spark_row["n_leaves"]),
+                int(spark_row["depth"]),
+                bool(0 <= spark_root < P),
+                bool(spark_root == ref_root),
+            )
+        ],
+        "n_leaves long, depth long, root_in_field boolean, matches_reference boolean",
+    )
+
+
 def merkle_proof(leaves: DataFrame, id_col: str, value_col: str, target_id) -> DataFrame:
     """(level, sibling_hash, sibling_is_left) proof path for one leaf.
 
