@@ -63,7 +63,10 @@ def main() -> None:
 
     # Best-of-N reps per query: single-shot numbers on a shared 32-thread
     # JVM carry ±30% JIT/GC jitter; the minimum is the steady-state
-    # latency (same convention as timeit).
+    # latency (same convention as timeit). Measured at reps=2 the first
+    # rep is routinely 2-4x steady state (codegen + JIT), so one noisy
+    # second rep poisons the recorded min — reps=3 keeps round-over-
+    # round diffs meaningful for ~60s of extra bench wall time.
     #
     # Cache hygiene between queries: builders that persist() multi-
     # consumer intermediates leave those blocks cached after the action
@@ -77,7 +80,7 @@ def main() -> None:
         return dict(spark.sparkContext._jsc.getPersistentRDDs())
 
     keep = set(persistent_rdds())
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(registry):
         spec = registry[name]
