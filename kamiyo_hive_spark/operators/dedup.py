@@ -931,3 +931,61 @@ def simhash_algebra_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, j)
         sim = term if sim is None else sim.bitwiseOR(term)
     return bits.select("doc_id", sim.alias("simhash32"))
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle="""
+    SELECT d.source,
+           count(*) AS n_new,
+           CAST(SUM(CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM (
+        SELECT source, doc_id, md5(lower(trim(text))) AS fingerprint
+        FROM documents WHERE doc_id % 10 = 0
+    ) d
+    LEFT JOIN (
+        SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+        FROM documents WHERE doc_id % 10 <> 0
+    ) h ON h.fingerprint = d.fingerprint
+    GROUP BY 1
+    ORDER BY source
+    """,
+    tags=("dedup", "incremental", "cross-snapshot"),
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: a NEW ingest batch (modeled as
+    doc_id % 10 == 0, ~10% of the corpus) is deduplicated against the
+    HISTORICAL corpus (the other 90%) — the daily-increment shape of a
+    training-data pipeline, where history is orders of magnitude larger
+    than the increment.
+
+    Plan (the 100 TB posture is the whole point): history is NEVER
+    shuffled. The new batch's distinct fingerprints are entity-scale
+    and explicitly `broadcast()` to the history scan, which is pruned
+    MAP-SIDE by a broadcast semi-join — only history fingerprints that
+    collide with the increment (≈ |new ∩ history| rows) survive into
+    the second, equally broadcast join that marks each new doc as
+    kept/dup. Two broadcast joins, zero exchanges over history. When
+    the increment outgrows the broadcast budget, the same shape swaps
+    the exact fingerprint set for a partial-aggregated Bloom filter
+    (8-10 bits/doc) with an exact confirm join on the survivors —
+    result-identical because the bloom only over-selects candidates.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        "source", "doc_id", fp.alias("fingerprint")
+    )
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fingerprint"))
+    new_keys = new.select("fingerprint").distinct()
+    dup_keys = (
+        hist.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
+    )
+    marked = new.join(
+        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "fingerprint", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )
