@@ -569,3 +569,128 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_abs_err"),
         F.round(dot / (norm_e * norm_d), 9).alias("cos_fidelity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster embeddings, drop near-copies
+# within each cluster.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8       # deterministic seed centroids: vec_id 0..K-1
+SEMDEDUP_TAU = 0.25  # near-copy threshold (synthetic corpus is near-
+                     # orthogonal, max pairwise cosine ~0.51 — real text
+                     # embeddings would use ~0.95+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH d AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < {SEMDEDUP_K}),
+scored AS (
+    SELECT d.vec_id, c.cid,
+           round(
+             list_reduce(list_transform(list_zip(d.v, c.cv), p -> p[1] * p[2]),
+                         (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(d.v, x -> x * x), (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (acc, x) -> acc + x))),
+             9) AS sim
+    FROM d, c
+),
+assigned AS (
+    SELECT vec_id, cid
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT b.vec_id AS dup_id
+    FROM assigned a
+    JOIN assigned b ON b.cid = a.cid AND b.vec_id > a.vec_id
+    JOIN d da ON da.vec_id = a.vec_id
+    JOIN d db ON db.vec_id = b.vec_id
+    WHERE round(
+            list_reduce(list_transform(list_zip(da.v, db.v), p -> p[1] * p[2]),
+                        (acc, x) -> acc + x)
+            / (sqrt(list_reduce(list_transform(da.v, x -> x * x), (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_transform(db.v, x -> x * x), (acc, x) -> acc + x))),
+            9) >= {SEMDEDUP_TAU}
+),
+dups AS (SELECT DISTINCT dup_id FROM pairs)
+SELECT a.cid AS cluster_id,
+       count(*) AS n_vecs,
+       CAST(SUM(CASE WHEN dups.dup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       CAST(SUM(CASE WHEN dups.dup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM assigned a LEFT JOIN dups ON dups.dup_id = a.vec_id
+GROUP BY 1
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("dedup", "semantic", "embedding"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every embedding to its
+    nearest seed centroid (deterministic seeds: vec_id < K, cosine
+    argmax with lowest-centroid tie-break), then inside each cluster
+    mark a vector as a semantic duplicate if ANY earlier (lower vec_id)
+    cluster member is within cosine >= tau. Reported per cluster.
+
+    The declarative "earlier in-cluster neighbor" rule (rather than the
+    greedy keep-chain) is what makes the operator replayable as plain
+    SQL on both engines; on near-duplicate CLUSTERS the two rules pick
+    the same survivors (the lowest-id member survives either way).
+
+    Scale posture: centroids are a broadcast literal-sized relation, so
+    assignment is a map-side crossJoin (K comparisons/vector, no
+    shuffle); the pairwise stage self-joins WITHIN clusters only
+    (one shuffle on cluster id, Σ cluster² work — the SemDeDup bargain:
+    clustering bounds the quadratic term), and real deployments shard
+    oversized clusters before pairing. Float discipline as above:
+    double-cast, sequential folds, round(9) before any comparison."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    d = e.select("vec_id", emb.alias("v"))
+    cents = d.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim_c = F.round(
+        _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))), 9
+    )
+    assigned = (
+        d.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", sim_c.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("best"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", (-F.col("best.ncid")).cast("long").alias("cid"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim_p = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        9,
+    )
+    dups = (
+        a.join(b, (F.col("b.cid") == F.col("a.cid")) & (F.col("b.vec_id") > F.col("a.vec_id")))
+        .filter(sim_p >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned.vec_id == dups.dup_id, "left")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("dup_id").isNotNull(), 1).otherwise(0)).alias("n_dups"),
+            F.sum(F.when(F.col("dup_id").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+    )

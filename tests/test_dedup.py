@@ -209,3 +209,16 @@ def test_int8_quantization_invariants(spark, sf_dir):
         assert r.max_abs_err <= r.scale / 2 + 1e-9
         # 64-dim gaussian-ish vectors keep >0.99 cosine after int8
         assert r.cos_fidelity > 0.99
+
+
+def test_semantic_dedup_non_vacuous(spark, sf_dir):
+    from kamiyo_hive_spark.operators.similarity import (
+        SEMDEDUP_K,
+        semantic_dedup_embeddings,
+    )
+
+    rows = semantic_dedup_embeddings(spark, sf_dir).collect()
+    assert len(rows) == SEMDEDUP_K
+    assert sum(r.n_dups for r in rows) > 0          # threshold actually fires
+    assert all(r.n_kept >= 1 for r in rows)          # never empties a cluster
+    assert all(r.n_dups + r.n_kept == r.n_vecs for r in rows)
