@@ -941,11 +941,15 @@ def simhash_algebra_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept
     FROM (
-        SELECT source, doc_id, md5(lower(trim(text))) AS fingerprint
+        SELECT source, doc_id,
+               md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 8), ' '))
+                   AS fingerprint
         FROM documents WHERE doc_id % 10 = 0
     ) d
     LEFT JOIN (
-        SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+        SELECT DISTINCT
+               md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 8), ' '))
+                   AS fingerprint
         FROM documents WHERE doc_id % 10 <> 0
     ) h ON h.fingerprint = d.fingerprint
     GROUP BY 1
@@ -960,6 +964,13 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline, where history is orders of magnitude larger
     than the increment.
 
+    Fingerprint = md5 of the first 8 normalized tokens — boilerplate/
+    template dedup semantics. (Chosen deliberately: the synthetic
+    corpus contains NO byte-exact duplicate texts, so a full-content
+    hash would make the dup branch vacuous — the generator plants
+    shared PREFIXES instead, and prefix fingerprinting is also what
+    real pipelines run to kill templated boilerplate.)
+
     Plan (the 100 TB posture is the whole point): history is NEVER
     shuffled. The new batch's distinct fingerprints are entity-scale
     and explicitly `broadcast()` to the history scan, which is pruned
@@ -973,7 +984,12 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-identical because the bloom only over-selects candidates.
     """
     d = table(spark, sf_dir, "documents")
-    fp = F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
+    fp = F.md5(
+        F.encode(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8)),
+            "UTF-8",
+        )
+    )
     new = d.filter(F.col("doc_id") % 10 == 0).select(
         "source", "doc_id", fp.alias("fingerprint")
     )
@@ -981,6 +997,144 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_keys = new.select("fingerprint").distinct()
     dup_keys = (
         hist.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
+    )
+    marked = new.join(
+        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "fingerprint", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle="""
+    SELECT d.source,
+           count(*) AS n_new,
+           CAST(SUM(CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM (
+        SELECT source, doc_id,
+               md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 8), ' '))
+                   AS fingerprint
+        FROM documents WHERE doc_id % 10 = 0
+    ) d
+    LEFT JOIN (
+        SELECT DISTINCT
+               md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 8), ' '))
+                   AS fingerprint
+        FROM documents WHERE doc_id % 10 <> 0
+    ) h ON h.fingerprint = d.fingerprint
+    GROUP BY 1
+    ORDER BY source
+    """,
+    tags=("dedup", "incremental", "bloom"),
+)
+def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefilter scale path promised by
+    `incremental_dedup_new_docs` — RESULT-IDENTICAL (same oracle): the
+    bloom only over-selects history candidates and an exact join
+    confirms them, so false positives cannot change the answer.
+
+    Shape, in the order a 100 TB deployment executes it:
+      1. BUILD (distributed): each partition of the new batch folds its
+         fingerprints into an m-bit partial bloom (Arrow-batched numpy
+         bitset, k=7 positions per key via Kirsch-Mitzenmacher double
+         hashing h1+i*h2 from the md5 halves — no extra hash passes);
+         partials OR-reduce through one single-group stage. m scales
+         with the increment (~10 bits/doc), NOT with history.
+      2. PROBE (map-side): the ~m/8-byte filter ships as a Spark
+         broadcast; history is scanned once and rows failing
+         `might_contain` drop before any exchange — history is never
+         shuffled, same as the exact variant, but the surviving
+         candidate set is ≈ |new ∩ history| + FP·|history| rows even
+         when the increment itself is too large to broadcast exactly.
+      3. CONFIRM (exact): candidates semi-join the increment's
+         fingerprints; survivors mark dups.
+
+    Both the build and probe position functions are the SAME nested
+    Python (shipped by value), so engine-side hash parity is by
+    construction rather than by cross-language reimplementation.
+    Fingerprint semantics match `incremental_dedup_new_docs` (8-token
+    prefix — see its docstring for why full-content hashing would be
+    vacuous on this corpus).
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8)),
+            "UTF-8",
+        )
+    )
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        "source", "doc_id", fp.alias("fingerprint")
+    )
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fingerprint"))
+
+    new_keys = new.select("fingerprint").distinct()
+    n_new = new_keys.count()  # metadata-sized action; sizes the filter
+    m_bits = max(1 << 13, 1 << (int(n_new * 10 - 1).bit_length()))  # ~10 bits/key, pow2
+    k_hashes = 7
+    mask = m_bits - 1
+
+    def positions(series):
+        # Kirsch-Mitzenmacher: k positions from the two md5 halves.
+        import numpy as np
+
+        h1 = series.str.slice(0, 15).apply(lambda s: int(s, 16)).to_numpy(np.int64)
+        h2 = series.str.slice(16, 31).apply(lambda s: int(s, 16)).to_numpy(np.int64)
+        return [(h1 + i * h2) & mask for i in range(k_hashes)]
+
+    def build_partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        saw = False
+        for pdf in batches:
+            if len(pdf):
+                saw = True
+                for pos in positions(pdf["fingerprint"]):
+                    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if saw:
+            yield pd.DataFrame({"part": [bits.tobytes()]})
+
+    partials = new_keys.mapInPandas(build_partial, "part binary")
+
+    def or_reduce(pdf):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in pdf["part"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    bloom_bytes = (
+        partials.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(or_reduce, "bloom binary")
+        .collect()[0]["bloom"]
+    )
+    bloom_bc = spark.sparkContext.broadcast(bloom_bytes)
+
+    def might_contain(batches):
+        import numpy as np
+
+        bits = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hit = np.ones(len(pdf), dtype=bool)
+            for pos in positions(pdf["fingerprint"]):
+                hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+            out = pdf[hit]
+            if len(out):
+                yield out
+
+    candidates = hist.mapInPandas(might_contain, "fingerprint string")
+    dup_keys = (
+        candidates.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
     )
     marked = new.join(
         F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "fingerprint", "left"

@@ -222,3 +222,21 @@ def test_semantic_dedup_non_vacuous(spark, sf_dir):
     assert sum(r.n_dups for r in rows) > 0          # threshold actually fires
     assert all(r.n_kept >= 1 for r in rows)          # never empties a cluster
     assert all(r.n_dups + r.n_kept == r.n_vecs for r in rows)
+
+
+def test_incremental_bloom_matches_exact(spark, sf_dir):
+    from kamiyo_hive_spark.operators.dedup import (
+        incremental_dedup_bloom,
+        incremental_dedup_new_docs,
+    )
+
+    exact = {
+        r.source: (r.n_new, r.n_kept)
+        for r in incremental_dedup_new_docs(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.source: (r.n_new, r.n_kept)
+        for r in incremental_dedup_bloom(spark, sf_dir).collect()
+    }
+    assert bloom == exact  # bloom only over-selects; exact confirm fixes it
+    assert any(kept < n for n, kept in bloom.values())  # dups actually exist
