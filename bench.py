@@ -81,10 +81,16 @@ def main() -> None:
 
     keep = set(persistent_rdds())
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Comma-separated subset for smoke runs (tests/test_bench_smoke.py
+    # keeps the harness itself from silently breaking between rounds).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     timings: dict[str, float] = {}
     for name in sorted(registry):
         spec = registry[name]
         if not spec.bench:
+            continue
+        if only_set is not None and name not in only_set:
             continue
         best = float("inf")
         for _ in range(reps):
@@ -108,7 +114,10 @@ def main() -> None:
     # Spark chatter and only a tail survived. Durable copy goes to a
     # file; the stdout line is printed LAST, after spark.stop(), so no
     # further JVM output can interleave with or follow it.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f)
         f.write("\n")
     spark.stop()

@@ -32,3 +32,26 @@ def test_no_global_window_orderby():
         "global (partition-less) Window.orderBy is banned — use "
         f"global_sorted_index or a closed-form rank instead: {offenders}"
     )
+
+
+def test_filters_reach_parquet_scan(spark, sf_dir):
+    """Representative predicates must appear as PushedFilters on the
+    parquet scan (the 'filters reach the scan' design rule — at 100 TB
+    row-group statistics pruning is the first line of defense)."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    reg = load_registry()
+    expectations = {
+        "flagship_runs_listing": "EqualTo(c_mktsegment,BUILDING)",
+        "conj_filter_parts": "EqualTo(p_type,ECONOMY)",
+        "ci_substring_search": "IsNotNull(p_name)",
+    }
+    for name, frag in expectations.items():
+        plan = (
+            reg[name]
+            .builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert frag in plan, f"{name}: expected pushed filter {frag!r} in scan"
