@@ -350,6 +350,77 @@ def merkle_poseidon_commitment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merkle_proof_poseidon(
+    leaves: DataFrame, id_col: str, value_col: str, target_id
+) -> tuple[list[dict], int]:
+    """(proof_path, root) for one leaf of the Poseidon commitment — the
+    membership proof the reference's client verifies before submitting
+    a ZK claim (`packages/hive-sdk/src/swarmteams/client.ts:59-63`,
+    `merkle.ts:169-195`).
+
+    Proof generation is an OFFLINE, per-entity operation: the sorted
+    leaf hashes are entity-scale metadata (one field element per leaf),
+    so the fold walks the levels driver-side — the distributed path for
+    the root itself stays `merkle_root_poseidon`. Returns
+    ([{level, sibling, sibling_is_left}...], root_int)."""
+    from kamiyo_hive_spark.functions.poseidon import (
+        field_from_bytes,
+        poseidon_hash,
+        zero_hashes,
+    )
+
+    rows = sorted(
+        leaves.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(value_col).cast("string").alias("v"),
+        ).collect(),
+        key=lambda r: r["id"],
+    )
+    if not rows:
+        raise ValueError("empty leaf set")
+    ids = [r["id"] for r in rows]
+    try:
+        pos = ids.index(target_id)
+    except ValueError:
+        raise KeyError(f"{target_id!r} not found in leaf set") from None
+    level = [
+        poseidon_hash([int(r["id"]), field_from_bytes(str(r["v"]).encode())])
+        for r in rows
+    ]
+    depth = max(1, (len(level) - 1).bit_length())
+    zs = zero_hashes(depth)
+    proof = []
+    for lvl in range(depth):
+        sib = pos ^ 1
+        sibling = level[sib] if sib < len(level) else zs[lvl]
+        proof.append(
+            {"level": lvl, "sibling": sibling, "sibling_is_left": sib < pos}
+        )
+        level = [
+            poseidon_hash(
+                [level[i], level[i + 1] if i + 1 < len(level) else zs[lvl]]
+            )
+            for i in range(0, len(level), 2)
+        ]
+        pos //= 2
+    return proof, level[0]
+
+
+def verify_poseidon_proof(leaf_id, leaf_value, proof: list, expected_root: int) -> bool:
+    """Client-side verification: fold the leaf hash up the proof path.
+    Pure Python by design — this is what a CONSUMER of the commitment
+    runs, without Spark (mirrors `merkle.ts:169-195`)."""
+    from kamiyo_hive_spark.functions.poseidon import field_from_bytes, poseidon_hash
+
+    h = poseidon_hash([int(leaf_id), field_from_bytes(str(leaf_value).encode())])
+    for step in sorted(proof, key=lambda s: s["level"]):
+        pair = (
+            [step["sibling"], h] if step["sibling_is_left"] else [h, step["sibling"]]
+        )
+        h = poseidon_hash(pair)
+    return h == expected_root
+
+
 def merkle_proof(leaves: DataFrame, id_col: str, value_col: str, target_id) -> DataFrame:
     """(level, sibling_hash, sibling_is_left) proof path for one leaf.
 

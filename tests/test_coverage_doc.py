@@ -17,7 +17,7 @@ NON_QUERY_TOKENS = {
     "connected_components", "merkle_proof", "verify_merkle_proof",
     "llm_batch_infer", "tier_band", "init_warehouse", "queries",
     "oracle_sql", "might_contain", "persist", "lead", "explain",
-    "merkle_root_poseidon",
+    "merkle_root_poseidon", "merkle_proof_poseidon", "verify_poseidon_proof",
 }
 
 # queries registered only when a runtime feature exists (may be absent)

@@ -83,3 +83,24 @@ def test_registered_commitment_audit(spark, sf_dir):
     assert row["root_in_field"] is True
     assert row["matches_reference"] is True
     assert row["n_leaves"] > 0
+
+
+def test_poseidon_proof_roundtrip(spark, sf_dir):
+    from kamiyo_hive_spark.operators.merkle import (
+        merkle_proof_poseidon,
+        verify_poseidon_proof,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    some = [r.c_custkey for r in c.select("c_custkey").orderBy("c_custkey").limit(3).collect()]
+    # proof root must equal the distributed fold's root
+    spark_root = int(
+        merkle_root_poseidon(c, "c_custkey", "c_name").collect()[0]["root"], 16
+    )
+    for key in some:
+        name = c.filter(c.c_custkey == key).collect()[0]["c_name"]
+        proof, root = merkle_proof_poseidon(c, "c_custkey", "c_name", key)
+        assert root == spark_root
+        assert verify_poseidon_proof(key, name, proof, root)
+        assert not verify_poseidon_proof(key, name + "x", proof, root)  # tampered value
+        assert not verify_poseidon_proof(key + 10**9, name, proof, root)  # wrong id
