@@ -57,3 +57,22 @@ def test_merkle_proof_verifies_and_rejects(spark):
     assert verify_merkle_proof(6, "agent-6", proof, root)
     assert not verify_merkle_proof(6, "agent-TAMPERED", proof, root)
     assert not verify_merkle_proof(7, "agent-7", proof, root)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 8, 9, 16, 17, 33, 100])
+def test_block_fold_edge_sizes(spark, n):
+    """The aligned-block fold must equal the sequential reference fold
+    at every topology edge: single leaf, exact powers of two (block
+    boundary == tree boundary), one-over (a lone node folding against
+    virtual zeros all the way up), and non-aligned tails — with
+    block_bits small enough to force multi-block + top-fold paths."""
+    rows = [(i * 7 + 1, f"v{i}") for i in range(n)]  # non-contiguous ids
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = merkle_root(df, "k", "v", block_bits=2).collect()[0]
+    expected_root, expected_depth = python_merkle_root([(k, v) for k, v in rows])
+    assert got["root"] == expected_root
+    assert got["depth"] == expected_depth
+    assert got["n_leaves"] == n

@@ -104,3 +104,18 @@ def test_poseidon_proof_roundtrip(spark, sf_dir):
         assert verify_poseidon_proof(key, name, proof, root)
         assert not verify_poseidon_proof(key, name + "x", proof, root)  # tampered value
         assert not verify_poseidon_proof(key + 10**9, name, proof, root)  # wrong id
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 9, 16, 17, 33])
+def test_poseidon_fold_edge_sizes(spark, n):
+    from kamiyo_hive_spark.operators.merkle import merkle_root_poseidon
+
+    rows = [(i * 3 + 2, f"w{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = merkle_root_poseidon(df, "k", "v", block_bits=2).collect()[0]
+    leaves = [
+        poseidon_hash([k, field_from_bytes(v.encode())]) for k, v in sorted(rows)
+    ]
+    depth = max(1, (n - 1).bit_length())
+    assert int(got["root"], 16) == sequential_merkle_root(leaves, depth)
+    assert got["depth"] == depth and got["n_leaves"] == n
