@@ -330,7 +330,7 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT DISTINCT c.c_nationkey AS cn, s.s_nationkey AS sn
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -338,7 +338,7 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         WHERE c.c_nationkey <> s.s_nationkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT least(cn, sn) AS a, greatest(cn, sn) AS b FROM pairs
     ),
     tri AS (
