@@ -46,14 +46,22 @@ def _with_shard(
     shard = F.lit(0)
     for b in bounds:
         shard = shard + (F.col(lead_col) > F.lit(b)).cast("int")
-    return df.withColumn("_shard", shard)
+    # NULL lead values (approxQuantile ignores them; a bare comparison
+    # would propagate NULL into _shard and crash the driver-side offset
+    # sort) land in shard 0 — consistent with Spark's default
+    # nulls-first ascending order inside the per-shard window.
+    return df.withColumn(
+        "_shard", F.when(F.col(lead_col).isNull(), F.lit(0)).otherwise(shard)
+    )
 
 
-def global_sorted_index(
+def global_sorted_index_counted(
     df: DataFrame, id_col: str, *more_cols: str, num_shards: int | None = None
-) -> DataFrame:
-    """Add a 0-based dense `idx` column = rank of the key tuple in the
-    global sort order, without a single-partition window."""
+) -> tuple[DataFrame, int]:
+    """(indexed df, total row count). The per-shard counts collected for
+    the offset pass already sum to the total, so callers that need n
+    (Merkle depth, ntile bucket sizes) get it WITHOUT their own
+    `count()` — one fewer full scan per query."""
     spark = df.sparkSession
     nparts = num_shards or spark.sparkContext.defaultParallelism
     sharded = _with_shard(df, id_col, nparts).repartition(nparts, "_shard")
@@ -67,12 +75,23 @@ def global_sorted_index(
         acc += r["c"]
     offset_df = spark.createDataFrame(offsets, "_shard int, _offset long")
     w = Window.partitionBy("_shard").orderBy(id_col, *more_cols)
-    return (
+    indexed = (
         sharded.withColumn("_local", F.row_number().over(w) - 1)
         .join(F.broadcast(offset_df), "_shard")
         .withColumn("idx", F.col("_local") + F.col("_offset"))
         .drop("_shard", "_local", "_offset")
     )
+    return indexed, acc
+
+
+def global_sorted_index(
+    df: DataFrame, id_col: str, *more_cols: str, num_shards: int | None = None
+) -> DataFrame:
+    """Add a 0-based dense `idx` column = rank of the key tuple in the
+    global sort order, without a single-partition window."""
+    return global_sorted_index_counted(
+        df, id_col, *more_cols, num_shards=num_shards
+    )[0]
 
 
 def global_prefix_sum(

@@ -604,10 +604,12 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ORDER BY ...)` at any scale, but the plan is one range shuffle +
     parallel windows instead of funneling the fact table through one
     task."""
-    from kamiyo_hive_spark.operators.merkle import global_sorted_index
+    from kamiyo_hive_spark.functions.ranks import global_sorted_index_counted
 
     o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    n = o.count()
+    # One pass: the rank's shard-count collect supplies n — no separate
+    # count() scan over the fact table.
+    indexed, n = global_sorted_index_counted(o, "o_totalprice", "o_orderkey")
     big = n // 10 + 1
     n_big = n % 10
     small = max(n // 10, 1)
@@ -618,9 +620,7 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         + 1
     )
-    ranked = global_sorted_index(o, "o_totalprice", "o_orderkey").select(
-        "o_totalprice", decile.alias("decile")
-    )
+    ranked = indexed.select("o_totalprice", decile.alias("decile"))
     return (
         ranked.groupBy("decile")
         .agg(

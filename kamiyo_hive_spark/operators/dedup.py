@@ -933,9 +933,10 @@ def simhash_algebra_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.select("doc_id", sim.alias("simhash32"))
 
 
-@register(
-    "incremental_dedup_new_docs",
-    oracle="""
+# Shared by both incremental-dedup variants: the DuckDB twin and the
+# (new batch, history) frame split — ONE definition so the documented
+# result-identity between the exact and bloom paths cannot drift.
+_INCREMENTAL_ORACLE = """
     SELECT d.source,
            count(*) AS n_new,
            CAST(SUM(CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -954,7 +955,40 @@ def simhash_algebra_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) h ON h.fingerprint = d.fingerprint
     GROUP BY 1
     ORDER BY source
-    """,
+"""
+
+
+def _incremental_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(new batch with 8-token-prefix fingerprints, history fingerprints)."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.encode(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8)),
+            "UTF-8",
+        )
+    )
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        "source", "doc_id", fp.alias("fingerprint")
+    )
+    hist = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fingerprint"))
+    return new, hist
+
+
+def _mark_and_rollup(new: DataFrame, dup_keys: DataFrame) -> DataFrame:
+    """Mark each new doc kept/dup via a broadcast join and roll up per
+    source — the shared tail of both variants."""
+    marked = new.join(
+        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "fingerprint", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle=_INCREMENTAL_ORACLE,
     tags=("dedup", "incremental", "cross-snapshot"),
 )
 def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,52 +1017,17 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8-10 bits/doc) with an exact confirm join on the survivors —
     result-identical because the bloom only over-selects candidates.
     """
-    d = table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.encode(
-            F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8)),
-            "UTF-8",
-        )
-    )
-    new = d.filter(F.col("doc_id") % 10 == 0).select(
-        "source", "doc_id", fp.alias("fingerprint")
-    )
-    hist = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fingerprint"))
+    new, hist = _incremental_frames(spark, sf_dir)
     new_keys = new.select("fingerprint").distinct()
     dup_keys = (
         hist.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
     )
-    marked = new.join(
-        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "fingerprint", "left"
-    )
-    return marked.groupBy("source").agg(
-        F.count("*").alias("n_new"),
-        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
-    )
+    return _mark_and_rollup(new, dup_keys)
 
 
 @register(
     "incremental_dedup_bloom",
-    oracle="""
-    SELECT d.source,
-           count(*) AS n_new,
-           CAST(SUM(CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept
-    FROM (
-        SELECT source, doc_id,
-               md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 8), ' '))
-                   AS fingerprint
-        FROM documents WHERE doc_id % 10 = 0
-    ) d
-    LEFT JOIN (
-        SELECT DISTINCT
-               md5(array_to_string(list_slice(string_split(lower(trim(text)), ' '), 1, 8), ' '))
-                   AS fingerprint
-        FROM documents WHERE doc_id % 10 <> 0
-    ) h ON h.fingerprint = d.fingerprint
-    GROUP BY 1
-    ORDER BY source
-    """,
+    oracle=_INCREMENTAL_ORACLE,
     tags=("dedup", "incremental", "bloom"),
 )
 def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,17 +1059,7 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix — see its docstring for why full-content hashing would be
     vacuous on this corpus).
     """
-    d = table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.encode(
-            F.concat_ws(" ", F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 8)),
-            "UTF-8",
-        )
-    )
-    new = d.filter(F.col("doc_id") % 10 == 0).select(
-        "source", "doc_id", fp.alias("fingerprint")
-    )
-    hist = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fingerprint"))
+    new, hist = _incremental_frames(spark, sf_dir)
 
     new_keys = new.select("fingerprint").distinct()
     n_new = new_keys.count()  # metadata-sized action; sizes the filter
@@ -1136,10 +1125,4 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_keys = (
         candidates.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
     )
-    marked = new.join(
-        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "fingerprint", "left"
-    )
-    return marked.groupBy("source").agg(
-        F.count("*").alias("n_new"),
-        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_kept"),
-    )
+    return _mark_and_rollup(new, dup_keys)

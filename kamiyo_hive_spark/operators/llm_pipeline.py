@@ -242,10 +242,13 @@ def llm_batch_infer(
     `infer_fn` receives a pandas Series of prompts and returns a Series
     of responses (default: deterministic echo so tests are hermetic).
     Per Arrow batch, prompts are sliced into `batch_size` chunks and
-    dispatched over a bounded thread pool (`max_concurrency` in-flight
-    calls per executor — LLM calls are network-bound, so overlapping
-    them hides latency while the bound is the rate-limit knob; total
-    in-flight across the cluster = executors × max_concurrency). Every
+    dispatched over a bounded thread pool. `max_concurrency` bounds
+    in-flight calls PER TASK (the pool lives in the mapInPandas
+    worker), so the cluster-wide ceiling is
+    `concurrent tasks × max_concurrency` — size it as
+    endpoint_rate_limit / (executors × cores-per-executor), or cap the
+    stage's task count (`df.coalesce(n)`) when the endpoint budget is
+    smaller than the cluster's parallelism. Every
     call is wrapped in `infer_with_retry` (validation + exponential
     backoff), and results reassemble in row order regardless of
     completion order.

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 from kamiyo_hive_spark.catalog import table
 from kamiyo_hive_spark.plans.registry import register
 
-from kamiyo_hive_spark.functions.ranks import global_sorted_index  # noqa: E402
+from kamiyo_hive_spark.functions.ranks import (  # noqa: E402
+    global_sorted_index,
+    global_sorted_index_counted,
+)
 # re-export: price_decile_stats and earlier rounds import it from here
 
 ZERO = "0" * 64  # padding leaf (the reference uses precomputed zero hashes)
@@ -62,7 +65,9 @@ def merkle_root(
     shuffle-per-level ladder, which is why the per-block kernel is
     pandas (Arrow-batched, ~2^block_bits 64-byte rows per group).
     """
-    n = leaves.count()
+    # One pass supplies both the sorted index and n (the shard-count
+    # collect sums to the total) — no separate count() scan.
+    indexed, n = global_sorted_index_counted(leaves, id_col)
     depth = max(1, (n - 1).bit_length())
     kb = min(block_bits, depth)
     zero = ZERO  # captured by VALUE below: the kernels must ship fully
@@ -85,7 +90,7 @@ def merkle_root(
             ]
         return hs[0]
 
-    level = global_sorted_index(leaves, id_col).select(
+    level = indexed.select(
         "idx",
         F.sha2(F.concat_ws(":", F.col(id_col).cast("string"), F.col(value_col).cast("string")), 256).alias("h"),
     )
@@ -214,7 +219,7 @@ def merkle_root_poseidon(
         zero_hashes,
     )
 
-    n = leaves.count()
+    indexed, n = global_sorted_index_counted(leaves, id_col)
     depth = max(1, (n - 1).bit_length())
     kb = min(block_bits, depth)
     c3, m3 = poseidon_params(3)
@@ -247,7 +252,7 @@ def merkle_root_poseidon(
             ]
         return hs[0]
 
-    level = global_sorted_index(leaves, id_col).select(
+    level = indexed.select(
         "idx",
         F.col(id_col).cast("long").alias("_id"),
         F.col(value_col).cast("string").alias("_v"),

@@ -27,13 +27,43 @@ DB = "kamiyo"
 _REGISTERED: dict[str, str] = {}
 
 
+def _stage_events_micros(spark: SparkSession, sf_dir: str, events_path: str) -> str:
+    """Normalize a TIMESTAMP(NANOS) events file to a MICROS parquet
+    staging under `.scratch` (fingerprint-invalidated like every other
+    staging) and return its path. Normalizing AT INGEST is the point:
+    the registered table must be readable by ANY future session — a
+    plain `kamiyo.events` over a NANOS file needs the session-local
+    `nanosAsLong` legacy conf, which a metastore cannot persist, so a
+    restarted session would fail on scan. A landed MICROS copy has no
+    such dependency."""
+    import os
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources.sinks import (
+        SCRATCH,
+        _fingerprint,
+        record_staging,
+        staging_current,
+    )
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    out = f"{SCRATCH}/events_us/{slug}"
+    if not staging_current(out, events_path):
+        fp = _fingerprint(events_path)  # BEFORE the build (regeneration race)
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+        record_staging(out, events_path, fp)
+    return os.path.abspath(out)
+
+
 def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
     """Idempotently (re)register the scale-factor directory as external
     tables `kamiyo.<name>`. The events table's physical timestamp unit
     is sniffed from the parquet footer (the driver has generated BOTH
     TIMESTAMP(NANOS) and TIMESTAMP(MICROS) files across rounds): a
-    NANOS file is exposed as a VIEW over its raw int64 form with the
-    ns→µs conversion baked in; a MICROS file registers directly with
+    NANOS file is normalized to a MICROS staging copy and the table
+    registered over that (see `_stage_events_micros` — a view over the
+    raw NANOS file would need a session conf no metastore can persist,
+    breaking restarted sessions); a MICROS file registers directly with
     its declared schema. Either way SQL users see the same UTC
     microsecond timestamps the DataFrame surface serves. No-op when
     this session already registered the same directory AND the events
@@ -50,8 +80,6 @@ def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
     if _REGISTERED.get(app_id) == reg_key:
         return
     events_is_nanos = _events_ts_is_nanos(events_path)
-    if events_is_nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
     # Type-aware cleanup: DROP TABLE on a view (and vice versa) ERRORS
     # rather than no-ops, so consult the catalog for what each name is.
@@ -59,28 +87,17 @@ def init_warehouse(spark: SparkSession, sf_dir: str) -> None:
     for name, ttype in existing.items():
         kind = "VIEW" if ttype == "VIEW" else "TABLE"
         spark.sql(f"DROP {kind} IF EXISTS {DB}.{name}")
+    spark.sql(f"DROP TABLE IF EXISTS {DB}._events_raw")  # pre-round-2 layout
     for name in TABLES:
+        location = f"{sf_dir}/{name}.parquet"
         if name == "events" and events_is_nanos:
-            spark.sql(f"DROP TABLE IF EXISTS {DB}._events_raw")
-            spark.sql(
-                f"""CREATE TABLE {DB}._events_raw (
-                      event_id BIGINT, ts BIGINT, user_id BIGINT,
-                      event_type STRING, value DOUBLE, props STRING)
-                    USING parquet LOCATION '{events_path}'"""
-            )
-            spark.sql(
-                f"""CREATE VIEW {DB}.events AS
-                    SELECT event_id, timestamp_micros(ts div 1000) AS ts,
-                           user_id, event_type, value, props
-                    FROM {DB}._events_raw"""
-            )
-        else:
-            cols = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in SCHEMAS[name].fields
-            )
-            spark.sql(
-                f"CREATE TABLE {DB}.{name} ({cols}) USING parquet LOCATION '{sf_dir}/{name}.parquet'"
-            )
+            location = _stage_events_micros(spark, sf_dir, events_path)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in SCHEMAS[name].fields
+        )
+        spark.sql(
+            f"CREATE TABLE {DB}.{name} ({cols}) USING parquet LOCATION '{location}'"
+        )
     _REGISTERED[app_id] = reg_key
 
 

@@ -238,3 +238,20 @@ def test_results_invariant_to_shuffle_width(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n, (narrow, wide) in results.items():
         assert narrow == wide, f"{n}: results differ across shuffle widths"
+
+
+def test_global_sorted_index_null_keys(spark):
+    """NULL lead-sort values must not crash the shard-offset pass; they
+    rank first (Spark's nulls-first ascending order, shard 0)."""
+    from kamiyo_hive_spark.functions.ranks import global_sorted_index_counted
+
+    df = spark.createDataFrame(
+        [(None, "a"), (5, "b"), (None, "c"), (1, "d"), (9, "e")],
+        "k int, v string",
+    )
+    indexed, n = global_sorted_index_counted(df, "k", "v", num_shards=3)
+    assert n == 5
+    rows = {r["v"]: r["idx"] for r in indexed.collect()}
+    assert sorted(rows.values()) == [0, 1, 2, 3, 4]
+    assert {rows["a"], rows["c"]} == {0, 1}          # nulls first
+    assert rows["d"] == 2 and rows["b"] == 3 and rows["e"] == 4

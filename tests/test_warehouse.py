@@ -86,3 +86,77 @@ def test_hive_metastore_survives_session_restart(tmp_path, sf_dir):
     assert "ORDERS:" in out and not "ORDERS: 0" in out
     # the persisted view/table must still decode event-time correctly
     assert "EVENTS_MIN_TS: 2024" in out
+
+
+def _make_nanos_sf_dir(tmp_path, sf_dir: str) -> str:
+    """A tmp scale-factor dir whose events.parquet is TIMESTAMP(NANOS)
+    (the other tables symlink to the real testdata)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kamiyo_hive_spark.catalog import TABLES
+
+    d = tmp_path / "sf_nanos"
+    d.mkdir()
+    for name in TABLES:
+        if name != "events":
+            os.symlink(f"{sf_dir}/{name}.parquet", d / f"{name}.parquet")
+    base = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [base, base + datetime.timedelta(hours=1), base + datetime.timedelta(hours=2)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(['{"k":1}', '{"k":2}', '{"k":3}']),
+        }
+    )
+    pq.write_table(t, d / "events.parquet", version="2.6")
+    from kamiyo_hive_spark.catalog import _events_ts_is_nanos
+
+    assert _events_ts_is_nanos(str(d / "events.parquet")), "fixture must be NANOS"
+    return str(d)
+
+
+def test_hive_restart_with_nanos_events(tmp_path, sf_dir):
+    """A NANOS events generation must survive a session restart too: the
+    registered table normalizes to a MICROS staging at init, so a fresh
+    session reads it with NO legacy conf (the round-2 review found the
+    old view-over-raw layout unreadable after restart)."""
+    nanos_dir = _make_nanos_sf_dir(tmp_path, sf_dir)
+    ms_dir = str(tmp_path / "metastore")
+    _run_hive(
+        f"""
+        from kamiyo_hive_spark.session import get_spark
+        from kamiyo_hive_spark.warehouse import init_warehouse
+        spark = get_spark(app_name="hive-writer-ns", shuffle_partitions=2)
+        init_warehouse(spark, {nanos_dir!r})
+        spark.stop()
+        """,
+        ms_dir,
+    )
+    out = _run_hive(
+        """
+        from kamiyo_hive_spark.session import get_spark
+        spark = get_spark(app_name="hive-reader-ns", shuffle_partitions=2)
+        # NO init_warehouse, NO nanosAsLong conf: must read cleanly
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+        rows = spark.sql(
+            "SELECT count(*) AS n, min(ts) AS lo, max(ts) AS hi FROM kamiyo.events"
+        ).collect()[0]
+        print("N:", rows.n)
+        print("LO:", rows.lo.isoformat())
+        print("HI:", rows.hi.isoformat())
+        spark.stop()
+        """,
+        ms_dir,
+    )
+    assert "N: 3" in out
+    assert "LO: 2024-01-05T12:00:00" in out
+    assert "HI: 2024-01-05T14:00:00" in out
