@@ -211,3 +211,59 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(keep * F.col("n_tokens")).cast("long").alias("planned_tokens"),
         )
     )
+
+
+EPOCH_SEED = 1337  # (seed, epoch) pair baked into the key string
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(concat('0x', substr(md5('ep{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+               AS epoch_pos
+    FROM keyed
+    """,
+    tags=("sampling", "dataloader", "shuffle"),
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the dataloader primitive: a global
+    pseudorandom permutation of the corpus keyed by (seed, epoch), so
+    every worker/restart/resume sees the SAME order, and the next epoch
+    (a different seed string) is a fresh permutation.
+
+    The permutation is `rank over hash(seed || doc_id)` — and the rank
+    comes from `global_sorted_index` (range-sharded two-pass), NOT a
+    single-partition window, so the shuffle of a 100 TB corpus is
+    embarrassingly parallel and the assigned positions are invariant to
+    shard count and task layout (the resumability contract). The
+    60-bit md5-prefix key is portable (same `conv`/hex-cast idiom as
+    the MinHash twins), which is what lets DuckDB replay the exact
+    permutation."""
+    from kamiyo_hive_spark.functions.ranks import global_sorted_index
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit(f"ep{EPOCH_SEED}:"), F.col("doc_id").cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.withColumn("shuffle_key", key)
+    return global_sorted_index(keyed, "shuffle_key", "doc_id").select(
+        "doc_id", "source", F.col("idx").alias("epoch_pos")
+    )

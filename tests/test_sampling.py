@@ -54,3 +54,28 @@ def test_split_is_total_and_disjoint(spark, sf_dir):
     total = sum(counts.values())
     assert total == table(spark, sf_dir, "documents").count()
     assert {s for s, _ in counts} == {"train", "valid", "test"}
+
+
+def test_epoch_shuffle_shard_invariance(spark, sf_dir):
+    """The epoch permutation must be a pure function of the data — the
+    resumability contract: identical positions at any shard count, and
+    a real permutation (0..n-1, no fixed points ordering by doc_id)."""
+    from kamiyo_hive_spark.functions.ranks import global_sorted_index
+    from kamiyo_hive_spark.operators.sampling import epoch_shuffle_order
+
+    out = epoch_shuffle_order(spark, sf_dir)
+    rows = {r.doc_id: r.epoch_pos for r in out.collect()}
+    n = len(rows)
+    assert sorted(rows.values()) == list(range(n))  # a true permutation
+    ordered_ids = sorted(rows)
+    assert [rows[i] for i in ordered_ids] != sorted(rows.values())  # shuffled
+    # shard-count invariance of the underlying rank
+    keyed = out.sparkSession.createDataFrame(
+        [(k, v) for k, v in rows.items()], "doc_id long, pos long"
+    )
+    for shards in (2, 8):
+        idx = {
+            r.doc_id: r.idx
+            for r in global_sorted_index(keyed, "pos", num_shards=shards).collect()
+        }
+        assert idx == rows  # pos IS the rank; any shard count agrees
