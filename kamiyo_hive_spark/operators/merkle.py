@@ -434,10 +434,10 @@ def merkle_proof(leaves: DataFrame, id_col: str, value_col: str, target_id) -> D
     prunes to two rows before anything is collected, so proof generation
     costs one extra filtered pass per level — log2(n) tiny jobs.
     """
-    n = leaves.count()
+    indexed, n = global_sorted_index_counted(leaves, id_col)
     depth = max(1, (n - 1).bit_length())
 
-    ranked = global_sorted_index(leaves, id_col).select(
+    ranked = indexed.select(
         "idx", F.col(id_col).alias("id"), F.col(value_col).alias("v")
     )
     target_idx = ranked.filter(F.col("id") == target_id).select("idx").collect()
