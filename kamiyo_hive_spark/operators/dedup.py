@@ -1060,8 +1060,22 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous on this corpus).
     """
     new, hist = _incremental_frames(spark, sf_dir)
-
     new_keys = new.select("fingerprint").distinct()
+    candidates = bloom_prefilter(spark, new_keys, hist)
+    dup_keys = (
+        candidates.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
+    )
+    return _mark_and_rollup(new, dup_keys)
+
+
+def bloom_prefilter(
+    spark: SparkSession, new_keys: DataFrame, hist: DataFrame
+) -> DataFrame:
+    """Filter `hist` to rows whose `fingerprint` might be in `new_keys`
+    (never drops a true match; FP rate ~1% at 10 bits/key). Factored
+    out so pruning EFFECTIVENESS is testable separately from result
+    identity — a pass-everything bloom would still produce correct
+    results while silently killing the scale property."""
     n_new = new_keys.count()  # metadata-sized action; sizes the filter
     m_bits = max(1 << 13, 1 << (int(n_new * 10 - 1).bit_length()))  # ~10 bits/key, pow2
     k_hashes = 7
@@ -1121,8 +1135,4 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(out):
                 yield out
 
-    candidates = hist.mapInPandas(might_contain, "fingerprint string")
-    dup_keys = (
-        candidates.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
-    )
-    return _mark_and_rollup(new, dup_keys)
+    return hist.mapInPandas(might_contain, "fingerprint string")

@@ -240,3 +240,22 @@ def test_incremental_bloom_matches_exact(spark, sf_dir):
     }
     assert bloom == exact  # bloom only over-selects; exact confirm fixes it
     assert any(kept < n for n, kept in bloom.values())  # dups actually exist
+
+
+def test_bloom_prefilter_actually_prunes(spark, sf_dir):
+    """Pruning effectiveness, not just result identity: the candidate
+    set must contain every true match and stay close to it (FP rate is
+    ~1% of history at 10 bits/key), far below the full history size."""
+    from kamiyo_hive_spark.operators.dedup import (
+        _incremental_frames,
+        bloom_prefilter,
+    )
+
+    new, hist = _incremental_frames(spark, sf_dir)
+    new_keys = new.select("fingerprint").distinct()
+    n_hist = hist.count()
+    true_matches = hist.join(new_keys, "fingerprint", "leftsemi").count()
+    n_cand = bloom_prefilter(spark, new_keys, hist).count()
+    assert n_cand >= true_matches            # never drops a true match
+    assert n_cand <= true_matches + max(20, int(0.05 * n_hist))  # prunes
+    assert n_cand < n_hist                   # not pass-everything
