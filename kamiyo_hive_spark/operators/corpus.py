@@ -319,3 +319,118 @@ def source_cap_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cluster-balanced curation (DoReMi/cluster-reweighting shape)
+# ---------------------------------------------------------------------------
+
+CBC_K = 8  # semantic clusters (seed centroids: vec_id < K)
+
+_CBC_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                            (acc, y) -> acc + y))) AS nv
+    FROM raw
+),
+c AS (SELECT vec_id AS cid, nv AS cv FROM d WHERE vec_id < {CBC_K}),
+scored AS (
+    SELECT d.vec_id, c.cid,
+           round(list_reduce(list_transform(list_zip(d.nv, c.cv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x), 9) AS sim
+    FROM d, c
+),
+assigned AS (
+    SELECT vec_id, cid
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+clus AS (
+    SELECT a.cid AS cluster_id,
+           count(*) AS n_docs,
+           CAST(SUM(doc.n_chars) AS BIGINT) AS total_chars
+    FROM assigned a JOIN documents doc ON doc.doc_id = a.vec_id
+    GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(total_chars) AS DOUBLE) / {CBC_K} AS budget FROM clus)
+SELECT cluster_id, n_docs, total_chars,
+       round(least(1.0, tot.budget / total_chars), 9) AS keep_rate
+FROM clus, tot
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "cluster_balanced_curation",
+    oracle=_CBC_ORACLE,
+    tags=("curation", "embedding", "mixture"),
+)
+def cluster_balanced_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster-balanced sampling plan: assign every document to
+    its nearest seed centroid in embedding space (the SemDeDup seeding
+    convention, K=8), then give each cluster an equal share of the
+    corpus character budget and emit the per-cluster keep-rate — the
+    cluster-reweighting curation shape (DoReMi-style domain balancing,
+    but with machine-discovered semantic domains instead of source
+    labels).
+
+    Cross-modal by construction: embeddings drive the grouping, the
+    documents table supplies the cost (chars); they join on the shared
+    id. Scale posture: centroid assignment is a map-side broadcast
+    crossJoin + per-vector argmax (no shuffle beyond the id groupBy);
+    the doc join is an equi-join on the primary key (co-partitioned on
+    a real lake); cluster totals and the grand-total budget are
+    metadata-sized aggregates joined back via broadcast. keep_rate is
+    one double division rounded to 9 dp — deterministic on any engine.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    d = (
+        e.select("vec_id", emb.alias("v"))
+        .withColumn("_n", nrm)
+        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"))
+    )
+    cents = d.filter(F.col("vec_id") < CBC_K).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        d.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", F.round(dot, 9).alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).cast("long").alias("cid"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clus = (
+        assigned.join(docs, assigned.vec_id == docs.doc_id)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    tot = clus.agg(
+        (F.sum("total_chars").cast("double") / CBC_K).alias("budget")
+    )
+    return clus.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.least(F.lit(1.0), F.col("budget") / F.col("total_chars")), 9
+        ).alias("keep_rate"),
+    )

@@ -572,6 +572,166 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): 8-byte codes + ADC.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (64-dim vectors -> 8 sub-vectors of 8 dims)
+PQ_C = 16         # centroids per subspace codebook
+PQ_SUB = 8        # dims per subspace
+PQ_TOP_K = 10
+
+_PQ_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+sub AS (
+    SELECT e.vec_id, ms.m,
+           list_slice(e.v, ms.m * {PQ_SUB} + 1, ms.m * {PQ_SUB} + {PQ_SUB}) AS sv
+    FROM e, ms
+),
+csub AS (
+    SELECT e.vec_id AS cid, ms.m,
+           list_slice(e.v, ms.m * {PQ_SUB} + 1, ms.m * {PQ_SUB} + {PQ_SUB}) AS cs
+    FROM e, ms
+    WHERE e.vec_id < {PQ_C}
+),
+d2 AS (
+    SELECT sub.vec_id, sub.m, csub.cid,
+           round(list_reduce(
+                   list_transform(list_zip(sub.sv, csub.cs),
+                                  p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   (a, x) -> a + x), 9) AS d
+    FROM sub JOIN csub ON sub.m = csub.m
+),
+codes AS (
+    SELECT vec_id, m, cid AS code
+    FROM (SELECT vec_id, m, cid,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+          FROM d2)
+    WHERE rn = 1
+),
+qd AS (SELECT m, cid, d FROM d2 WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+    SELECT c.vec_id,
+           CAST(SUM(CAST(qd.d AS DECIMAL(28, 9))) AS DOUBLE) AS adc_dist
+    FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.code
+    GROUP BY 1
+)
+SELECT a.vec_id, e.label, a.adc_dist
+FROM adc a JOIN e USING (vec_id)
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY a.adc_dist, a.vec_id
+LIMIT {PQ_TOP_K}
+"""
+
+
+@register("knn_pq_adc", oracle=_PQ_ORACLE, tags=("similarity", "ann-pq"))
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the compression half of IVF-PQ, which is how billion-vector indexes
+    actually fit in memory: each 64-dim float vector (256 B) becomes
+    8 one-byte codes (argmin centroid per 8-dim subspace), and query
+    time scans CODES ONLY, looking each one up in a 8x16 table of
+    precomputed query-to-centroid distances.
+
+    Codebooks are deterministic seed vectors (vec_id < 16, the same
+    seeding convention as `semantic_dedup_embeddings`) rather than
+    trained k-means, which keeps the whole operator replayable as SQL
+    on both engines; a production index swaps in trained centroids and
+    changes nothing structural.
+
+    Scale shape — the whole query is ONE scan with ZERO shuffles:
+    codebooks and the ADC table are collected once (metadata-sized
+    index state, the `cosine_topk` query-vector pattern) and baked
+    into the projection as literals, so encode (argmin over 16
+    centroids x 8 subspaces) and ADC (8 array lookups + decimal fold)
+    are pure whole-stage-codegen expressions, and the top-k is a
+    per-partition heap + driver merge (TakeOrderedAndProject). At
+    100 TB the same plan holds: the scan reads the (tiny) code column,
+    never the raw vectors.
+
+    Float discipline: per-subspace distances are sequential
+    `F.aggregate` folds over doubles rounded to 9 dp; the 8-term ADC
+    sum runs in DECIMAL so accumulation order cannot move the hash.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+
+    # Index state (collected once, metadata-sized): 16 seed centroids.
+    seeds = {
+        r["vec_id"]: r["v"]
+        for r in e.filter(F.col("vec_id") < PQ_C)
+        .select("vec_id", emb.alias("v"))
+        .collect()
+    }
+    cent = {
+        (m, c): [float(x) for x in seeds[c][m * PQ_SUB : (m + 1) * PQ_SUB]]
+        for m in range(PQ_M)
+        for c in range(PQ_C)
+    }
+
+    def d2(sub_col: Column, m: int, c: int) -> Column:
+        lit = F.array(*[F.lit(v) for v in cent[(m, c)]])
+        return F.round(
+            F.aggregate(
+                F.zip_with(sub_col, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            9,
+        )
+
+    def sub(m: int) -> Column:
+        return F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
+
+    # Query-side ADC table: distances from the query's sub-vectors to
+    # every centroid, computed by the SAME Spark expressions on the
+    # one query row (engine-identical rounding), then collected.
+    qrow = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(emb.alias("v"))
+        .select(
+            *[
+                d2(sub(m), m, c).alias(f"qd_{m}_{c}")
+                for m in range(PQ_M)
+                for c in range(PQ_C)
+            ]
+        )
+        .collect()[0]
+    )
+    qd = {(m, c): qrow[f"qd_{m}_{c}"] for m in range(PQ_M) for c in range(PQ_C)}
+
+    # Encode + ADC as one zero-shuffle projection.
+    def code(m: int) -> Column:
+        cands = F.array(
+            *[
+                F.struct(d2(sub(m), m, c).alias("d"), F.lit(c).alias("c"))
+                for c in range(PQ_C)
+            ]
+        )
+        return F.sort_array(cands)[0]["c"]
+
+    def adc_term(m: int) -> Column:
+        lut = F.array(*[F.lit(float(qd[(m, c)])) for c in range(PQ_C)])
+        return F.element_at(lut, code(m) + 1).cast("decimal(28,9)")
+
+    adc = adc_term(0)
+    for m in range(1, PQ_M):
+        adc = adc + adc_term(m)
+
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", emb.alias("v"))
+        .select("vec_id", "label", adc.cast("double").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style): cluster embeddings, drop near-copies
 # within each cluster.
 # ---------------------------------------------------------------------------

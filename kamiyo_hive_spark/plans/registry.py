@@ -80,6 +80,7 @@ def load_registry() -> dict[str, QuerySpec]:
             multimodal,
             pipelines,
             relational,
+            retrieval,
             sampling,
             scalars,
             semistructured,
