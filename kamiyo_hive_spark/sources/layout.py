@@ -310,3 +310,147 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v2_total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV ingest + schema-evolution reads (source-format breadth)
+# ---------------------------------------------------------------------------
+
+from kamiyo_hive_spark.sources.sinks import (  # noqa: E402
+    _fingerprint,
+    record_staging,
+    staging_current,
+)
+
+
+def _csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage supplier as headered CSV — the classic landing-zone
+    format. Free-text name fields exercise quoting; doubles must
+    survive text round-trip via shortest repr."""
+    out = os.path.join(SCRATCH, f"supplier_csv_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "supplier.parquet")
+    if staging_current(out, source):
+        return out
+    fp = _fingerprint(source)
+    table(spark, sf_dir, "supplier").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    record_staging(out, source, fp)
+    return out
+
+
+@register(
+    "csv_ingest_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_acctbal,
+           CAST(MIN(s_suppkey) AS BIGINT) AS first_suppkey
+    FROM supplier
+    GROUP BY 1
+    ORDER BY s_nationkey
+    """,
+    tags=("S4", "ingest", "csv"),
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing-zone ingest: write supplier as quoted, headered CSV,
+    read it back with a DECLARED schema (no inference job — at 100 TB
+    schema inference is a full extra scan), aggregate. The oracle
+    computes from the original parquet, so the hash proves the text
+    roundtrip is lossless — quoting, header skip, and double
+    shortest-repr all survive.
+
+    Scale posture: CSV parse is row-local (pipelined into the scan);
+    the declared schema avoids the inference pre-pass; the only
+    exchange is the group-by. Identical plan at any file count."""
+    src = _csv_dir(spark, sf_dir)
+    schema = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    sup = spark.read.schema(schema).option("header", True).csv(src)
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            money_sum(dec("s_acctbal")).alias("total_acctbal"),
+            F.min("s_suppkey").alias("first_suppkey"),
+        )
+    )
+
+
+SCHEMA_EVO_CUTOVER = "1997-01-01 00:00:00"  # rows before: v1 schema (no column)
+
+
+def _schema_evo_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as two parquet generations: gen1 lacks the
+    `o_channel` column (pre-migration writers), gen2 adds it — the
+    additive-column evolution every long-lived lake table goes
+    through."""
+    out = os.path.join(SCRATCH, f"orders_schema_evo_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "orders.parquet")
+    if staging_current(out, source):
+        return out
+    fp = _fingerprint(source)
+    shutil.rmtree(out, ignore_errors=True)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit(SCHEMA_EVO_CUTOVER).cast("timestamp")
+    o.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(
+        os.path.join(out, "gen1")
+    )
+    (
+        o.filter(F.col("o_orderdate") >= cut)
+        .withColumn(
+            "o_channel",
+            F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("store"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "gen2"))
+    )
+    # staging_current needs a root-level _SUCCESS marker
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    record_staging(out, source, fp)
+    return out
+
+
+@register(
+    "schema_evolution_read",
+    oracle=f"""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '{SCHEMA_EVO_CUTOVER}'
+                THEN CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+                ELSE 'unknown' END AS channel,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY channel
+    """,
+    tags=("S4", "ingest", "schema-evolution"),
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: one read over two parquet
+    generations — gen1 written before `o_channel` existed, gen2 after.
+    `mergeSchema` unions the footers; gen1 rows surface the new column
+    as NULL, normalized to 'unknown' at read (the standard
+    backfill-free migration contract). The oracle reconstructs the
+    same channel logic from the source table, hash-checking that no
+    row was lost or mis-defaulted across generations.
+
+    Scale posture: schema merge reads FOOTERS, not data (one metadata
+    pass over file schemas); per-row work is a null-coalesce; the only
+    exchange is the group-by. A lake table with years of mixed-schema
+    files reads with this exact plan."""
+    src = _schema_evo_dir(spark, sf_dir)
+    evolved = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(src, "gen1"), os.path.join(src, "gen2")
+    )
+    return (
+        evolved.select(
+            F.coalesce(F.col("o_channel"), F.lit("unknown")).alias("channel"),
+            "o_totalprice",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+    )
