@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from kamiyo_hive_spark.catalog import table
 from kamiyo_hive_spark.functions.money import dec, money_sum
 from kamiyo_hive_spark.plans.registry import register
-from kamiyo_hive_spark.sources.sinks import SCRATCH
+from kamiyo_hive_spark.sources.sinks import (
+    SCRATCH,
+    _fingerprint,
+    record_staging,
+    staging_current,
+)
 
 # ---------------------------------------------------------------------------
 # Z-order layout
@@ -83,8 +88,17 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
     """Stage lineitem z-ordered on (l_partkey, l_suppkey): bucket both
     keys by global min/max (one metadata-sized agg, broadcast), Morton-
     interleave, range-partition on the z-value, sort within partitions
-    so parquet row groups get tight min/max stats on BOTH keys."""
-    out = os.path.join(SCRATCH, "lineitem_zorder")
+    so parquet row groups get tight min/max stats on BOTH keys.
+
+    Fingerprint-cached per sf_dir: clustering is an offline table-
+    maintenance job (OPTIMIZE ZORDER), amortized across every query
+    that reads the layout — the same accounting as the IVF index
+    build. A source regeneration invalidates and rebuilds."""
+    out = os.path.join(SCRATCH, f"lineitem_zorder_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "lineitem.parquet")
+    if staging_current(out, source):
+        return out
+    fp = _fingerprint(source)
     shutil.rmtree(out, ignore_errors=True)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
@@ -108,6 +122,7 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(out)
     )
+    record_staging(out, source, fp)
     return out
 
 
@@ -189,16 +204,18 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SNAPSHOT_CUTOVER = "1997-01-01 00:00:00"  # v1 = orders before, v2 adds the rest
 
 
-def _snapshot_dir() -> str:
-    return os.path.join(SCRATCH, "orders_snapshots")
-
-
 def build_snapshots(spark: SparkSession, sf_dir: str) -> str:
     """Build a two-version manifest table: v1 = historical orders, v2 =
     v1's files (untouched) + an appended increment. Append-only +
     immutable files is the entire isolation story: readers of v1 can
-    never see v2's rows because v2 never rewrote a v1 file."""
-    root = _snapshot_dir()
+    never see v2's rows because v2 never rewrote a v1 file.
+    Fingerprint-cached per sf_dir (the table build is ingest, not the
+    query; a source regeneration invalidates it)."""
+    root = os.path.join(SCRATCH, f"orders_snapshots_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "orders.parquet")
+    if staging_current(root, source):
+        return root
+    fp = _fingerprint(source)
     shutil.rmtree(root, ignore_errors=True)
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
@@ -220,6 +237,8 @@ def build_snapshots(spark: SparkSession, sf_dir: str) -> str:
     for v, files in manifests.items():
         with open(os.path.join(root, f"manifest_{v}.json"), "w") as fh:
             json.dump({"version": v, "files": files}, fh)
+    open(os.path.join(root, "_SUCCESS"), "w").close()
+    record_staging(root, source, fp)
     return root
 
 
@@ -315,13 +334,6 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # CSV ingest + schema-evolution reads (source-format breadth)
 # ---------------------------------------------------------------------------
-
-from kamiyo_hive_spark.sources.sinks import (  # noqa: E402
-    _fingerprint,
-    record_staging,
-    staging_current,
-)
-
 
 def _csv_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage supplier as headered CSV — the classic landing-zone
