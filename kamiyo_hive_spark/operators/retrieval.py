@@ -267,3 +267,185 @@ def bpe_pair_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style hybrid retrieval: dense candidate generation + lexical rerank
+# ---------------------------------------------------------------------------
+
+RAG_N_QUERIES = 4   # query docs: vec_id/doc_id < N
+RAG_K_CLUSTERS = 8  # seed centroids for the coarse quantizer (IVF probe)
+RAG_TOP_K = 3       # reranked results per query
+RAG_ALPHA = 0.5     # hybrid weight: alpha*cosine + (1-alpha)*jaccard
+
+_RAG_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                            (acc, y) -> acc + y))) AS nv
+    FROM raw
+),
+c AS (SELECT vec_id AS cid, nv AS cv FROM d WHERE vec_id < {RAG_K_CLUSTERS}),
+scored AS (
+    SELECT d.vec_id, c.cid,
+           round(list_reduce(list_transform(list_zip(d.nv, c.cv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x), 9) AS sim
+    FROM d, c
+),
+assigned AS (
+    SELECT vec_id, cid
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+toks AS (
+    SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+    FROM documents
+),
+q AS (
+    SELECT a.vec_id AS query_id, a.cid, d.nv AS qnv, t.ts AS qts
+    FROM assigned a
+    JOIN d ON d.vec_id = a.vec_id
+    JOIN toks t ON t.doc_id = a.vec_id
+    WHERE a.vec_id < {RAG_N_QUERIES}
+),
+cand AS (
+    SELECT q.query_id, a.vec_id AS cand_id, q.qnv, q.qts
+    FROM q JOIN assigned a ON a.cid = q.cid AND a.vec_id <> q.query_id
+),
+rerank AS (
+    SELECT c.query_id, c.cand_id,
+           round(
+             {RAG_ALPHA} * round(list_reduce(
+                 list_transform(list_zip(d.nv, c.qnv), p -> p[1] * p[2]),
+                 (acc, x) -> acc + x), 9)
+             + (1 - {RAG_ALPHA})
+               * round(CAST(len(list_intersect(t.ts, c.qts)) AS DOUBLE)
+                       / len(list_distinct(t.ts || c.qts)), 9),
+             9) AS hybrid_score
+    FROM cand c
+    JOIN d ON d.vec_id = c.cand_id
+    JOIN toks t ON t.doc_id = c.cand_id
+)
+SELECT query_id, cand_id, hybrid_score
+FROM (SELECT query_id, cand_id, hybrid_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hybrid_score DESC, cand_id) AS rn
+      FROM rerank)
+WHERE rn <= {RAG_TOP_K}
+ORDER BY query_id, hybrid_score DESC, cand_id
+"""
+
+
+@register(
+    "rag_hybrid_retrieval",
+    oracle=_RAG_ORACLE,
+    tags=("retrieval", "rag", "hybrid", "embedding"),
+)
+def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval pipeline, composed end-to-end: dense candidate
+    generation (IVF-style coarse quantizer — every vector assigned to
+    its nearest seed centroid, the query probes its own cell) followed
+    by a hybrid rerank: alpha * exact cosine + (1-alpha) * lexical
+    Jaccard between the query document's token set and the candidate's
+    (dense recall + sparse precision — the standard hybrid-search
+    recipe). Top-3 per query, 4 queries in one job.
+
+    Scale shape: assignment is a map-side broadcast crossJoin +
+    per-vector argmax (the SemDeDup/IVF pattern — at 100 TB the corpus
+    is PARTITIONED by cell, so a probe reads ~1/K of the data);
+    queries are a broadcast 4-row relation, so candidate generation is
+    a broadcast semi-probe, not a shuffle; the rerank joins
+    candidate-cell vectors and token sets on the primary key and
+    windows within query_id (4 partitions of cell-sized rows).
+
+    Float discipline: cosine and jaccard each rounded to 9 dp before
+    the (exact-literal) affine combination, which is rounded again —
+    deterministic on both engines.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    d = (
+        e.select("vec_id", emb.alias("v"))
+        .withColumn("_n", nrm)
+        .select(
+            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
+        )
+    )
+    cents = d.filter(F.col("vec_id") < RAG_K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    dot_qc = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        d.crossJoin(F.broadcast(cents))
+        .select("vec_id", "nv", "cid", F.round(dot_qc, 9).alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("best"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "nv", (-F.col("best.nc")).cast("long").alias("cid"))
+        .localCheckpoint()
+    )
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("ts")
+    )
+    q = (
+        assigned.filter(F.col("vec_id") < RAG_N_QUERIES)
+        .join(toks, assigned.vec_id == toks.doc_id)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            # Rename the join key: q derives FROM assigned, so keeping
+            # the same attribute makes `assigned.cid == q.cid` resolve
+            # to a trivially-true self-comparison (Spark warns, and the
+            # probe silently degrades to a full cross of corpus ×
+            # queries — exactly the N² the cell probe exists to avoid).
+            F.col("cid").alias("qcid"),
+            F.col("nv").alias("qnv"),
+            F.col("ts").alias("qts"),
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (assigned.cid == q.qcid) & (assigned.vec_id != q.query_id),
+    ).select("query_id", F.col("vec_id").alias("cand_id"), "nv", "qnv", "qts")
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("nv"), F.col("qnv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        9,
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("ts"), F.col("qts"))).cast("double")
+        / F.size(F.array_union(F.col("ts"), F.col("qts"))),
+        9,
+    )
+    hybrid = F.round(RAG_ALPHA * cos + (1 - RAG_ALPHA) * jac, 9)
+    reranked = (
+        cand.join(toks, cand.cand_id == toks.doc_id)
+        .select("query_id", "cand_id", hybrid.alias("hybrid_score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("hybrid_score"), F.asc("cand_id")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RAG_TOP_K)
+        .select("query_id", "cand_id", "hybrid_score")
+        .orderBy("query_id", F.desc("hybrid_score"), "cand_id")
+    )

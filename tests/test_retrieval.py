@@ -93,3 +93,74 @@ def test_cluster_budget_algebra(spark, sf_dir):
             assert r["keep_rate"] == 1.0
         else:
             assert abs(r["keep_rate"] - budget / r["total_chars"]) < 1e-8
+
+
+def test_rag_hybrid_topk_shape_and_bounds(spark, sf_dir):
+    from kamiyo_hive_spark.operators.retrieval import (
+        RAG_N_QUERIES,
+        RAG_TOP_K,
+        rag_hybrid_retrieval,
+    )
+
+    rows = rag_hybrid_retrieval(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(RAG_N_QUERIES))
+    for qid, rs in by_q.items():
+        assert len(rs) == RAG_TOP_K
+        scores = [r["hybrid_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # hybrid of a cosine in [-1,1] and a jaccard in [0,1]
+        assert all(-1.0 <= s <= 1.0 for s in scores)
+        assert all(r["cand_id"] != qid for r in rs)
+
+
+def test_rag_candidates_come_from_query_cell(spark, sf_dir):
+    """Regression guard for the degenerate self-join (trivially-true
+    cid == cid): every reranked candidate must share the query's
+    centroid cell — a full-corpus rerank would eventually surface an
+    out-of-cell candidate."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.operators.corpus import CBC_K
+    from kamiyo_hive_spark.operators.retrieval import (
+        RAG_K_CLUSTERS,
+        rag_hybrid_retrieval,
+    )
+
+    # recompute assignments the same way cluster_balanced_curation does
+    # (same seeds when RAG_K_CLUSTERS == CBC_K)
+    assert RAG_K_CLUSTERS == CBC_K
+    from kamiyo_hive_spark.operators.corpus import cluster_balanced_curation  # noqa: F401
+    from kamiyo_hive_spark.catalog import table
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    d = (
+        e.select("vec_id", emb.alias("v"))
+        .withColumn("_n", nrm)
+        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"))
+    )
+    cents = d.filter(F.col("vec_id") < RAG_K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in (
+            d.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", F.round(dot, 9).alias("sim"))
+            .groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("b"))
+            .select("vec_id", (-F.col("b.nc")).cast("long").alias("cid"))
+            .collect()
+        )
+    }
+    for r in rag_hybrid_retrieval(spark, sf_dir).collect():
+        assert cell[r["cand_id"]] == cell[r["query_id"]], r
