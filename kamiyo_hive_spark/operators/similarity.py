@@ -628,13 +628,95 @@ LIMIT {PQ_TOP_K}
 """
 
 
+def _pq_sub(col_name: str, m: int) -> Column:
+    return F.slice(F.col(col_name), m * PQ_SUB + 1, PQ_SUB)
+
+
+def _pq_d2(sub_col: Column, cent_col: Column) -> Column:
+    """Rounded squared L2 between two sub-vectors (sequential fold)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sub_col, cent_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        9,
+    )
+
+
+def pq_codes_dir(spark: SparkSession, sf_dir: str) -> str:
+    """PQ index build (fingerprint-cached per sf_dir, same accounting
+    as the IVF/z-order builds): encode every vector as PQ_M codes —
+    argmin centroid per subspace — and persist (vec_id, label, codes).
+    The build is explode-shaped so the distance work spreads across
+    rows and tasks instead of one 128-fold mega-expression per row
+    (measured 8.8 s -> sub-second at sf0.1 for the query side):
+    posexplode the 8 sub-vectors, broadcast-join the 128-row codebook,
+    one fold per row, argmin per (vec, m), re-assemble the code array.
+    """
+    import os
+
+    from kamiyo_hive_spark.sources.sinks import (
+        SCRATCH,
+        _fingerprint,
+        record_staging,
+        staging_current,
+    )
+
+    out = f"{SCRATCH}/pq_codes_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    if staging_current(out, source):
+        return out
+    fp = _fingerprint(source)
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    # 128-row codebook relation from the seed vectors (broadcast)
+    seeds = e.filter(F.col("vec_id") < PQ_C).select("vec_id", emb.alias("v"))
+    cents = seeds.select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode(F.array(*[_pq_sub("v", m) for m in range(PQ_M)])).alias(
+            "m", "cs"
+        ),
+    )
+    subs = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[_pq_sub_from(emb, m) for m in range(PQ_M)])
+        ).alias("m", "sv"),
+    )
+    d2 = _pq_d2(F.col("sv"), F.col("cs"))
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .select("vec_id", "label", "m", d2.alias("d"), "cid")
+        .groupBy("vec_id", "label", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid").alias("c"))).alias("best"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("m"), F.col("best.c").alias("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("codes")
+        )
+    )
+    codes.write.mode("overwrite").parquet(out)
+    record_staging(out, source, fp)
+    return out
+
+
+def _pq_sub_from(arr: Column, m: int) -> Column:
+    return F.slice(arr, m * PQ_SUB + 1, PQ_SUB)
+
+
 @register("knn_pq_adc", oracle=_PQ_ORACLE, tags=("similarity", "ann-pq"))
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation —
     the compression half of IVF-PQ, which is how billion-vector indexes
     actually fit in memory: each 64-dim float vector (256 B) becomes
     8 one-byte codes (argmin centroid per 8-dim subspace), and query
-    time scans CODES ONLY, looking each one up in a 8x16 table of
+    time scans CODES ONLY, looking each one up in an 8x16 table of
     precomputed query-to-centroid distances.
 
     Codebooks are deterministic seed vectors (vec_id < 16, the same
@@ -643,88 +725,58 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines; a production index swaps in trained centroids and
     changes nothing structural.
 
-    Scale shape — the whole query is ONE scan with ZERO shuffles:
-    codebooks and the ADC table are collected once (metadata-sized
-    index state, the `cosine_topk` query-vector pattern) and baked
-    into the projection as literals, so encode (argmin over 16
-    centroids x 8 subspaces) and ADC (8 array lookups + decimal fold)
-    are pure whole-stage-codegen expressions, and the top-k is a
-    per-partition heap + driver merge (TakeOrderedAndProject). At
-    100 TB the same plan holds: the scan reads the (tiny) code column,
-    never the raw vectors.
+    Scale shape — encode is an offline INDEX BUILD (`pq_codes_dir`,
+    fingerprint-cached, explode + broadcast-codebook join + argmin);
+    the query is one scan OF THE CODES with zero shuffles: the ADC
+    look-up table (query-to-centroid distances, computed by the SAME
+    explode-join plan on the one query row — a first cut computed it
+    as 128 separate fold columns and paid seconds of ANALYZER time per
+    run) is collected and baked in as 8 sixteen-element literal
+    arrays, so per-row work is 8 `element_at` lookups + a DECIMAL
+    fold, and the top-k is a per-partition heap + driver merge
+    (TakeOrderedAndProject). At 100 TB the scan reads ~9 bytes/vector
+    instead of 256 — the whole point of PQ.
 
-    Float discipline: per-subspace distances are sequential
-    `F.aggregate` folds over doubles rounded to 9 dp; the 8-term ADC
-    sum runs in DECIMAL so accumulation order cannot move the hash.
+    Float discipline: sub-distances are sequential folds rounded to
+    9 dp at build AND query side; the 8-term ADC sum runs in DECIMAL
+    so accumulation order cannot move the hash.
     """
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
 
-    # Index state (collected once, metadata-sized): 16 seed centroids.
-    seeds = {
-        r["vec_id"]: r["v"]
-        for r in e.filter(F.col("vec_id") < PQ_C)
-        .select("vec_id", emb.alias("v"))
+    # Query-side ADC table: the query row through the same tiny
+    # explode-join plan as the index build (128 result rows).
+    seeds = e.filter(F.col("vec_id") < PQ_C).select("vec_id", emb.alias("v"))
+    cents = seeds.select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode(F.array(*[_pq_sub("v", m) for m in range(PQ_M)])).alias("m", "cs"),
+    )
+    qsub = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.posexplode(F.array(*[_pq_sub_from(emb, m) for m in range(PQ_M)])).alias(
+                "m", "sv"
+            )
+        )
+    )
+    qd = {
+        (r["m"], r["cid"]): r["d"]
+        for r in qsub.join(F.broadcast(cents), "m")
+        .select("m", "cid", _pq_d2(F.col("sv"), F.col("cs")).alias("d"))
         .collect()
     }
-    cent = {
-        (m, c): [float(x) for x in seeds[c][m * PQ_SUB : (m + 1) * PQ_SUB]]
-        for m in range(PQ_M)
-        for c in range(PQ_C)
-    }
 
-    def d2(sub_col: Column, m: int, c: int) -> Column:
-        lit = F.array(*[F.lit(v) for v in cent[(m, c)]])
-        return F.round(
-            F.aggregate(
-                F.zip_with(sub_col, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            9,
-        )
-
-    def sub(m: int) -> Column:
-        return F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB)
-
-    # Query-side ADC table: distances from the query's sub-vectors to
-    # every centroid, computed by the SAME Spark expressions on the
-    # one query row (engine-identical rounding), then collected.
-    qrow = (
-        e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(emb.alias("v"))
-        .select(
-            *[
-                d2(sub(m), m, c).alias(f"qd_{m}_{c}")
-                for m in range(PQ_M)
-                for c in range(PQ_C)
-            ]
-        )
-        .collect()[0]
-    )
-    qd = {(m, c): qrow[f"qd_{m}_{c}"] for m in range(PQ_M) for c in range(PQ_C)}
-
-    # Encode + ADC as one zero-shuffle projection.
-    def code(m: int) -> Column:
-        cands = F.array(
-            *[
-                F.struct(d2(sub(m), m, c).alias("d"), F.lit(c).alias("c"))
-                for c in range(PQ_C)
-            ]
-        )
-        return F.sort_array(cands)[0]["c"]
-
-    def adc_term(m: int) -> Column:
+    codes = spark.read.parquet(pq_codes_dir(spark, sf_dir))
+    adc = None
+    for m in range(PQ_M):
         lut = F.array(*[F.lit(float(qd[(m, c)])) for c in range(PQ_C)])
-        return F.element_at(lut, code(m) + 1).cast("decimal(28,9)")
-
-    adc = adc_term(0)
-    for m in range(1, PQ_M):
-        adc = adc + adc_term(m)
+        term = F.element_at(
+            lut, (F.element_at(F.col("codes"), m + 1) + 1).cast("int")
+        ).cast("decimal(28,9)")
+        adc = term if adc is None else adc + term
 
     return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "label", emb.alias("v"))
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", adc.cast("double").alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(PQ_TOP_K)
