@@ -93,7 +93,7 @@ def load_registry() -> dict[str, QuerySpec]:
             windows,
         )
         from kamiyo_hive_spark import warehouse  # noqa: F401
-        from kamiyo_hive_spark.sources import layout, sinks  # noqa: F401
+        from kamiyo_hive_spark.sources import layout, maintenance, sinks  # noqa: F401
         from kamiyo_hive_spark.streaming import jobs  # noqa: F401
 
         _LOADED = True
