@@ -79,6 +79,7 @@ def load_registry() -> dict[str, QuerySpec]:
             merkle,
             multimodal,
             pipelines,
+            quality,
             relational,
             retrieval,
             sampling,
