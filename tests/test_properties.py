@@ -219,6 +219,17 @@ def test_results_invariant_to_shuffle_width(spark, sf_dir):
         "doc_winnow_fingerprints",
         "pagerank_fixed_point",
         "knn_bruteforce_cosine",
+        # round-3 families: decimal-fold retrieval scores, integer
+        # classifier sums, PQ codes from a staged index, and the
+        # layout ops whose physical re-partitioning must never leak
+        # into results
+        "bm25_doc_search",
+        "quality_classifier_score",
+        "knn_pq_adc",
+        "rag_hybrid_retrieval",
+        "zorder_layout_scan",
+        "targeted_delete_rewrite",
+        "dq_expectations",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
