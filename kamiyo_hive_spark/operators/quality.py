@@ -182,3 +182,216 @@ def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in long, n_short_dropped long, n_sparse_dropped long, n_kept long,"
         " tokens_kept long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: the curated-pretraining pipeline
+# ---------------------------------------------------------------------------
+
+CPP_SEED = 211           # classifier weight seed (quality_classifier_score)
+CPP_SAMPLE_SEED = 97     # hash-bucket seed (sampling convention)
+CPP_K = 8                # semantic clusters (cluster_balanced_curation)
+
+_CPP_ORACLE = f"""
+WITH gated AS (
+    SELECT doc_id, lang, text, n_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tok
+    FROM documents
+    WHERE n_chars >= {GATE_MIN_CHARS}
+      AND len(string_split_regex(trim(text), '\\s+')) >= {GATE_MIN_TOKENS}
+),
+fp AS (
+    SELECT doc_id, lang, n_tok,
+           md5(lower(trim(text))) AS fingerprint
+    FROM gated
+),
+keepers AS (SELECT fingerprint, min(doc_id) AS keeper_id FROM fp GROUP BY 1),
+deduped AS (
+    SELECT f.doc_id, f.lang, f.n_tok
+    FROM fp f JOIN keepers k
+      ON f.fingerprint = k.fingerprint AND f.doc_id = k.keeper_id
+),
+scored AS (
+    SELECT d.doc_id, d.lang, d.n_tok,
+           (SELECT SUM(CAST(concat('0x', substr(md5(t.t || ':{CPP_SEED}'), 1, 15)) AS BIGINT)
+                       % 2001 - 1000)
+            FROM (SELECT unnest(string_split_regex(trim(doc.text), '\\s+')) AS t) t
+           ) AS score_int
+    FROM deduped d JOIN documents doc USING (doc_id)
+),
+quality AS (SELECT * FROM scored WHERE score_int > 0),
+raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                            (acc, y) -> acc + y))) AS nv
+    FROM raw
+),
+c AS (SELECT vec_id AS cid, nv AS cv FROM nv WHERE vec_id < {CPP_K}),
+sim AS (
+    SELECT nv.vec_id, c.cid,
+           round(list_reduce(list_transform(list_zip(nv.nv, c.cv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x), 9) AS s
+    FROM nv, c
+),
+assigned AS (
+    SELECT vec_id, cid
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+          FROM sim)
+    WHERE rn = 1
+),
+clustered AS (
+    SELECT q.doc_id, q.lang, q.n_tok, a.cid
+    FROM quality q JOIN assigned a ON a.vec_id = q.doc_id
+),
+budgets AS (
+    SELECT cid, count(*) AS n_c, SUM(n_tok) AS tok_c FROM clustered GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(tok_c) AS DOUBLE) / {CPP_K} AS budget FROM budgets),
+rates AS (
+    SELECT b.cid,
+           CAST(least(1.0, tot.budget / b.tok_c) * 1000 AS BIGINT) AS keep_millis
+    FROM budgets b, tot
+),
+sampled AS (
+    SELECT cl.cid, cl.lang, cl.n_tok,
+           CAST(concat('0x', substr(md5(CAST(cl.doc_id AS VARCHAR) || ':{CPP_SAMPLE_SEED}'), 1, 15)) AS BIGINT)
+               % 1000 < r.keep_millis AS kept
+    FROM clustered cl JOIN rates r USING (cid)
+)
+SELECT cid AS cluster_id,
+       count(*) AS n_candidates,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_sampled
+FROM sampled
+GROUP BY 1
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "curated_pretrain_pipeline",
+    oracle=_CPP_ORACLE,
+    tags=("pipeline", "curation", "composed"),
+)
+def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain in ONE job: quality gate (length +
+    token floors) → exact dedup (min-doc_id survivor per normalized
+    content hash) → hashed-linear quality classifier (integer score >
+    0) → semantic-cluster assignment (seed centroids over embeddings)
+    → cluster-balanced token-budget sampling (per-cluster keep rate in
+    buckets-of-1000, deterministic id hash). Output: per-cluster
+    candidate/sampled/token counts — the corpus card a data team ships
+    with the run.
+
+    Every stage reuses the conventions its standalone operator proved
+    (same seeds, same hashes, same rounding), so the DuckDB oracle
+    replays the ENTIRE composition end-to-end — composition bugs
+    (stage order, join keys, survivor rules) hash-mismatch even though
+    each piece is individually green.
+
+    Scale shape: gate is a pushdown filter; dedup is the one
+    content-hash shuffle; the classifier adds one explode +
+    (doc, lang) re-aggregation; assignment is a map-side broadcast
+    crossJoin; budgets/rates are cluster-sized broadcasts; the sample
+    is a pure hash filter. Catalyst fuses the per-doc stages into the
+    same scan-side pipeline; total wide exchanges: 3 regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    from kamiyo_hive_spark.operators.dedup import _portable_hash
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    gated = d.filter(
+        (F.col("n_chars") >= GATE_MIN_CHARS) & (n_tok >= GATE_MIN_TOKENS)
+    ).select("doc_id", "lang", "text", n_tok.alias("n_tok"))
+
+    fp = gated.withColumn(
+        "fingerprint",
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")),
+    )
+    w = Window.partitionBy("fingerprint")
+    deduped = (
+        fp.withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", "lang", "text", "n_tok")
+    )
+
+    wgt = F.pmod(_portable_hash(F.col("tok"), CPP_SEED), F.lit(2001)) - 1000
+    scores = (
+        deduped.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", wgt.alias("wgt"))
+        .groupBy("doc_id")
+        .agg(F.sum("wgt").alias("score_int"))
+    )
+    quality = (
+        deduped.join(scores, "doc_id")
+        .filter(F.col("score_int") > 0)
+        .select("doc_id", "lang", "n_tok")
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    nv = (
+        e.select("vec_id", emb.alias("v"))
+        .withColumn("_n", nrm)
+        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"))
+    )
+    cents = nv.filter(F.col("vec_id") < CPP_K).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    assigned = (
+        nv.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", F.round(dot, 9).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).cast("long").alias("cid"))
+    )
+    clustered = quality.join(assigned, quality.doc_id == assigned.vec_id).select(
+        "doc_id", "lang", "n_tok", "cid"
+    )
+
+    budgets = clustered.groupBy("cid").agg(
+        F.count("*").alias("n_c"), F.sum("n_tok").alias("tok_c")
+    )
+    tot = budgets.agg((F.sum("tok_c").cast("double") / CPP_K).alias("budget"))
+    rates = (
+        budgets.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            (F.least(F.lit(1.0), F.col("budget") / F.col("tok_c")) * 1000)
+            .cast("long")
+            .alias("keep_millis"),
+        )
+    )
+    bucket = F.pmod(
+        _portable_hash(F.col("doc_id").cast("string"), CPP_SAMPLE_SEED), F.lit(1000)
+    )
+    sampled = clustered.join(F.broadcast(rates), "cid").select(
+        "cid", "lang", "n_tok", (bucket < F.col("keep_millis")).alias("kept")
+    )
+    return (
+        sampled.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sampled"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_sampled"),
+        )
+        .orderBy("cluster_id")
+    )

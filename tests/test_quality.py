@@ -44,3 +44,26 @@ def test_observed_gate_conservation_and_recount(spark, sf_dir):
     assert m["n_kept"] == kept.count()
     assert m["tokens_kept"] == kept.agg(F.sum("n_tok")).collect()[0][0]
     assert m["n_kept"] > 0  # the gate keeps something — non-vacuous
+
+
+def test_curated_pipeline_stage_algebra(spark, sf_dir):
+    """The capstone composition must agree with its standalone stages:
+    candidates per cluster can't exceed the gate's kept count, sampling
+    never exceeds candidates, and over-budget clusters sample fewer
+    tokens than they hold."""
+    from kamiyo_hive_spark.operators.quality import (
+        CPP_K,
+        curated_pretrain_pipeline,
+        observed_quality_gate,
+    )
+
+    rows = curated_pretrain_pipeline(spark, sf_dir).collect()
+    assert 0 < len(rows) <= CPP_K
+    gate = observed_quality_gate(spark, sf_dir).collect()[0]
+    total_candidates = sum(r["n_candidates"] for r in rows)
+    # dedup + classifier only ever REMOVE docs after the gate
+    assert 0 < total_candidates <= gate["n_kept"]
+    for r in rows:
+        assert 0 <= r["n_sampled"] <= r["n_candidates"]
+        assert r["tokens_sampled"] >= 0
+    assert any(r["n_sampled"] > 0 for r in rows)
