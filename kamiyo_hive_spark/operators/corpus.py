@@ -391,29 +391,9 @@ def cluster_balanced_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized aggregates joined back via broadcast. keep_rate is
     one double division rounded to 9 dp — deterministic on any engine.
     """
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    d = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn("_n", nrm)
-        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"))
-    )
-    cents = d.filter(F.col("vec_id") < CBC_K).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    assigned = (
-        d.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", F.round(dot, 9).alias("sim"))
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("best"))
-        .select("vec_id", (-F.col("best.nc")).cast("long").alias("cid"))
-    )
+    from kamiyo_hive_spark.operators.similarity import assign_to_seed_centroids
+
+    assigned = assign_to_seed_centroids(spark, sf_dir, CBC_K).select("vec_id", "cid")
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     clus = (
         assigned.join(docs, assigned.vec_id == docs.doc_id)

@@ -188,9 +188,14 @@ def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Capstone composition: the curated-pretraining pipeline
 # ---------------------------------------------------------------------------
 
-CPP_SEED = 211           # classifier weight seed (quality_classifier_score)
-CPP_SAMPLE_SEED = 97     # hash-bucket seed (sampling convention)
-CPP_K = 8                # semantic clusters (cluster_balanced_curation)
+from kamiyo_hive_spark.operators.corpus import CBC_K as CPP_K  # noqa: E402
+from kamiyo_hive_spark.operators.retrieval import QC_SEED as CPP_SEED  # noqa: E402
+from kamiyo_hive_spark.operators.sampling import _SEED as CPP_SAMPLE_SEED  # noqa: E402
+
+# The capstone reuses the STANDALONE operators' conventions by import,
+# not by re-declared literal — if the classifier seed, sampling seed,
+# or cluster count ever changes, this pipeline moves with it (and its
+# generated oracle string regenerates to match).
 
 _CPP_ORACLE = f"""
 WITH gated AS (
@@ -255,7 +260,7 @@ budgets AS (
 tot AS (SELECT CAST(SUM(tok_c) AS DOUBLE) / {CPP_K} AS budget FROM budgets),
 rates AS (
     SELECT b.cid,
-           CAST(least(1.0, tot.budget / b.tok_c) * 1000 AS BIGINT) AS keep_millis
+           CAST(floor(least(1.0, tot.budget / b.tok_c) * 1000) AS BIGINT) AS keep_millis
     FROM budgets b, tot
 ),
 sampled AS (
@@ -336,29 +341,9 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tok")
     )
 
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    nv = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn("_n", nrm)
-        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"))
-    )
-    cents = nv.filter(F.col("vec_id") < CPP_K).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    assigned = (
-        nv.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", F.round(dot, 9).alias("s"))
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("s"), (-F.col("cid")).alias("nc"))).alias("best"))
-        .select("vec_id", (-F.col("best.nc")).cast("long").alias("cid"))
-    )
+    from kamiyo_hive_spark.operators.similarity import assign_to_seed_centroids
+
+    assigned = assign_to_seed_centroids(spark, sf_dir, CPP_K).select("vec_id", "cid")
     clustered = quality.join(assigned, quality.doc_id == assigned.vec_id).select(
         "doc_id", "lang", "n_tok", "cid"
     )

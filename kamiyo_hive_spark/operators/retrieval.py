@@ -369,34 +369,10 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (exact-literal) affine combination, which is rounded again —
     deterministic on both engines.
     """
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    d = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn("_n", nrm)
-        .select(
-            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
-        )
-    )
-    cents = d.filter(F.col("vec_id") < RAG_K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
-    )
-    dot_qc = F.aggregate(
-        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    assigned = (
-        d.crossJoin(F.broadcast(cents))
-        .select("vec_id", "nv", "cid", F.round(dot_qc, 9).alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("best"),
-            F.first("nv").alias("nv"),
-        )
-        .select("vec_id", "nv", (-F.col("best.nc")).cast("long").alias("cid"))
-        .localCheckpoint()
+    from kamiyo_hive_spark.operators.similarity import assign_to_seed_centroids
+
+    assigned = assign_to_seed_centroids(
+        spark, sf_dir, RAG_K_CLUSTERS, materialize=True
     )
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_tokens()).alias("ts")

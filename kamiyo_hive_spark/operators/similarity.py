@@ -37,6 +37,46 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def assign_to_seed_centroids(
+    spark: SparkSession, sf_dir: str, k: int, materialize: bool = False
+) -> DataFrame:
+    """Shared seed-centroid assignment (the SemDeDup/IVF convention):
+    L2-normalize every embedding, take vec_id < k as centroids, assign
+    each vector to its cosine-argmax centroid with lowest-cid
+    tie-break. Returns (vec_id, nv, cid).
+
+    ONE implementation for every consumer (semantic dedup, cluster
+    curation, RAG probe, the capstone pipeline) so the rounding (9 dp)
+    and tie-break (max struct(sim, -cid)) can never drift apart from
+    the oracles that replay them. `materialize=True` localCheckpoints
+    the assignment for multi-consumer plans (it feeds a crossJoin
+    lineage that would otherwise re-run per consumer)."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    d = (
+        e.select("vec_id", emb.alias("v"))
+        .withColumn("_n", _norm(F.col("v")))
+        .select(
+            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
+        )
+    )
+    cents = d.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    sim = F.round(_dot(F.col("nv"), F.col("cv")), 9)
+    assigned = (
+        d.crossJoin(F.broadcast(cents))
+        .select("vec_id", "nv", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("best"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "nv", (-F.col("best.ncid")).cast("long").alias("cid"))
+    )
+    return assigned.localCheckpoint() if materialize else assigned
+
+
 def cosine_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:
@@ -629,7 +669,7 @@ LIMIT {PQ_TOP_K}
 
 
 def _pq_sub(col_name: str, m: int) -> Column:
-    return F.slice(F.col(col_name), m * PQ_SUB + 1, PQ_SUB)
+    return _pq_sub_from(F.col(col_name), m)
 
 
 def _pq_d2(sub_col: Column, cent_col: Column) -> Column:
@@ -874,31 +914,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage per consumer. Float discipline as above: double-cast,
     sequential folds, round(9) before any comparison, and the
     normalization is the same structural formula on both engines."""
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    d = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn("_nrm", _norm(F.col("v")))
-        .select(
-            "vec_id",
-            F.transform(F.col("v"), lambda x: x / F.col("_nrm")).alias("nv"),
-        )
-    )
-    cents = d.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
-    )
-    sim_c = F.round(_dot(F.col("nv"), F.col("cv")), 9)
-    assigned = (
-        d.crossJoin(F.broadcast(cents))
-        .select("vec_id", "nv", "cid", sim_c.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("best"),
-            F.first("nv").alias("nv"),
-        )
-        .select("vec_id", "nv", (-F.col("best.ncid")).cast("long").alias("cid"))
-        .localCheckpoint()
-    )
+    assigned = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K, materialize=True)
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim_p = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 9)

@@ -96,7 +96,9 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
     build. A source regeneration invalidates and rebuilds."""
     out = os.path.join(SCRATCH, f"lineitem_zorder_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "lineitem.parquet")
-    if staging_current(out, source):
+    if staging_current(out, source) and os.path.exists(
+        os.path.join(out, "_KEY_RANGES.json")
+    ):
         return out
     fp = _fingerprint(source)
     shutil.rmtree(out, ignore_errors=True)
@@ -122,6 +124,12 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(out)
     )
+    # persist the key ranges with the layout: box_bounds() reads them
+    # back instead of re-scanning lineitem on every query (the stats a
+    # real table format keeps in its metadata)
+    r = rng.collect()[0]
+    with open(os.path.join(out, "_KEY_RANGES.json"), "w") as fh:
+        json.dump({k: int(r[k]) for k in ("pmin", "pmax", "smin", "smax")}, fh)
     record_staging(out, source, fp)
     return out
 
@@ -150,18 +158,11 @@ WHERE l_partkey BETWEEN box.plo AND box.phi
 
 def box_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int, int, int]:
     """Resolve the percent-of-range box to integer bounds (plo, phi,
-    slo, shi) — metadata-sized agg, same floor-division arithmetic as
-    the oracle."""
-    r = (
-        table(spark, sf_dir, "lineitem")
-        .agg(
-            F.min("l_partkey").alias("pmin"),
-            F.max("l_partkey").alias("pmax"),
-            F.min("l_suppkey").alias("smin"),
-            F.max("l_suppkey").alias("smax"),
-        )
-        .collect()[0]
-    )
+    slo, shi) from the key ranges the layout build persisted — no
+    re-scan; same floor-division arithmetic as the oracle."""
+    zdir = write_zordered(spark, sf_dir)
+    with open(os.path.join(zdir, "_KEY_RANGES.json")) as fh:
+        r = json.load(fh)
     plo = r["pmin"] + (r["pmax"] - r["pmin"]) * Z_BOX_PART_PCT[0] // 100
     phi = r["pmin"] + (r["pmax"] - r["pmin"]) * Z_BOX_PART_PCT[1] // 100
     slo = r["smin"] + (r["smax"] - r["smin"]) * Z_BOX_SUPP_PCT[0] // 100

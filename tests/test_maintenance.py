@@ -28,7 +28,9 @@ def test_targeted_delete_touches_subset_and_links_rest(spark, sf_dir):
     out, n_total, n_rewritten = targeted_delete(spark, sf_dir)
     assert n_total == len(_parquet_files(pool))
     # the delete is selective: some files affected, but not all —
-    # custkey % 97 targets land in a subset of the 16 custkey ranges
+    # custkey % DELETE_KEY_MOD targets land in a subset of the
+    # DELETE_POOL_FILES custkey ranges (64 files keeps this true at
+    # every sf — see the constant's comment in maintenance.py)
     assert 0 < n_rewritten <= n_total
     # untouched files are the SAME inodes (hard links, zero copy)
     pool_inodes = {

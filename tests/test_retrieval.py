@@ -129,38 +129,14 @@ def test_rag_candidates_come_from_query_cell(spark, sf_dir):
         rag_hybrid_retrieval,
     )
 
-    # recompute assignments the same way cluster_balanced_curation does
-    # (same seeds when RAG_K_CLUSTERS == CBC_K)
     assert RAG_K_CLUSTERS == CBC_K
-    from kamiyo_hive_spark.operators.corpus import cluster_balanced_curation  # noqa: F401
-    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.operators.similarity import assign_to_seed_centroids
 
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    d = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn("_n", nrm)
-        .select("vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"))
-    )
-    cents = d.filter(F.col("vec_id") < RAG_K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("nv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     cell = {
         r["vec_id"]: r["cid"]
-        for r in (
-            d.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cid", F.round(dot, 9).alias("sim"))
-            .groupBy("vec_id")
-            .agg(F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("b"))
-            .select("vec_id", (-F.col("b.nc")).cast("long").alias("cid"))
-            .collect()
-        )
+        for r in assign_to_seed_centroids(spark, sf_dir, RAG_K_CLUSTERS)
+        .select("vec_id", "cid")
+        .collect()
     }
     for r in rag_hybrid_retrieval(spark, sf_dir).collect():
         assert cell[r["cand_id"]] == cell[r["query_id"]], r
