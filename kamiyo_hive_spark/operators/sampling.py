@@ -267,3 +267,101 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_sorted_index(keyed, "shuffle_key", "doc_id").select(
         "doc_id", "source", F.col("idx").alias("epoch_pos")
     )
+
+
+MIX_BUDGET_EPOCHS = 2.0   # train over ~2x the corpus token mass
+MIX_MAX_EPOCHS = 4.0      # repeat cap per source (over-repeating small
+                          # sources degrades models faster than the
+                          # mixture gain — the standard cap heuristic)
+
+
+@register(
+    "dataset_mixture_epochs",
+    oracle=f"""
+    WITH stats AS (
+        SELECT source,
+               CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_idx,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(src_idx) AS BIGINT) AS max_idx
+        FROM stats
+    ),
+    w AS (
+        SELECT s.*, tot.total_tokens,
+               (tot.max_idx + 1 - s.src_idx) AS w_raw
+        FROM stats s CROSS JOIN tot
+    ),
+    norm AS (SELECT CAST(SUM(w_raw) AS BIGINT) AS w_sum FROM w),
+    plan AS (
+        SELECT w.source, w.n_tokens,
+               round(CAST(w.w_raw AS DOUBLE) / norm.w_sum, 6) AS target_weight,
+               least((CAST(w.w_raw AS DOUBLE) / norm.w_sum)
+                         * w.total_tokens * {MIX_BUDGET_EPOCHS},
+                     {MIX_MAX_EPOCHS} * w.n_tokens) AS desired
+        FROM w CROSS JOIN norm
+    )
+    SELECT source, n_tokens, target_weight,
+           CAST(floor(desired / n_tokens) AS BIGINT) AS epochs_full,
+           round(desired / n_tokens - floor(desired / n_tokens), 6)
+               AS final_epoch_keep,
+           CAST(floor(desired) AS BIGINT) AS planned_tokens
+    FROM plan
+    ORDER BY source
+    """,
+    tags=("sampling", "data-mixture", "epochs", "training-pipeline"),
+)
+def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat planning — the UPSAMPLING half of mixture control
+    (`mixture_sampling_plan` handles downsampling and explicitly defers
+    repeats here): given a training token budget (2x the corpus) and
+    the same derived recipe weights, each source trains for
+    `epochs_full` complete passes plus a final partial pass keeping
+    `final_epoch_keep` of its tokens (by the deterministic hash filter,
+    as everywhere), capped at {MIX_MAX_EPOCHS} epochs — the standard
+    guard against over-repeating small sources.
+
+    Same scale shape as the sampling plan: one token-count aggregation
+    over the corpus, then recipe-sized arithmetic. Dataloader mechanics
+    consume this table directly: repeat factor = epochs_full, the
+    partial epoch reuses `stratified_hash_sample`'s bucket filter, and
+    `epoch_shuffle_order` supplies the per-epoch permutation."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy(
+        "source",
+        F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("src_idx"),
+    ).agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    total = stats.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("src_idx").cast("long").alias("max_idx"),
+    )
+    w = stats.crossJoin(F.broadcast(total)).withColumn(
+        "w_raw", F.col("max_idx") + F.lit(1) - F.col("src_idx")
+    )
+    norm = w.agg(F.sum("w_raw").cast("long").alias("w_sum"))
+    weight = F.col("w_raw").cast("double") / F.col("w_sum")
+    desired = F.least(
+        weight * F.col("total_tokens") * MIX_BUDGET_EPOCHS,
+        F.lit(MIX_MAX_EPOCHS) * F.col("n_tokens"),
+    )
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(weight, 6).alias("target_weight"),
+            F.floor(desired / F.col("n_tokens")).cast("long").alias("epochs_full"),
+            F.round(
+                desired / F.col("n_tokens") - F.floor(desired / F.col("n_tokens")), 6
+            ).alias("final_epoch_keep"),
+            F.floor(desired).cast("long").alias("planned_tokens"),
+        )
+    )

@@ -79,3 +79,28 @@ def test_epoch_shuffle_shard_invariance(spark, sf_dir):
             for r in global_sorted_index(keyed, "pos", num_shards=shards).collect()
         }
         assert idx == rows  # pos IS the rank; any shard count agrees
+
+
+def test_mixture_epochs_algebra(spark, sf_dir):
+    """Epoch planning invariants: repeats bounded by the cap, the
+    partial-epoch fraction in [0,1), and planned tokens consistent
+    with epochs*n_tokens (within the floor)."""
+    from kamiyo_hive_spark.operators.sampling import (
+        MIX_BUDGET_EPOCHS,
+        MIX_MAX_EPOCHS,
+        dataset_mixture_epochs,
+    )
+
+    rows = dataset_mixture_epochs(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    planned = sum(r["planned_tokens"] for r in rows)
+    for r in rows:
+        assert 0 <= r["epochs_full"] <= MIX_MAX_EPOCHS
+        assert 0.0 <= r["final_epoch_keep"] < 1.0
+        expect = (r["epochs_full"] + r["final_epoch_keep"]) * r["n_tokens"]
+        assert abs(r["planned_tokens"] - expect) <= r["n_tokens"] * 1e-5 + 1
+    # caps only ever REDUCE the plan below the raw budget
+    assert planned <= total * MIX_BUDGET_EPOCHS + len(rows)
+    # at least one source is upsampled (trains >1 epoch) — non-vacuous
+    assert any(r["epochs_full"] >= 1 for r in rows)
