@@ -326,6 +326,11 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.withColumn("keeper_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keeper_id"))
         .select("doc_id", "lang", "text", "n_tok")
+        # deduped feeds BOTH the classifier explode and the survivor
+        # join; materialize so the gate+dedup subtree (scan + window)
+        # runs once, not once per consumer (captured in docs/PLANS.md
+        # pre-fix — the same rule as the SemDeDup assignment).
+        .localCheckpoint()
     )
 
     wgt = F.pmod(_portable_hash(F.col("tok"), CPP_SEED), F.lit(2001)) - 1000

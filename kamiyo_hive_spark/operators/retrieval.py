@@ -113,6 +113,10 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "lang", "dl", "term")
         .agg(F.count("*").alias("tfc"))
+        # tf feeds BOTH the df aggregate and the scoring join; without
+        # materialization Catalyst re-runs the tokenize+explode scan
+        # once per consumer (captured in docs/PLANS.md pre-fix).
+        .localCheckpoint()
     )
     df = tf.groupBy("term").agg(F.count("*").alias("dfc"))
     idf = F.round(
