@@ -1,0 +1,49 @@
+"""Quick driver-style parity check for a subset of queries — reuses the
+test suite's exact comparators, so a PASS here predicts a green
+tests/test_parity.py row.
+
+Usage: python scripts/check_parity.py name1 name2 ...
+(Override the scale dir with SPARK_GRAFT_PARITY_SF_DIR.)
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import duckdb
+
+from kamiyo_hive_spark.catalog import TABLES
+from kamiyo_hive_spark.plans.registry import load_registry
+from kamiyo_hive_spark.session import get_spark
+
+import os as _os
+SF_DIR = _os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+from test_parity import assert_frames_match  # noqa: E402
+
+
+def main(names):
+    reg = load_registry()
+    spark = get_spark(app_name="parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    failed = []
+    for name in names:
+        spec = reg[name]
+        try:
+            spdf = spec.builder(spark, SF_DIR).toPandas()
+            ddf = con.execute(spec.oracle).fetchdf()
+            assert_frames_match(spdf, ddf, name)
+            print(f"PASS {name} ({len(spdf)} rows)")
+        except Exception as ex:
+            failed.append(name)
+            print(f"FAIL {name}: {ex}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
