@@ -453,3 +453,67 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_delay_s"),
     )
+
+
+@register(
+    "ohlc_hourly_candles",
+    oracle="""
+    WITH keyed AS (
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               value, ts, event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT bucket, event_type, value,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts, event_id) AS rk_open,
+               row_number() OVER (PARTITION BY bucket, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rk_close
+        FROM keyed
+    )
+    SELECT bucket, event_type,
+           MAX(CASE WHEN rk_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rk_close = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+    tags=("timeseries", "ohlc", "downsample"),
+)
+def ohlc_hourly_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle downsampling — the hypertable continuous-aggregate
+    shape (TimescaleDB `time_bucket` + first/last/min/max): per
+    (hour, event_type) bucket, the first and last value by event time
+    (deterministic (ts, event_id) tiebreak — open/close must be
+    well-defined even with same-timestamp events), the extremes, and
+    the event count.
+
+    Spark-first: `min_by`/`max_by` over a (ts, event_id) struct key
+    compute open/close IN THE SAME single hash aggregation as
+    high/low/volume — one scan, one keyed exchange, no window pass.
+    (The oracle uses two window ranks because DuckDB's arg_min is
+    single-key; semantics identical.) At 100 TB this is the canonical
+    map-side-combinable rollup: min_by/max_by partials merge
+    associatively, so the candle table is a streaming-compatible
+    continuous aggregate."""
+    e = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+            "value",
+            key.alias("k"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.min_by("value", F.col("k")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("k")).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
