@@ -42,3 +42,23 @@ def test_ivf_recall_floor(spark, sf_dir):
     approx_top = {r.vec_id for r in knn_ivf(spark, sf_dir, k=10).collect()}
     recall = len(set(brute_top) & approx_top) / len(brute_top)
     assert recall >= 0.2, f"IVF recall@10 collapsed: {recall}"
+
+
+def test_lsh_partitioned_probe_prunes_and_agrees(spark, sf_dir):
+    """The bucket-partitioned index must (a) return exactly the
+    expression-filter variant's rows and (b) carry the probe set as
+    PartitionFilters — the scan lists only probed bucket dirs."""
+    from kamiyo_hive_spark.operators.similarity import (
+        knn_lsh_cosine,
+        knn_lsh_partitioned,
+    )
+
+    part = knn_lsh_partitioned(spark, sf_dir)
+    expr = knn_lsh_cosine(spark, sf_dir)
+    assert sorted(map(tuple, part.collect())) == sorted(map(tuple, expr.collect()))
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the filter must actually name the bucket column (not be empty)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf, pf
