@@ -517,3 +517,107 @@ def ohlc_hourly_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("volume"),
         )
     )
+
+
+ANOMALY_Z = 3.0
+
+
+@register(
+    "event_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               count(*) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, bucket, c,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+               CAST(SUM(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS ss,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM hourly
+    ),
+    z AS (
+        SELECT event_type, c,
+               sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sd,
+               CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n AS dev,
+               n
+        FROM stats
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN sd > 0 AND abs(dev / sd) >= {ANOMALY_Z}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           round(MAX(CASE WHEN sd > 0 THEN abs(dev / sd) ELSE 0 END), 6)
+               AS max_abs_z
+    FROM z
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "anomaly", "monitoring"),
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection — the monitoring rollup every event
+    pipeline runs: hourly event counts per type, z-scored against that
+    type's own distribution, hours beyond |z| >= 3 flagged. Output is
+    the per-type anomaly summary (hours observed, hours anomalous,
+    worst |z|).
+
+    Determinism: every statistic derives from exact INTEGER sums
+    (n, Σc, Σc²) — the mean/σ doubles are each computed by one fixed
+    expression over those integers, so no accumulation-order ambiguity
+    exists anywhere; sqrt and division are correctly-rounded IEEE ops,
+    identical on both engines; z is rounded before the final max.
+
+    Scale shape: one (type, hour) count exchange; the per-type moment
+    sums run as a window over the TYPE partition and the final rollup
+    groups by the same key, so Catalyst reuses one partitioning for
+    all three steps — two wide exchanges total, cardinality bounded by
+    types x hours, never events."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = hourly.select(
+        "event_type",
+        "c",
+        F.sum("c").over(w).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("ss"),
+        F.count("*").over(w).cast("long").alias("n"),
+    )
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.col("n")
+    )
+    dev = F.col("c").cast("double") - F.col("s").cast("double") / F.col("n")
+    z = stats.select(
+        "event_type",
+        "n",
+        sd.alias("sd"),
+        dev.alias("dev"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_hours"),
+            F.sum(
+                F.when(
+                    (F.col("sd") > 0) & (F.abs(F.col("dev") / F.col("sd")) >= ANOMALY_Z),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalous"),
+            F.round(
+                F.max(
+                    F.when(F.col("sd") > 0, F.abs(F.col("dev") / F.col("sd"))).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("max_abs_z"),
+        )
+    )
