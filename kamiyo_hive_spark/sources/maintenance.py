@@ -73,41 +73,48 @@ def delete_pool_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def targeted_delete(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
-    """Execute the delete: returns (result_dir, n_files_total,
-    n_files_rewritten). Result dir contains symlink-free copies of
-    untouched files plus rewritten survivors of affected files."""
-    pool = delete_pool_dir(spark, sf_dir)
-    out = os.path.join(SCRATCH, f"orders_post_delete_{os.path.basename(sf_dir)}")
+def rewrite_matching_files(
+    spark: SparkSession, pool: str, out: str, pred, rewrite
+) -> tuple[int, int]:
+    """The copy-on-write DML core shared by DELETE and UPDATE: find the
+    files containing rows matching `pred` (file-level pruning via an
+    input_file_name probe — at lake scale a file-stats / bloom-index
+    lookup, not a scan), hard-link every untouched file byte-identical,
+    and write `rewrite(affected_rows_df)` as the replacement for the
+    affected files. Returns (n_files_total, n_files_rewritten)."""
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-
-    doomed = F.col("o_custkey") % DELETE_KEY_MOD == 0
     pooled = spark.read.parquet(pool)
-    # file-level pruning: which files contain at least one doomed row?
-    # (metadata-sized collect — at lake scale this is a file-stats /
-    # bloom-index lookup, not a scan; the scan here plays that role)
     affected = {
-        os.path.basename(r["f"])
-        for r in pooled.filter(doomed)
+        r["f"].split("/")[-1]
+        for r in pooled.filter(pred)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
     }
-    # normalize file URIs -> names
-    affected = {f.split("/")[-1] for f in affected}
-    all_files = sorted(
-        f for f in os.listdir(pool) if f.endswith(".parquet")
-    )
-    untouched = [f for f in all_files if f not in affected]
-    for f in untouched:
-        os.link(os.path.join(pool, f), os.path.join(out, f))
+    all_files = sorted(f for f in os.listdir(pool) if f.endswith(".parquet"))
+    for f in all_files:
+        if f not in affected:
+            os.link(os.path.join(pool, f), os.path.join(out, f))
     if affected:
-        survivors = spark.read.parquet(
+        rows = spark.read.parquet(
             *[os.path.join(pool, f) for f in sorted(affected)]
-        ).filter(~doomed)
-        survivors.write.mode("append").parquet(out)
-    return out, len(all_files), len(affected)
+        )
+        rewrite(rows).write.mode("append").parquet(out)
+    return len(all_files), len(affected)
+
+
+def targeted_delete(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Execute the delete: returns (result_dir, n_files_total,
+    n_files_rewritten). Result dir contains hard links of untouched
+    files plus rewritten survivors of affected files."""
+    pool = delete_pool_dir(spark, sf_dir)
+    out = os.path.join(SCRATCH, f"orders_post_delete_{os.path.basename(sf_dir)}")
+    doomed = F.col("o_custkey") % DELETE_KEY_MOD == 0
+    n_total, n_rewritten = rewrite_matching_files(
+        spark, pool, out, doomed, lambda rows: rows.filter(~doomed)
+    )
+    return out, n_total, n_rewritten
 
 
 _DELETE_ORACLE = f"""
@@ -233,4 +240,64 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(dec("l_extendedprice")).alias("total_price"),
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed UPDATE (copy-on-write) — completes the DML triad
+# ---------------------------------------------------------------------------
+
+UPDATE_KEY_MOD = 131    # customers getting a price adjustment
+UPDATE_BUMP = "25.00"   # exact decimal bump applied to their orders
+
+
+@register(
+    "keyed_update_rewrite",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey % {UPDATE_KEY_MOD} = 0
+                         THEN CAST(o_totalprice AS DECIMAL(14,2))
+                              + CAST({UPDATE_BUMP} AS DECIMAL(14,2))
+                         ELSE CAST(o_totalprice AS DECIMAL(14,2)) END)
+                AS DOUBLE) AS total_price,
+           CAST(SUM(CASE WHEN o_custkey % {UPDATE_KEY_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("maintenance", "update", "copy-on-write"),
+)
+def keyed_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE WHERE key IN (...) over immutable parquet — the third leg
+    of the DML triad (append = `snapshot_time_travel`, delete =
+    `targeted_delete_rewrite`): the same copy-on-write core finds the
+    files containing target customers, rewrites ONLY those files with
+    the price adjustment applied (exact DECIMAL arithmetic — money
+    never transits double during the update), and hard-links every
+    untouched file byte-identical. Row count must be conserved (an
+    update never adds or drops rows) and the oracle recomputes the
+    adjusted aggregate straight from the source."""
+    pool = delete_pool_dir(spark, sf_dir)
+    out = os.path.join(SCRATCH, f"orders_post_update_{os.path.basename(sf_dir)}")
+    hit = F.col("o_custkey") % UPDATE_KEY_MOD == 0
+    bump = (
+        dec("o_totalprice") + F.lit(UPDATE_BUMP).cast("decimal(14,2)")
+    ).cast("double")
+
+    def apply_update(rows: DataFrame) -> DataFrame:
+        return rows.withColumn(
+            "o_totalprice", F.when(hit, bump).otherwise(F.col("o_totalprice"))
+        )
+
+    rewrite_matching_files(spark, pool, out, hit, apply_update)
+    post = spark.read.parquet(out)
+    return (
+        post.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_updated"),
+        )
     )

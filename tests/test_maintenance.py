@@ -71,3 +71,45 @@ def test_compaction_reduces_files_and_orders_rows(spark, sf_dir):
         ).to_pandas()
         tuples = list(zip(keys["l_orderkey"], keys["l_linenumber"]))
         assert tuples == sorted(tuples), f
+
+
+def test_keyed_update_conserves_rows_and_links(spark, sf_dir):
+    """UPDATE must conserve row count, touch only the files containing
+    target keys, and leave the rest as the same inodes."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.maintenance import (
+        UPDATE_KEY_MOD,
+        keyed_update_rewrite,
+    )
+
+    keyed_update_rewrite(spark, sf_dir).collect()  # runs the rewrite
+    pool = delete_pool_dir(spark, sf_dir)
+    import os
+
+    out = pool.replace("orders_delete_pool", "orders_post_update")
+    pooled = spark.read.parquet(pool)
+    post = spark.read.parquet(out)
+    assert post.count() == pooled.count()
+    # updated rows really changed; untouched rows really didn't
+    hit = F.col("o_custkey") % UPDATE_KEY_MOD == 0
+    n_hit = pooled.filter(hit).count()
+    assert n_hit > 0
+    joined = (
+        pooled.select("o_orderkey", F.col("o_totalprice").alias("before"))
+        .join(post.select("o_orderkey", F.col("o_totalprice").alias("after"), "o_custkey"), "o_orderkey")
+    )
+    changed = joined.filter(F.col("before") != F.col("after"))
+    assert changed.count() == n_hit
+    assert changed.filter(~(F.col("o_custkey") % UPDATE_KEY_MOD == 0)).count() == 0
+    # untouched files are shared inodes
+    pool_inodes = {
+        f: os.stat(os.path.join(pool, f)).st_ino for f in _parquet_files(pool)
+    }
+    shared = [
+        f
+        for f in _parquet_files(out)
+        if f in pool_inodes
+        and os.stat(os.path.join(out, f)).st_ino == pool_inodes[f]
+    ]
+    assert shared  # at least some files untouched at test scale
