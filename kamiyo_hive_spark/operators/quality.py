@@ -330,6 +330,11 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join; materialize so the gate+dedup subtree (scan + window)
         # runs once, not once per consumer (captured in docs/PLANS.md
         # pre-fix — the same rule as the SemDeDup assignment).
+        # Cluster note: localCheckpoint blocks are unreplicated and
+        # lineage-free — a long-lived production pipeline swaps in
+        # `checkpoint()` against a reliable dir (or a materialized
+        # intermediate table); locally the eager-materialization
+        # semantics are what we need and executor loss can't happen.
         .localCheckpoint()
     )
 

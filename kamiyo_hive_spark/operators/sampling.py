@@ -114,6 +114,33 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_weights(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """The derived recipe-weight table both mixture planners share:
+    per-source token counts + linear-decay-by-index weights normalized
+    by the exact integer weight sum (order-independent, so Spark and
+    the oracles agree bit-for-bit). Columns: source, n_docs, n_tokens,
+    total_tokens, w_raw, w_sum (weight = w_raw/w_sum)."""
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy(
+        "source",
+        F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("src_idx"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    total = stats.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("src_idx").cast("long").alias("max_idx"),
+    )
+    w = stats.crossJoin(F.broadcast(total)).withColumn(
+        "w_raw", F.col("max_idx") + F.lit(1) - F.col("src_idx")
+    )
+    norm = w.agg(F.sum("w_raw").cast("long").alias("w_sum"))
+    return w.crossJoin(F.broadcast(norm))
+
+
 @register(
     "mixture_sampling_plan",
     oracle="""
@@ -176,30 +203,14 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     single groupBy(source) exchange is driver-trivial at any corpus
     size. The keep-rate feeds `stratified_hash_sample`'s portable
     hash-bucket filter for the actual selection pass."""
-    d = table(spark, sf_dir, "documents")
-    stats = d.groupBy(
-        "source",
-        F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("src_idx"),
-    ).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias("n_tokens"),
-    )
-    total = stats.agg(
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.max("src_idx").cast("long").alias("max_idx"),
-    )
-    w = stats.crossJoin(F.broadcast(total)).withColumn(
-        "w_raw", F.col("max_idx") + F.lit(1) - F.col("src_idx")
-    )
-    norm = w.agg(F.sum("w_raw").cast("long").alias("w_sum"))
+    w = _source_weights(spark, sf_dir)
     weight = F.col("w_raw").cast("double") / F.col("w_sum")
     keep = F.least(
         F.lit(1.0),
         (weight * F.col("total_tokens")) / F.col("n_tokens").cast("double"),
     )
     return (
-        w.crossJoin(F.broadcast(norm))
-        .select(
+        w.select(
             "source",
             "n_docs",
             "n_tokens",
@@ -307,8 +318,8 @@ MIX_MAX_EPOCHS = 4.0      # repeat cap per source (over-repeating small
     )
     SELECT source, n_tokens, target_weight,
            CAST(floor(desired / n_tokens) AS BIGINT) AS epochs_full,
-           round(desired / n_tokens - floor(desired / n_tokens), 6)
-               AS final_epoch_keep,
+           least(round(desired / n_tokens - floor(desired / n_tokens), 6),
+                 0.999999) AS final_epoch_keep,
            CAST(floor(desired) AS BIGINT) AS planned_tokens
     FROM plan
     ORDER BY source
@@ -322,7 +333,7 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same derived recipe weights, each source trains for
     `epochs_full` complete passes plus a final partial pass keeping
     `final_epoch_keep` of its tokens (by the deterministic hash filter,
-    as everywhere), capped at {MIX_MAX_EPOCHS} epochs — the standard
+    as everywhere), capped at MIX_MAX_EPOCHS (4) epochs — the standard
     guard against over-repeating small sources.
 
     Same scale shape as the sampling plan: one token-count aggregation
@@ -330,38 +341,28 @@ def dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume this table directly: repeat factor = epochs_full, the
     partial epoch reuses `stratified_hash_sample`'s bucket filter, and
     `epoch_shuffle_order` supplies the per-epoch permutation."""
-    d = table(spark, sf_dir, "documents")
-    stats = d.groupBy(
-        "source",
-        F.regexp_extract("source", r"(\d+)", 1).cast("long").alias("src_idx"),
-    ).agg(
-        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-        .cast("long")
-        .alias("n_tokens")
-    )
-    total = stats.agg(
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.max("src_idx").cast("long").alias("max_idx"),
-    )
-    w = stats.crossJoin(F.broadcast(total)).withColumn(
-        "w_raw", F.col("max_idx") + F.lit(1) - F.col("src_idx")
-    )
-    norm = w.agg(F.sum("w_raw").cast("long").alias("w_sum"))
+    return epoch_plan(_source_weights(spark, sf_dir))
+
+
+def epoch_plan(w: "DataFrame") -> "DataFrame":
+    """The epoch arithmetic over a weight table (separable so the
+    MIX_MAX_EPOCHS cap branch is unit-testable on a synthetic frame
+    where it actually binds — the fixture corpus never reaches it).
+    Expects `_source_weights` columns."""
     weight = F.col("w_raw").cast("double") / F.col("w_sum")
     desired = F.least(
         weight * F.col("total_tokens") * MIX_BUDGET_EPOCHS,
         F.lit(MIX_MAX_EPOCHS) * F.col("n_tokens"),
     )
-    return (
-        w.crossJoin(F.broadcast(norm))
-        .select(
-            "source",
-            "n_tokens",
-            F.round(weight, 6).alias("target_weight"),
-            F.floor(desired / F.col("n_tokens")).cast("long").alias("epochs_full"),
-            F.round(
-                desired / F.col("n_tokens") - F.floor(desired / F.col("n_tokens")), 6
-            ).alias("final_epoch_keep"),
-            F.floor(desired).cast("long").alias("planned_tokens"),
-        )
+    frac = desired / F.col("n_tokens") - F.floor(desired / F.col("n_tokens"))
+    return w.select(
+        "source",
+        "n_tokens",
+        F.round(weight, 6).alias("target_weight"),
+        F.floor(desired / F.col("n_tokens")).cast("long").alias("epochs_full"),
+        # round(frac, 6) could land EXACTLY on 1.0 when the fractional
+        # part is within 5e-7 of a full epoch, breaking the documented
+        # [0, 1) contract; clamp just below (a <=1e-6 planning error)
+        F.least(F.round(frac, 6), F.lit(0.999999)).alias("final_epoch_keep"),
+        F.floor(desired).cast("long").alias("planned_tokens"),
     )

@@ -164,20 +164,14 @@ def srp_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def knn_lsh(
-    spark: SparkSession,
-    sf_dir: str,
-    query_vec_id: int = QUERY_VEC_ID,
-    k: int = TOP_K,
-    probe_hamming: int = 1,
-) -> DataFrame:
-    """ANN top-k: restrict the exact-cosine scan to LSH buckets within
-    `probe_hamming` bits of the query's bucket.
-
-    At 100 TB the corpus is written partitioned by bucket, so this probe
-    reads ~ (1 + NBITS)/2^NBITS of the data (partition pruning on the
-    bucket column) instead of the full scan the brute-force path does.
-    """
+def _query_probe(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID
+) -> tuple[Column, list[int]]:
+    """Driver-side probe computation shared by both LSH variants:
+    collect the query vector (metadata-sized), fold its SRP bucket with
+    the SAME bit convention as `srp_bucket` (>= 0 -> bit set), and
+    expand the hamming-1 multiprobe set. Returns (query literal array,
+    sorted probe bucket ids)."""
     planes = _hyperplanes()
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
@@ -187,20 +181,34 @@ def knn_lsh(
         .collect()[0]["q"]
     )
     qlit = F.array(*[F.lit(float(v)) for v in q])
-
     q_bucket = 0
     for j, plane in enumerate(planes):
         if sum(a * b for a, b in zip(q, plane)) >= 0:
             q_bucket |= 1 << j
-    probes = {q_bucket}
-    if probe_hamming >= 1:
-        for j in range(len(planes)):
-            probes.add(q_bucket ^ (1 << j))
+    probes = sorted({q_bucket} | {q_bucket ^ (1 << j) for j in range(len(planes))})
+    return qlit, probes
 
+
+def knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k: restrict the exact-cosine scan to the LSH buckets
+    within hamming-1 of the query's bucket (`_query_probe`).
+
+    At 100 TB the corpus is written partitioned by bucket, so this probe
+    reads ~ (1 + NBITS)/2^NBITS of the data (partition pruning on the
+    bucket column) instead of the full scan the brute-force path does.
+    """
+    qlit, probes = _query_probe(spark, sf_dir, query_vec_id)
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
     sim = _dot(emb, qlit) / (_norm(emb) * _norm(qlit))
     return (
-        e.withColumn("bucket", srp_bucket(emb, planes))
-        .filter(F.col("bucket").isin(sorted(probes)))
+        e.withColumn("bucket", srp_bucket(emb, _hyperplanes()))
+        .filter(F.col("bucket").isin(probes))
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
@@ -985,20 +993,7 @@ def knn_lsh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this layout IS the ANN serving story: a probe's cost
     tracks its bucket sizes, not the corpus."""
-    planes = _hyperplanes()
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    q = (
-        e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(emb.alias("q"))
-        .collect()[0]["q"]
-    )
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    q_bucket = 0
-    for j, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(q, plane)) >= 0:
-            q_bucket |= 1 << j
-    probes = sorted({q_bucket} | {q_bucket ^ (1 << j) for j in range(len(planes))})
+    qlit, probes = _query_probe(spark, sf_dir)
 
     idx = spark.read.parquet(lsh_index_dir(spark, sf_dir))
     v = F.col("embedding").cast("array<double>")

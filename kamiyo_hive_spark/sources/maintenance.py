@@ -251,6 +251,25 @@ UPDATE_KEY_MOD = 131    # customers getting a price adjustment
 UPDATE_BUMP = "25.00"   # exact decimal bump applied to their orders
 
 
+def keyed_update(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Execute the update (mirrors `targeted_delete`): returns
+    (result_dir, n_files_total, n_files_rewritten)."""
+    pool = delete_pool_dir(spark, sf_dir)
+    out = os.path.join(SCRATCH, f"orders_post_update_{os.path.basename(sf_dir)}")
+    hit = F.col("o_custkey") % UPDATE_KEY_MOD == 0
+    bump = (
+        dec("o_totalprice") + F.lit(UPDATE_BUMP).cast("decimal(14,2)")
+    ).cast("double")
+
+    def apply_update(rows: DataFrame) -> DataFrame:
+        return rows.withColumn(
+            "o_totalprice", F.when(hit, bump).otherwise(F.col("o_totalprice"))
+        )
+
+    n_total, n_rewritten = rewrite_matching_files(spark, pool, out, hit, apply_update)
+    return out, n_total, n_rewritten
+
+
 @register(
     "keyed_update_rewrite",
     oracle=f"""
@@ -279,19 +298,8 @@ def keyed_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched file byte-identical. Row count must be conserved (an
     update never adds or drops rows) and the oracle recomputes the
     adjusted aggregate straight from the source."""
-    pool = delete_pool_dir(spark, sf_dir)
-    out = os.path.join(SCRATCH, f"orders_post_update_{os.path.basename(sf_dir)}")
+    out, _, _ = keyed_update(spark, sf_dir)
     hit = F.col("o_custkey") % UPDATE_KEY_MOD == 0
-    bump = (
-        dec("o_totalprice") + F.lit(UPDATE_BUMP).cast("decimal(14,2)")
-    ).cast("double")
-
-    def apply_update(rows: DataFrame) -> DataFrame:
-        return rows.withColumn(
-            "o_totalprice", F.when(hit, bump).otherwise(F.col("o_totalprice"))
-        )
-
-    rewrite_matching_files(spark, pool, out, hit, apply_update)
     post = spark.read.parquet(out)
     return (
         post.groupBy("o_orderstatus")

@@ -5,10 +5,12 @@ tests/test_parity.py row.
 Usage: python scripts/check_parity.py name1 name2 ...
 (Override the scale dir with SPARK_GRAFT_PARITY_SF_DIR.)
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import duckdb
 
@@ -32,8 +34,8 @@ def main(names):
         )
     failed = []
     for name in names:
-        spec = reg[name]
         try:
+            spec = reg[name]
             spdf = spec.builder(spark, SF_DIR).toPandas()
             ddf = con.execute(spec.oracle).fetchdf()
             assert_frames_match(spdf, ddf, name)

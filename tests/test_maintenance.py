@@ -80,14 +80,14 @@ def test_keyed_update_conserves_rows_and_links(spark, sf_dir):
 
     from kamiyo_hive_spark.sources.maintenance import (
         UPDATE_KEY_MOD,
-        keyed_update_rewrite,
+        keyed_update,
     )
 
-    keyed_update_rewrite(spark, sf_dir).collect()  # runs the rewrite
-    pool = delete_pool_dir(spark, sf_dir)
     import os
 
-    out = pool.replace("orders_delete_pool", "orders_post_update")
+    out, n_total, n_rewritten = keyed_update(spark, sf_dir)
+    assert 0 < n_rewritten <= n_total
+    pool = delete_pool_dir(spark, sf_dir)
     pooled = spark.read.parquet(pool)
     post = spark.read.parquet(out)
     assert post.count() == pooled.count()

@@ -104,3 +104,43 @@ def test_mixture_epochs_algebra(spark, sf_dir):
     assert planned <= total * MIX_BUDGET_EPOCHS + len(rows)
     # at least one source is upsampled (trains >1 epoch) — non-vacuous
     assert any(r["epochs_full"] >= 1 for r in rows)
+
+
+def test_epoch_cap_binds_on_skewed_frame(spark):
+    """The MIX_MAX_EPOCHS cap never binds on the fixture corpus (max
+    raw epochs ~3.6), so exercise it on a synthetic weight table where
+    a tiny source's uncapped share demands far more than 4 epochs."""
+    from kamiyo_hive_spark.operators.sampling import (
+        MIX_MAX_EPOCHS,
+        epoch_plan,
+    )
+
+    # two sources: 'big' holds almost all tokens, 'tiny' gets an equal
+    # weight -> tiny's desired = 0.5 * total * 2 = total, i.e. ~100
+    # epochs of itself uncapped
+    w = spark.createDataFrame(
+        [("src_big", 99_000, 100_000, 1, 2), ("src_tiny", 1_000, 100_000, 1, 2)],
+        "source string, n_tokens long, total_tokens long, w_raw long, w_sum long",
+    )
+    rows = {r["source"]: r for r in epoch_plan(w).collect()}
+    tiny = rows["src_tiny"]
+    assert tiny["epochs_full"] == int(MIX_MAX_EPOCHS)  # the cap bound
+    assert tiny["final_epoch_keep"] == 0.0
+    assert tiny["planned_tokens"] == int(MIX_MAX_EPOCHS) * 1_000
+    big = rows["src_big"]
+    assert big["epochs_full"] < MIX_MAX_EPOCHS  # uncapped branch taken
+
+
+def test_epoch_keep_boundary_clamped(spark):
+    """A fractional part within 5e-7 of a full epoch must clamp to
+    0.999999, never round to 1.0 (the [0,1) contract)."""
+    from kamiyo_hive_spark.operators.sampling import epoch_plan
+
+    # desired/n_tokens = 2*0.49999995*... engineer frac ~0.9999996:
+    # weight*total*2/n = (1/2)*99999960*2/49999999 = 1.99999922...
+    w = spark.createDataFrame(
+        [("s", 49_999_999, 99_999_960, 1, 2)],
+        "source string, n_tokens long, total_tokens long, w_raw long, w_sum long",
+    )
+    r = epoch_plan(w).collect()[0]
+    assert 0.0 <= r["final_epoch_keep"] < 1.0
