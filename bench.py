@@ -109,20 +109,30 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # Round-over-round comparability (VERDICT r1 finding 4): BENCH_r01
-    # ended up with parsed=null because the JSON line shared stdout with
-    # Spark chatter and only a tail survived. Durable copy goes to a
-    # file; the stdout line is printed LAST, after spark.stop(), so no
-    # further JVM output can interleave with or follow it.
+    # Round-over-round comparability (VERDICT r1 finding 4, r2 finding
+    # 1): BENCH_r01/r02 both ended up with parsed=null. r1's cause was
+    # Spark chatter sharing stdout; r2's was the line itself — with 174
+    # per-query entries the JSON is ~8 KB, and the driver keeps only a
+    # ~2 KB stdout tail, so a full-map line can never parse. The full
+    # per-query map goes to bench_out.json (durable, diffable); stdout
+    # gets ONE SHORT summary line (<200 bytes), printed LAST after
+    # spark.stop() so no JVM output can follow it.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
     with open(out_path, "w") as f:
         json.dump(out, f)
         f.write("\n")
+    summary = {
+        "metric": "sec total, %d queries (per-query map: bench_out.json)"
+        % len(timings),
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+    }
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(out), flush=True)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -35,18 +35,23 @@ def test_bench_smoke(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
 
-    # durable file
+    # durable file carries the full per-query map
     file_out = json.loads(out_file.read_text())
-    # stdout contract: LAST line is the same JSON (nothing may follow it)
+    assert set(file_out["queries"]) == {
+        "flagship_runs_listing",
+        "pricing_summary",
+        "exact_dedup_kept",
+    }
+    # stdout contract: LAST line is a SHORT summary (the driver keeps
+    # only a ~2 KB stdout tail — r1 AND r2 went parsed=null because the
+    # full-map line was ~8 KB), nothing may follow it
     stdout_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert len(stdout_lines[-1]) < 512, "stdout summary line must stay tail-safe"
     line_out = json.loads(stdout_lines[-1])
+    assert "queries" not in line_out
 
     for out in (file_out, line_out):
         assert out["unit"] == "sec"
-        assert set(out["queries"]) == {
-            "flagship_runs_listing",
-            "pricing_summary",
-            "exact_dedup_kept",
-        }
         assert out["value"] > 0
         assert out["sf"] == 0.001
+    assert line_out["value"] == file_out["value"]
