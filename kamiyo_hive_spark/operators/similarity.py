@@ -813,6 +813,17 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", "cid", _pq_d2(F.col("sv"), F.col("cs")).alias("d"))
         .collect()
     }
+    # Fixture contract: the codebook is seeded from the first PQ_C
+    # vectors and every embedding must split into PQ_M×PQ_SUB dims. A
+    # regenerated fixture that violates either would otherwise surface
+    # as a bare KeyError / null-slice deep in the LUT loop (ADVICE r2).
+    if len(qd) != PQ_M * PQ_C:
+        raise ValueError(
+            f"PQ codebook incomplete: {len(qd)} (m,centroid) sub-distances, "
+            f"expected PQ_M*PQ_C={PQ_M * PQ_C}. The embeddings fixture must "
+            f"contain vec_id 0..{PQ_C - 1} as codebook seeds plus query vector "
+            f"{QUERY_VEC_ID}, each with {PQ_M * PQ_SUB}-dim embeddings."
+        )
 
     codes = spark.read.parquet(pq_codes_dir(spark, sf_dir))
     adc = None

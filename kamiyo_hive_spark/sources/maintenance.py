@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,8 +86,12 @@ def rewrite_matching_files(
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     pooled = spark.read.parquet(pool)
+    # input_file_name() yields a percent-encoded file URI; decode the
+    # basename before comparing against os.listdir output or a file
+    # name with encodable characters silently counts as "untouched"
+    # and its doomed rows survive the rewrite (ADVICE r2).
     affected = {
-        r["f"].split("/")[-1]
+        unquote(r["f"].split("/")[-1])
         for r in pooled.filter(pred)
         .select(F.input_file_name().alias("f"))
         .distinct()

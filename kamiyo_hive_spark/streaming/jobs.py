@@ -855,11 +855,19 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Correctness bar: after 4 genuine micro-batches the final ranked
     state must equal the batch recompute (the oracle ranks from
-    scratch)."""
+    scratch).
+
+    Output mode: COMPLETE, deliberately and without a watermark — in
+    complete mode a watermark neither evicts state nor drops late rows
+    (declaring one would falsely imply bounded state; ADVICE r2).
+    Complete mode is required here because the memory-sink parity check
+    reads the ENTIRE final window×type state in one table scan. The
+    production variant of this job is update mode + `withWatermark` so
+    closed windows age out of the state store; state then stays bounded
+    at (watermark horizon / window size) × |event_type|."""
     stream = _events_stream(spark, sf_dir)
     agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
     _run_to_completion(agg, "stream_trending_out", "complete")

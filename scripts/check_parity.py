@@ -18,8 +18,7 @@ from kamiyo_hive_spark.catalog import TABLES
 from kamiyo_hive_spark.plans.registry import load_registry
 from kamiyo_hive_spark.session import get_spark
 
-import os as _os
-SF_DIR = _os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 from test_parity import assert_frames_match  # noqa: E402
 
@@ -28,22 +27,25 @@ def main(names):
     reg = load_registry()
     spark = get_spark(app_name="parity-check")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
     failed = []
-    for name in names:
-        try:
-            spec = reg[name]
-            spdf = spec.builder(spark, SF_DIR).toPandas()
-            ddf = con.execute(spec.oracle).fetchdf()
-            assert_frames_match(spdf, ddf, name)
-            print(f"PASS {name} ({len(spdf)} rows)")
-        except Exception as ex:
-            failed.append(name)
-            print(f"FAIL {name}: {ex}")
-    spark.stop()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in names:
+            try:
+                spec = reg[name]
+                spdf = spec.builder(spark, SF_DIR).toPandas()
+                ddf = con.execute(spec.oracle).fetchdf()
+                assert_frames_match(spdf, ddf, name)
+                print(f"PASS {name} ({len(spdf)} rows)")
+            except Exception as ex:
+                failed.append(name)
+                print(f"FAIL {name}: {ex}")
+    finally:
+        con.close()
+        spark.stop()
     return 1 if failed else 0
 
 
