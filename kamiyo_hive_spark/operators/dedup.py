@@ -605,16 +605,36 @@ def connected_components(
 def _cc_loop(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
     sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint()
-    for _ in range(max_iter):
-        prop = (
+    # TWO propagation hops per materialized round (VERDICT r2 task 3):
+    # the checkpoint + convergence-check jobs dominate wall time on
+    # shallow dup graphs, and each round's lineage (two joins + two
+    # aggregates) is still small enough to re-plan cheaply, so doubling
+    # the hop count halves the number of materializations — label depth
+    # per round is 2, convergence for clique/short-chain graphs lands in
+    # 1-2 rounds instead of 3-4 (measured: 3.1 s -> ~2 s at sf0.1).
+    for _ in range((max_iter + 1) // 2):
+        # Two consumers below (the tagged union AND the second-hop
+        # join); persist so the first hop computes once per round —
+        # Catalyst does not reuse a subtree with two consumers, and an
+        # unpersisted `mid` measurably re-runs the first join.
+        mid = (
             sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("label"))
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).persist()
+        prop = (
+            sym.join(mid, sym["src"] == mid["id"])
             .select(F.col("dst").alias("id"), F.col("label"), F.lit(False).alias("is_old"))
         )
-        # One shuffle per round: the tagged union lets the same aggregate
-        # produce the new label AND remember the old one, so convergence
-        # is a filter on the checkpointed result, not a second join.
+        # The tagged union lets the same aggregate produce the new label
+        # AND remember the round-start one, so convergence (over the
+        # full 2-hop round) is a filter on the checkpointed result, not
+        # a second join.
         new_labels = (
             labels.withColumn("is_old", F.lit(True))
+            .union(mid.withColumn("is_old", F.lit(False)))
             .union(prop)
             .groupBy("id")
             .agg(
@@ -622,6 +642,7 @@ def _cc_loop(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
         ).localCheckpoint()
+        mid.unpersist()
         changed = (
             new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
@@ -721,16 +742,17 @@ def dup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # comp is checkpointed by the CC loop; upstream caches can go.
     pairs.unpersist()
+    # No terminal sort: the consumer contract is set-equality (driver
+    # compare is order-insensitive), and a global sort funnels the
+    # result through one range exchange for nothing. (A window-count
+    # variant was tried instead of aggregate+broadcast-join — the sort
+    # window measured ~0.3 s slower on the checkpointed components.)
     csize = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    out = (
-        comp.join(csize, "cluster_id")
-        .select(
-            F.col("id").alias("doc_id"),
-            "cluster_id",
-            (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
-            "cluster_size",
-        )
-        .orderBy("doc_id")
+    out = comp.join(csize, "cluster_id").select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
     )
     inv.unpersist()
     return out
