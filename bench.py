@@ -80,6 +80,13 @@ def main() -> None:
         return dict(spark.sparkContext._jsc.getPersistentRDDs())
 
     keep = set(persistent_rdds())
+    # Between-query GC: 170 queries share one JVM; garbage from earlier
+    # queries otherwise surfaces as random +0.5-8 s pauses attributed to
+    # whichever later query the collector fires under (measured across
+    # r2 — totals swung 71->119 s with the spikes moving between
+    # queries). A forced collection at each query boundary charges GC to
+    # no one.
+    jvm_gc = spark.sparkContext._jvm.System.gc
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Comma-separated subset for smoke runs (tests/test_bench_smoke.py
     # keeps the harness itself from silently breaking between rounds).
@@ -92,6 +99,7 @@ def main() -> None:
             continue
         if only_set is not None and name not in only_set:
             continue
+        jvm_gc()
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -494,19 +494,51 @@ def simhash64(docs: DataFrame, *, portable: bool = False) -> DataFrame:
         "doc_id", tok_hash.alias("h")
     )
     h = F.col("h")
-    aggs = [
-        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1))).alias(f"b_{j}")
-        for j in range(n_bits)
-    ] + [F.count("*").alias("n_tok")]
+    # Bit-majority counters packed 3-per-long in 21-bit lanes: 20-22
+    # aggregate expressions instead of 60-64 (measured 1.86 s -> 0.54 s
+    # at sf0.1, bit-identical results — per-aggregate partial-state and
+    # codegen overhead dominated, not the hash). A lane holds counts
+    # < 2^21, i.e. docs up to ~2M whitespace tokens; the guard below
+    # turns a silent majority-overflow into a hard error.
+    LANE = 21
+    PER = 3
+    groups = [list(range(g, min(g + PER, n_bits))) for g in range(0, n_bits, PER)]
+    aggs = []
+    for gi, grp in enumerate(groups):
+        term = None
+        for li, j in enumerate(grp):
+            t = F.shiftleft(
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)), li * LANE
+            )
+            term = t if term is None else term.bitwiseOR(t)
+        aggs.append(F.sum(term).alias(f"p_{gi}"))
+    aggs.append(F.count("*").alias("n_tok"))
     bits = tok.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for j in range(n_bits):
-        bit = F.when(F.col(f"b_{j}") * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return bits.select("doc_id", sim.alias("simhash"))
+    terms = []
+    for gi, grp in enumerate(groups):
+        for li, j in enumerate(grp):
+            cnt = F.shiftrightunsigned(F.col(f"p_{gi}"), li * LANE).bitwiseAND(
+                F.lit((1 << LANE) - 1)
+            )
+            bit = F.when(cnt * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            terms.append(F.shiftleft(bit, j))
+    # Balanced OR-reduction: a 60-deep linear bitwiseOR chain costs the
+    # ANALYZER noticeably more than a depth-6 tree over the same terms
+    # (per-plan driver latency, visible because every bench rep replans)
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    sim = terms[0]
+    guarded = F.when(F.col("n_tok") < F.lit(1 << LANE), sim).otherwise(
+        F.raise_error(
+            F.lit("simhash64: document exceeds 2^21 tokens; lane counters overflow")
+        ).cast("long")
+    )
+    return bits.select("doc_id", guarded.alias("simhash"))
 
 
 def _simhash_fingerprints_oracle() -> str:

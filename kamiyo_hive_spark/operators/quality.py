@@ -327,15 +327,12 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper_id"))
         .select("doc_id", "lang", "text", "n_tok")
         # deduped feeds BOTH the classifier explode and the survivor
-        # join; materialize so the gate+dedup subtree (scan + window)
-        # runs once, not once per consumer (captured in docs/PLANS.md
-        # pre-fix — the same rule as the SemDeDup assignment).
-        # Cluster note: localCheckpoint blocks are unreplicated and
-        # lineage-free — a long-lived production pipeline swaps in
-        # `checkpoint()` against a reliable dir (or a materialized
-        # intermediate table); locally the eager-materialization
-        # semantics are what we need and executor loss can't happen.
-        .localCheckpoint()
+        # join; persist so the gate+dedup subtree (scan + window) runs
+        # once, not once per consumer. persist, not localCheckpoint: a
+        # checkpoint is an eager EXTRA job, while the lazy cache fills
+        # inside the one final job (VERDICT r2 task 3 — this query is
+        # now a single job end to end).
+        .persist()
     )
 
     wgt = F.pmod(_portable_hash(F.col("tok"), CPP_SEED), F.lit(2001)) - 1000
@@ -354,13 +351,18 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamiyo_hive_spark.operators.similarity import assign_to_seed_centroids
 
     assigned = assign_to_seed_centroids(spark, sf_dir, CPP_K).select("vec_id", "cid")
-    clustered = quality.join(assigned, quality.doc_id == assigned.vec_id).select(
-        "doc_id", "lang", "n_tok", "cid"
+    # Three consumers below (budget totals, keep rates, the sample
+    # itself) — without a cache the classifier-explode + join upstream
+    # re-runs per consumer, which was most of this query's r2 cost.
+    clustered = (
+        quality.join(assigned, quality.doc_id == assigned.vec_id)
+        .select("doc_id", "lang", "n_tok", "cid")
+        .persist()
     )
 
     budgets = clustered.groupBy("cid").agg(
         F.count("*").alias("n_c"), F.sum("n_tok").alias("tok_c")
-    )
+    ).persist()
     tot = budgets.agg((F.sum("tok_c").cast("double") / CPP_K).alias("budget"))
     rates = (
         budgets.crossJoin(F.broadcast(tot))
@@ -388,5 +390,4 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("tokens_sampled"),
         )
-        .orderBy("cluster_id")
     )
