@@ -1,0 +1,425 @@
+"""Dependency-free baseline JPEG codec (VERDICT r2 task 8).
+
+The format that actually dominates multimodal corpora, decoded with
+nothing but the stdlib + numpy: marker walk, DQT/DHT/SOF0/SOS parsing,
+Huffman entropy decode (DC differential + AC run/size with ZRL/EOB),
+dequantization, zigzag, 8×8 IDCT (numpy basis matmul), and chroma
+upsampling to a per-pixel luma plane. Progressive (SOF2), arithmetic
+coding, and 12-bit precision raise `NotImplementedError` with a clear
+message — baseline sequential (SOF0) is fully handled.
+
+The encoder half is deliberately minimal: it writes spec-correct
+baseline 4:2:0 JPEGs whose blocks are SOLID colors (DC-only, all-ones
+quantization), because with those inputs the decoded pixels are exact
+integers — which is what lets a SQL oracle predict the decode output
+in closed form (see `multimodal_jpeg_decode`). The decoder does NOT
+know this: it runs the full general path (per-coefficient Huffman, all
+64 dequant multiplies, full IDCT) on every file.
+
+Everything is built inside `_jpeg_kit()` as nested functions so
+cloudpickle ships the code BY VALUE to executor workers (the same
+pattern as `operators/multimodal._codec_kit` — the package may not be
+importable on workers under the external harness).
+
+Reference tables: the Huffman table layouts are the "typical" tables of
+the public JPEG specification (ITU-T T.81 Annex K.3) — the ones every
+baseline encoder ships.
+"""
+
+from __future__ import annotations
+
+
+def _jpeg_kit():
+    import struct
+
+    # ITU-T T.81 Annex K.3 typical Huffman tables: (bits[1..16], values)
+    DC_LUMA = (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    )
+    DC_CHROMA = (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    )
+    AC_LUMA = (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    )
+    AC_CHROMA = (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    )
+
+    ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def _huff_codes(bits, values):
+        """(value -> (code, length)) per T.81 C.2 canonical assignment."""
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[values[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _huff_decoder(bits, values):
+        """((code, length) -> value) lookup for the bit-reader."""
+        return {v: k for k, v in _huff_codes(bits, values).items()}
+
+    # ---------------- encoder (solid-block baseline 4:2:0) -----------
+
+    class _BitWriter:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def write(self, code, length):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.buf.append(self.acc)
+                    if self.acc == 0xFF:  # byte stuffing
+                        self.buf.append(0x00)
+                    self.acc = 0
+                    self.n = 0
+
+        def flush(self):
+            while self.n:  # pad with 1s per spec
+                self.write(1, 1)
+
+    def _dht_segment(tc_th, table):
+        bits, values = table
+        body = bytes([tc_th]) + bytes(bits) + bytes(values)
+        return struct.pack(">HH", 0xFFC4, len(body) + 2) + body
+
+    def _category(v):
+        a, n = abs(v), 0
+        while a:
+            a >>= 1
+            n += 1
+        return n
+
+    def encode_jpeg_solid_blocks(width, height, y_of_block, chroma=128):
+        """Baseline 4:2:0 JPEG, all-ones quant tables, every 8×8 block a
+        solid color: Y block i (raster order over the Y plane, MCU
+        scan order respected) has value `y_of_block(i)`; both chroma
+        planes are the constant `chroma`. Decoded pixels reproduce
+        these values exactly (DC-only blocks survive quantization
+        bit-for-bit), which is what the SQL oracle relies on.
+        Width/height must be multiples of 16 (whole MCUs)."""
+        if width % 16 or height % 16:
+            raise ValueError("solid-block encoder: dims must be multiples of 16")
+        mcux, mcuy = width // 16, height // 16
+        dc_l = _huff_codes(*DC_LUMA)
+        dc_c = _huff_codes(*DC_CHROMA)
+        ac_l = _huff_codes(*AC_LUMA)
+        ac_c = _huff_codes(*AC_CHROMA)
+
+        out = bytearray()
+        out += b"\xff\xd8"  # SOI
+        qt = bytes([0]) + bytes([1] * 64)  # table 0, all ones
+        out += struct.pack(">HH", 0xFFDB, len(qt) + 2) + qt
+        qt1 = bytes([1]) + bytes([1] * 64)
+        out += struct.pack(">HH", 0xFFDB, len(qt1) + 2) + qt1
+        # SOF0: 8-bit, 3 components, Y 2x2 q0, Cb 1x1 q1, Cr 1x1 q1
+        sof = struct.pack(">BHHB", 8, height, width, 3)
+        sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        out += struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof
+        out += _dht_segment(0x00, DC_LUMA)
+        out += _dht_segment(0x10, AC_LUMA)
+        out += _dht_segment(0x01, DC_CHROMA)
+        out += _dht_segment(0x11, AC_CHROMA)
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
+
+        w = _BitWriter()
+        pred = {"y": 0, "cb": 0, "cr": 0}
+
+        def put_dc_only(dc, pred_key, dc_table, ac_table):
+            diff = dc - pred[pred_key]
+            pred[pred_key] = dc
+            cat = _category(diff)
+            code, length = dc_table[cat]
+            w.write(code, length)
+            if cat:
+                v = diff if diff >= 0 else diff + (1 << cat) - 1
+                w.write(v, cat)
+            code, length = ac_table[0x00]  # EOB
+            w.write(code, length)
+
+        yblocks_per_row = mcux * 2
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        i = (my * 2 + by) * yblocks_per_row + mx * 2 + bx
+                        val = int(y_of_block(i)) & 0xFF
+                        put_dc_only((val - 128) * 8, "y", dc_l, ac_l)
+                put_dc_only((int(chroma) - 128) * 8, "cb", dc_c, ac_c)
+                put_dc_only((int(chroma) - 128) * 8, "cr", dc_c, ac_c)
+        w.flush()
+        out += w.buf
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ---------------- decoder (general baseline SOF0) ----------------
+
+    class _BitReader:
+        def __init__(self, data):
+            self.data = data
+            self.pos = 0
+            self.acc = 0
+            self.n = 0
+
+        def bit(self):
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("jpeg: entropy stream truncated")
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = self.data[self.pos]
+                    if nxt == 0x00:
+                        self.pos += 1  # stuffed byte
+                    elif 0xD0 <= nxt <= 0xD7:
+                        raise _Restart()
+                    else:
+                        raise ValueError("jpeg: marker inside entropy data")
+                self.acc = b
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+        def huff(self, table):
+            code, length = 0, 0
+            while length <= 16:
+                code = (code << 1) | self.bit()
+                length += 1
+                hit = table.get((code, length))
+                if hit is not None:
+                    return hit
+            raise ValueError("jpeg: invalid Huffman code")
+
+    class _Restart(Exception):
+        pass
+
+    def _extend(v, cat):
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    def decode_jpeg(data):
+        """Decode a baseline (SOF0) JPEG to per-component planes; returns
+        {width, height, n_components, mean_luma} with mean_luma the
+        average of the full decoded Y plane (cropped to true dims)."""
+        import numpy as np
+
+        if data[:2] != b"\xff\xd8":
+            raise NotImplementedError("not a JPEG (no SOI)")
+        qt = {}
+        huff_dc = {}
+        huff_ac = {}
+        frame = None
+        restart_interval = 0
+        pos = 2
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("jpeg: expected marker")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+                raise NotImplementedError("progressive JPEG not supported (baseline only)")
+            if marker in (0xC9, 0xCB, 0xCD, 0xCF):
+                raise NotImplementedError("arithmetic-coded JPEG not supported")
+            if pos + 2 > len(data):
+                raise ValueError("jpeg: truncated segment header")
+            (seglen,) = struct.unpack_from(">H", data, pos)
+            if pos + seglen > len(data):
+                raise ValueError("jpeg: truncated segment body")
+            body = data[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0xF
+                    p += 1
+                    if pq:
+                        raise NotImplementedError("16-bit quant tables not supported")
+                    qt[tq] = list(body[p : p + 64])
+                    p += 64
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0xF
+                    bits = list(body[p + 1 : p + 17])
+                    nv = sum(bits)
+                    values = list(body[p + 17 : p + 17 + nv])
+                    (huff_ac if tc else huff_dc)[th] = _huff_decoder(bits, values)
+                    p += 17 + nv
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline DCT)
+                prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise NotImplementedError("only 8-bit precision supported")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                frame = {"w": w_, "h": h, "comps": comps}
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan = []
+                for i in range(ns):
+                    cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                    scan.append((cs, tdta >> 4, tdta & 0xF))
+                return _decode_scan(
+                    np, data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                )
+            # APPn/COM and others: skipped
+        raise ValueError("jpeg: no SOS marker found")
+
+    # orthonormal 8-point DCT-III basis for the IDCT, built once
+    def _idct_basis(np):
+        import math
+
+        m = np.zeros((8, 8))
+        for x in range(8):
+            for u in range(8):
+                cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+                m[x, u] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        return m
+
+    def _decode_scan(np, data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+        if frame is None:
+            raise ValueError("jpeg: SOS before SOF")
+        comps = frame["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        planes = {
+            c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+        }
+        tables = {cs: (td, ta) for cs, td, ta in scan}
+        reader = _BitReader(data[pos:])
+        pred = {c["id"]: 0 for c in comps}
+        basis = _idct_basis(np)
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and n_mcu and n_mcu % dri == 0:
+                    # resync: skip to the restart marker and reset DC
+                    while True:
+                        try:
+                            reader.bit()
+                        except _Restart:
+                            break
+                    reader.pos += 1  # consume marker second byte
+                    reader.n = 0
+                    pred = {c["id"]: 0 for c in comps}
+                n_mcu += 1
+                for c in comps:
+                    td, ta = tables[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = np.zeros(64)
+                            cat = reader.huff(huff_dc[td])
+                            diff = _extend(reader.bits(cat), cat) if cat else 0
+                            pred[c["id"]] += diff
+                            coef[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = reader.huff(huff_ac[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("jpeg: AC index overflow")
+                                coef[k] = _extend(reader.bits(s), s)
+                                k += 1
+                            q = np.array(qt[c["tq"]], dtype=float)
+                            dq = coef * q
+                            blk = np.zeros((8, 8))
+                            for i, z in enumerate(ZIGZAG):
+                                blk[z // 8, z % 8] = dq[i]
+                            px = basis @ blk @ basis.T + 128.0
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+        # luma = first scan component, cropped to true dims after
+        # upsampling bookkeeping (luma is full-resolution already)
+        luma_id = scan[0][0]
+        luma_comp = next(c for c in comps if c["id"] == luma_id)
+        scale_x = hmax // luma_comp["h"]
+        scale_y = vmax // luma_comp["v"]
+        luma = planes[luma_id]
+        if scale_x > 1 or scale_y > 1:
+            luma = np.kron(luma, np.ones((scale_y, scale_x)))
+        luma = luma[: frame["h"], : frame["w"]]
+        luma = np.clip(np.rint(luma), 0, 255)
+        return {
+            "width": frame["w"],
+            "height": frame["h"],
+            "n_components": len(comps),
+            "mean_luma": float(luma.mean()),
+        }
+
+    return encode_jpeg_solid_blocks, decode_jpeg
+
+
+# Driver-side aliases for unit tests; worker closures must call
+# `_jpeg_kit()` themselves (by-value shipping).
+encode_jpeg_solid_blocks, decode_jpeg = _jpeg_kit()

@@ -48,6 +48,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Instrumentation hook (scripts/streaming_profile.py): when set to a
+# list, every completed run appends (query_name, recentProgress) so the
+# per-micro-batch durations can be split into one-time state-store init
+# (batch 0) vs steady-state marginal cost (later batches). Never set in
+# production paths.
+_PROGRESS_SINK: list | None = None
+
+
 def _run_to_completion(
     result: DataFrame, name: str, mode: str, partitions: int = 4
 ) -> None:
@@ -73,6 +81,8 @@ def _run_to_completion(
         )
         try:
             q.processAllAvailable()
+            if _PROGRESS_SINK is not None:
+                _PROGRESS_SINK.append((name, list(q.recentProgress)))
         finally:
             q.stop()
     finally:
