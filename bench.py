@@ -80,13 +80,16 @@ def main() -> None:
         return dict(spark.sparkContext._jsc.getPersistentRDDs())
 
     keep = set(persistent_rdds())
-    # Between-query GC: 170 queries share one JVM; garbage from earlier
-    # queries otherwise surfaces as random +0.5-8 s pauses attributed to
-    # whichever later query the collector fires under (measured across
-    # r2 — totals swung 71->119 s with the spikes moving between
-    # queries). A forced collection at each query boundary charges GC to
-    # no one.
-    jvm_gc = spark.sparkContext._jvm.System.gc
+    # Between-query System.gc(): tried TWICE (docs/BENCH_NOTES), and
+    # BOTH A/Bs said no — even fired only at query boundaries (never
+    # between timed reps), the 15-query A/B measured 20.9 s with GC vs
+    # 19.7 s without, with `minhash_lsh_neardup` alone +1.5 s (the
+    # collection's concurrent phases steal CPU into the following
+    # reps). Default OFF; flag kept so the next round can re-check
+    # instead of re-arguing.
+    gc_enabled = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") != "0"
+    _gc = spark.sparkContext._jvm.System.gc
+    jvm_gc = _gc if gc_enabled else (lambda: None)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Comma-separated subset for smoke runs (tests/test_bench_smoke.py
     # keeps the harness itself from silently breaking between rounds).

@@ -97,7 +97,7 @@ def build() -> str:
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
         os.replace(os.path.join(tmp, part), f"{OUT}/{t}.parquet")
         shutil.rmtree(tmp)
-        print(f"tiled {t}: stride={stride}", flush=True)
+        print(f"tiled {t}: strides={strides}", flush=True)
     spark.stop()
     with open(os.path.join(OUT, "_DONE"), "w") as fh:
         fh.write("ok")
