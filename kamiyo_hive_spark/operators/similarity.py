@@ -962,6 +962,112 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_SHARDS = 4  # pair-stage cells per cluster (scale knob)
+
+_SEMDEDUP_SHARDED_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                            (acc, y) -> acc + y))) AS nv
+    FROM raw
+),
+c AS (SELECT vec_id AS cid, nv AS cv FROM d WHERE vec_id < {SEMDEDUP_K}),
+scored AS (
+    SELECT d.vec_id, c.cid,
+           round(list_reduce(list_transform(list_zip(d.nv, c.cv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x), 9) AS sim
+    FROM d, c
+),
+assigned AS (
+    SELECT vec_id, cid,
+           CAST(concat('0x', substr(md5(concat(CAST(vec_id AS VARCHAR), ':7')), 1, 15))
+                AS BIGINT) % {SEMDEDUP_SHARDS} AS shard
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT b.vec_id AS dup_id
+    FROM assigned a
+    JOIN assigned b
+      ON b.cid = a.cid AND b.shard = a.shard AND b.vec_id > a.vec_id
+    JOIN d da ON da.vec_id = a.vec_id
+    JOIN d db ON db.vec_id = b.vec_id
+    WHERE round(list_reduce(list_transform(list_zip(da.nv, db.nv), p -> p[1] * p[2]),
+                            (acc, x) -> acc + x), 9) >= {SEMDEDUP_TAU}
+),
+dups AS (SELECT DISTINCT dup_id FROM pairs)
+SELECT a.cid AS cluster_id,
+       count(*) AS n_vecs,
+       CAST(SUM(CASE WHEN dups.dup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       CAST(SUM(CASE WHEN dups.dup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM assigned a LEFT JOIN dups ON dups.dup_id = a.vec_id
+GROUP BY 1
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "semantic_dedup_sharded",
+    oracle=_SEMDEDUP_SHARDED_ORACLE,
+    tags=("dedup", "semantic", "embedding", "sharded"),
+)
+def semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-cell scale path for semantic dedup, as its own
+    oracle-checked operator. The 10× tiling measurement
+    (docs/BENCH_NOTES round 4) demonstrated what the SemDeDup docstring
+    only asserted: at a fixed cluster count the within-cluster pair
+    term grows quadratically (59.9× at 10× vectors). Production bounds
+    the CELL, not the corpus: each cluster is split into
+    SEMDEDUP_SHARDS deterministic shards (portable id hash), and a
+    vector is a dup iff an EARLIER member of its own (cluster, shard)
+    cell is within tau. Pair work is Σ(cluster/S)²·S = Σcluster²/S —
+    choose S ∝ cluster size and the stage is linear; recall loss is
+    cross-shard pairs only, and real deployments run extra rounds with
+    rotated shard seeds (or re-cluster with larger K) to recover them.
+    The declared semantics are replayed end-to-end by the DuckDB
+    oracle, shard hash included."""
+    from kamiyo_hive_spark.operators.dedup import _portable_hash
+
+    assigned = assign_to_seed_centroids(
+        spark, sf_dir, SEMDEDUP_K, materialize=True
+    ).withColumn(
+        "shard",
+        F.pmod(_portable_hash(F.col("vec_id").cast("string"), 7), F.lit(SEMDEDUP_SHARDS)),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim_p = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 9)
+    dup_counts = (
+        a.join(
+            b,
+            (F.col("b.cid") == F.col("a.cid"))
+            & (F.col("b.shard") == F.col("a.shard"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .filter(sim_p >= SEMDEDUP_TAU)
+        .groupBy(F.col("a.cid").alias("cluster_id"))
+        .agg(F.countDistinct(F.col("b.vec_id")).alias("n_dups"))
+    )
+    sizes = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    return sizes.join(dup_counts, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vecs",
+        F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+        (F.col("n_vecs") - F.coalesce(F.col("n_dups"), F.lit(0))).cast("long").alias("n_kept"),
+    )
+
+
 def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """SRP-LSH index as a bucket-PARTITIONED parquet layout
     (fingerprint-cached per sf_dir): every vector written under its

@@ -58,6 +58,13 @@ def test_plan_signatures(spark):
     reg = load_registry()
     current: dict[str, dict[str, int]] = {}
     for name in _batch_queries():
+        # Cached plans change join strategies: persist() registers its
+        # subtree with the CacheManager immediately, so any earlier
+        # query (or earlier TEST FILE sharing the session) that cached
+        # an intermediate flips later plans from sort-merge to
+        # broadcast over InMemoryRelation stats. Clear per query so
+        # every signature is the cache-independent cold plan.
+        spark.catalog.clearCache()
         current[name] = _signature(reg[name].builder(spark, sf_dir))
 
     if REGEN or not SIG_PATH.exists():
