@@ -414,3 +414,90 @@ def cluster_balanced_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.col("budget") / F.col("total_chars")), 9
         ).alias("keep_rate"),
     )
+
+
+@register(
+    "ngram_lm_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(t) AS w FROM toks
+    ),
+    c1 AS (SELECT w, count(*) AS cw FROM uni GROUP BY 1),
+    v AS (SELECT count(*) AS vocab FROM c1),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT g, count(*) AS cg FROM bg GROUP BY 1),
+    terms AS (
+        SELECT bg.doc_id,
+               round(ln((c2.cg + 1.0) / (c1.cw + v.vocab)), 9) AS logp
+        FROM bg
+        JOIN c2 USING (g)
+        JOIN c1 ON c1.w = split_part(bg.g, ' ', 1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_sort(list(logp)), (acc, x) -> acc + x)
+                 / count(*), 9) AS avg_logprob
+    FROM terms
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "lm-quality", "perplexity", "training-pipeline"),
+)
+def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, self-contained: train an add-one
+    bigram language model ON the corpus (unigram/bigram counts + vocab
+    size), then score every document by its mean bigram log-probability
+    — the standard perplexity-filtering signal a pretraining pipeline
+    computes between crawl and tokenizer (low mean log-prob = unusual
+    token transitions = boilerplate/garbled text; production swaps in a
+    clean-reference LM, which only changes the counts table).
+
+    Scale posture: the model IS two aggregate tables — unigram and
+    bigram counts (one explode + map-side-combined groupBy each,
+    vocab-bounded ≪ corpus) — and scoring is two equi-joins of the
+    exploded corpus against them. No per-row Python, no driver-side
+    model state; vocab size rides along as a broadcast 1-row aggregate.
+
+    Float discipline: ln is the repo's first transcendental — each term
+    is rounded to 9 dp immediately (both engines), and the per-doc sum
+    runs over the SORTED term list with a sequential fold, so the
+    addition sequence is bit-identical to the oracle's list_reduce.
+    """
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
+    toks = _tokens()
+    bg = d.select("doc_id", F.explode(_grams(toks, 2)).alias("g")).withColumn(
+        "w1", F.split(F.col("g"), " ")[0]
+    )
+    uni = d.select(F.explode(toks).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    c2 = bg.groupBy("g").agg(F.count("*").alias("cg"))
+    vocab = c1.agg(F.count("*").alias("vocab"))
+    terms = (
+        bg.join(c2, "g")
+        .join(c1, bg["w1"] == c1["w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cg") + F.lit(1.0)) / (F.col("cw") + F.col("vocab"))), 9
+            ).alias("logp"),
+        )
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("logp")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(folded / F.count("*"), 9).alias("avg_logprob"),
+    )
