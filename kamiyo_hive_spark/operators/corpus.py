@@ -501,3 +501,105 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(folded / F.count("*"), 9).alias("avg_logprob"),
     )
+
+
+DSIR_BUCKETS = 1024  # hashed-feature space (B); model tables are B rows
+DSIR_TARGET = "src0"  # deterministic target domain for the self-test
+DSIR_SEED = 13
+
+
+@register(
+    "dsir_importance_scores",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               CAST(concat('0x', substr(md5(concat(w, ':{DSIR_SEED}')), 1, 15))
+                    AS BIGINT) % {DSIR_BUCKETS} AS b
+        FROM tok
+    ),
+    tgt AS (SELECT b, count(*) AS ct FROM b WHERE source = '{DSIR_TARGET}' GROUP BY 1),
+    raw AS (SELECT b, count(*) AS cr FROM b GROUP BY 1),
+    tots AS (
+        SELECT (SELECT count(*) FROM b WHERE source = '{DSIR_TARGET}') AS tt,
+               (SELECT count(*) FROM b) AS rt
+    ),
+    terms AS (
+        SELECT b.doc_id,
+               round(ln(((coalesce(tgt.ct, 0) + 1.0) / (tots.tt + {DSIR_BUCKETS}))
+                        / ((raw.cr + 1.0) / (tots.rt + {DSIR_BUCKETS}))), 9) AS lp
+        FROM b
+        JOIN raw USING (b)
+        LEFT JOIN tgt USING (b)
+        CROSS JOIN tots
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_feats,
+           round(list_reduce(list_sort(list(lp)), (acc, x) -> acc + x), 9)
+               AS dsir_score
+    FROM terms
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+    tags=("corpus", "dsir", "importance-sampling", "training-pipeline"),
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shape data selection (Xie et al. 2023, public): score every
+    document by the sum of hashed-feature log importance ratios
+    log(p_target(f)/p_raw(f)) — the importance-resampling signal used
+    to tilt a raw crawl toward a target domain. Self-contained variant:
+    target = the 'src0' source slice, features = unigrams hashed into
+    1024 buckets, add-one smoothing on both estimators.
+
+    Scale posture — BETTER than the LM-quality join: both "models" are
+    B-row (1024) aggregate tables, so scoring is two BROADCAST joins
+    against the exploded corpus; the only corpus-sized shuffle is the
+    final per-doc aggregation (map-side combined). At 100 TB the
+    target estimator reads only the target slice (partition-pruned on
+    a real lake).
+
+    Float discipline as `ngram_lm_quality`: per-term round(ln, 9),
+    per-doc sum over the sorted term list (sequential fold ==
+    list_reduce). The division composition is written identically on
+    both engines so the double ops sequence matches exactly."""
+    from kamiyo_hive_spark.operators.dedup import _portable_hash
+
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("doc_id", "source", F.explode(_tokens()).alias("w")).withColumn(
+        "b",
+        F.pmod(_portable_hash(F.col("w"), DSIR_SEED), F.lit(DSIR_BUCKETS)),
+    )
+    tgt = (
+        tok.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tots = (
+        raw.agg(F.sum("cr").alias("rt"))
+        .crossJoin(tgt.agg(F.sum("ct").alias("tt")))
+    )
+    lp = F.round(
+        F.log(
+            ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.lit(DSIR_BUCKETS)))
+            / ((F.col("cr") + F.lit(1.0)) / (F.col("rt") + F.lit(DSIR_BUCKETS)))
+        ),
+        9,
+    )
+    terms = (
+        tok.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", lp.alias("lp"))
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("lp")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.round(folded, 9).alias("dsir_score"),
+    )
