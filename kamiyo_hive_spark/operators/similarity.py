@@ -1130,3 +1130,140 @@ def knn_lsh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+CPM_ANCHORS = 100   # anchor slice for the oracle-bounded self-test
+CPM_TAU_POS = 0.15  # positives must clear this cosine
+
+_CPM_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                            (acc, y) -> acc + y))) AS nv
+    FROM raw
+),
+c AS (SELECT vec_id AS cid, nv AS cv FROM d WHERE vec_id < {SEMDEDUP_K}),
+scored AS (
+    SELECT d.vec_id, c.cid,
+           round(list_reduce(list_transform(list_zip(d.nv, c.cv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x), 9) AS sim
+    FROM d, c
+),
+assigned AS (
+    SELECT vec_id, cid
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS anchor, b.vec_id AS cand,
+           (ca.cid = cb.cid) AS same_cluster,
+           round(list_reduce(list_transform(list_zip(da.nv, db.nv), p -> p[1] * p[2]),
+                             (acc, x) -> acc + x), 9) AS sim
+    FROM d a
+    JOIN d b ON b.vec_id <> a.vec_id
+    JOIN assigned ca ON ca.vec_id = a.vec_id
+    JOIN assigned cb ON cb.vec_id = b.vec_id
+    JOIN d da ON da.vec_id = a.vec_id
+    JOIN d db ON db.vec_id = b.vec_id
+    WHERE a.vec_id < {CPM_ANCHORS}
+),
+pos AS (
+    SELECT anchor, cand AS positive_id, sim AS pos_sim
+    FROM (SELECT anchor, cand, sim,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY sim DESC, cand) AS rn
+          FROM pairs WHERE same_cluster AND sim >= {CPM_TAU_POS})
+    WHERE rn = 1
+),
+neg AS (
+    SELECT anchor, cand AS negative_id, sim AS neg_sim
+    FROM (SELECT anchor, cand, sim,
+                 row_number() OVER (PARTITION BY anchor
+                                    ORDER BY sim DESC, cand) AS rn
+          FROM pairs WHERE NOT same_cluster)
+    WHERE rn = 1
+)
+SELECT p.anchor, p.positive_id, p.pos_sim, n.negative_id, n.neg_sim
+FROM pos p JOIN neg n USING (anchor)
+ORDER BY p.anchor
+"""
+
+
+@register(
+    "contrastive_pair_mining",
+    oracle=_CPM_ORACLE,
+    tags=("similarity", "contrastive", "hard-negative", "training-pipeline"),
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining over the embedding corpus: for
+    each anchor, the POSITIVE is its most-similar same-cluster
+    neighbor clearing tau, and the HARD NEGATIVE is its most-similar
+    cross-cluster vector — the standard in-batch/hard-negative recipe
+    for embedding-model training (anchors whose cluster offers no
+    positive above tau drop out, matching the oracle's inner join).
+
+    Scale posture: anchors are a bounded slice (a training BATCH — at
+    100 TB you mine per shuffled batch, not per corpus), so the
+    candidate join is |batch| × corpus partitioned on the candidate
+    side; the per-anchor argmaxes are one aggregation keyed by anchor.
+    Production narrows the negative scan with the ANN bucket index
+    (same `lsh_index_dir` layout) — the brute scan here is the recall
+    oracle. Same normalize-once / round(9) / lowest-id tie-break float
+    discipline as every cosine operator in this module."""
+    assigned = assign_to_seed_centroids(
+        spark, sf_dir, SEMDEDUP_K, materialize=True
+    )
+    anchors = assigned.filter(F.col("vec_id") < CPM_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("nv").alias("anv"),
+        F.col("cid").alias("acid"),
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("cand"),
+        F.col("nv").alias("cnv"),
+        F.col("cid").alias("ccid"),
+    )
+    sim = F.round(_dot(F.col("anv"), F.col("cnv")), 9)
+    pairs = (
+        anchors.join(cands, F.col("cand") != F.col("anchor"))
+        .select(
+            "anchor",
+            "cand",
+            (F.col("acid") == F.col("ccid")).alias("same_cluster"),
+            sim.alias("sim"),
+        )
+    )
+    # argmax via max(struct): (sim desc, cand asc) == struct(sim, -cand)
+    best = lambda: F.max(  # noqa: E731
+        F.struct(F.col("sim"), (-F.col("cand")).alias("nc"))
+    ).alias("b")
+    pos = (
+        pairs.filter(F.col("same_cluster") & (F.col("sim") >= CPM_TAU_POS))
+        .groupBy("anchor")
+        .agg(best())
+        .select(
+            "anchor",
+            (-F.col("b.nc")).cast("long").alias("positive_id"),
+            F.col("b.sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        pairs.filter(~F.col("same_cluster"))
+        .groupBy("anchor")
+        .agg(best())
+        .select(
+            "anchor",
+            (-F.col("b.nc")).cast("long").alias("negative_id"),
+            F.col("b.sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor", "positive_id", "pos_sim", "negative_id", "neg_sim"
+    )
