@@ -32,3 +32,66 @@ def test_pagerank_fixed_point_mass_conserved(spark, sf_dir):
     n = df.count()
     if n < 100:  # the limit did not truncate — mass check is meaningful
         assert 0.95 * 10**12 <= total <= 10**12
+
+
+def test_force_layout_deterministic_and_shard_invariant(spark, sf_dir):
+    """U9: the layout must be a pure function of the graph — identical
+    across runs AND across input partitioning (batch-synchronous force
+    application; hash01 init instead of the reference's Math.random)."""
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    b = load_registry()["force_directed_layout"].builder
+    one = sorted(map(tuple, b(spark, sf_dir).collect()))
+    two = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert one == two
+    assert len(one) > 0
+
+
+def test_force_layout_contracts_edges(spark, sf_dir):
+    """After 10 iterations, edge-connected node pairs must sit closer
+    together than the average unconnected pair of the same graph — the
+    property that makes a force layout a layout."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    rows = load_registry()["force_directed_layout"].builder(spark, sf_dir).collect()
+    by_graph: dict[int, dict[str, tuple]] = {}
+    for r in rows:
+        by_graph.setdefault(r.graph_id, {})[r.node_id] = (r.x, r.y, r.z)
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("g"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+
+    def dist(p, q):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(p, q)))
+
+    gid = edges[0].g
+    pos = by_graph[gid]
+    e_pairs = {(r.src, r.dst) for r in edges if r.g == gid}
+    e_dists = [dist(pos[s], pos[d]) for s, d in e_pairs]
+    ids = sorted(pos)
+    non = [
+        dist(pos[a], pos[b])
+        for a, b in itertools.islice(
+            ((a, b) for a, b in itertools.combinations(ids, 2) if (a, b) not in e_pairs),
+            2000,
+        )
+    ]
+    assert sum(e_dists) / len(e_dists) < sum(non) / len(non)
