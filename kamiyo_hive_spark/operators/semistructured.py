@@ -456,14 +456,46 @@ def force_directed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
+    sup = table(spark, sf_dir, "supplier")
+    # A HUD graph is BOUNDED by design (the reference renders tens of
+    # nodes): top-150 customers per nation by order volume, connected
+    # to same-nation suppliers. Graph COUNT grows with data; graph
+    # SIZE does not — which is what keeps the per-group all-pairs
+    # force kernel O(1) per task at any corpus scale.
+    top_c = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").cast("long").alias("graph_id"), "o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("graph_id").orderBy(
+                    F.desc("n_orders"), F.asc("o_custkey")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 150)
+        # RENAMED key: top_c derives from `o`, so joining back on a
+        # column literally named o_custkey resolves both sides to the
+        # SAME attribute (trivially-true predicate — the classic
+        # derived-self-join trap). A distinct name forces real
+        # resolution.
+        .select("graph_id", F.col("o_custkey").alias("top_custkey"))
+    )
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .filter(c.c_nationkey == sup.s_nationkey)
+        .join(
+            top_c,
+            (c["c_nationkey"] == top_c["graph_id"])
+            & (o["o_custkey"] == top_c["top_custkey"]),
+        )
         .select(
-            F.col("c_nationkey").cast("long").alias("graph_id"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("graph_id"),
+            F.concat(F.lit("c"), c["c_custkey"]).alias("src"),
+            F.concat(F.lit("s"), sup["s_suppkey"]).alias("dst"),
         )
         .groupBy("graph_id", "src", "dst")
         .agg(F.least(F.count("*"), F.lit(100)).cast("double").alias("weight"))

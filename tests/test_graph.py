@@ -82,9 +82,16 @@ def test_force_layout_contracts_edges(spark, sf_dir):
     def dist(p, q):
         return math.sqrt(sum((a - b) ** 2 for a, b in zip(p, q)))
 
-    gid = edges[0].g
+    gid = next(r.g for r in edges if r.g in by_graph)
     pos = by_graph[gid]
-    e_pairs = {(r.src, r.dst) for r in edges if r.g == gid}
+    # the builder bounds each graph (top-N customers, same-nation
+    # suppliers); restrict the independent edge derivation to laid-out
+    # nodes
+    e_pairs = {
+        (r.src, r.dst)
+        for r in edges
+        if r.g == gid and r.src in pos and r.dst in pos
+    }
     e_dists = [dist(pos[s], pos[d]) for s, d in e_pairs]
     ids = sorted(pos)
     non = [
