@@ -224,7 +224,9 @@ def _jpeg_kit():
                     if nxt == 0x00:
                         self.pos += 1  # stuffed byte
                     elif 0xD0 <= nxt <= 0xD7:
-                        raise _Restart()
+                        # DRI is gated at scan start, so an RSTn here
+                        # means a stream this decoder can't interpret
+                        raise ValueError("jpeg: unexpected restart marker")
                     else:
                         raise ValueError("jpeg: marker inside entropy data")
                 self.acc = b
@@ -247,9 +249,6 @@ def _jpeg_kit():
                 if hit is not None:
                     return hit
             raise ValueError("jpeg: invalid Huffman code")
-
-    class _Restart(Exception):
-        pass
 
     def _extend(v, cat):
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
@@ -350,23 +349,18 @@ def _jpeg_kit():
             c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
         }
         tables = {cs: (td, ta) for cs, td, ta in scan}
+        if dri:
+            # Honest gate: the synthesized corpus never emits DRI, so a
+            # restart-resync path here would be untested code claiming
+            # support. Fail loudly instead of decoding garbage.
+            raise NotImplementedError(
+                "restart markers (DRI) not supported by this baseline decoder"
+            )
         reader = _BitReader(data[pos:])
         pred = {c["id"]: 0 for c in comps}
         basis = _idct_basis(np)
-        n_mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
-                if dri and n_mcu and n_mcu % dri == 0:
-                    # resync: skip to the restart marker and reset DC
-                    while True:
-                        try:
-                            reader.bit()
-                        except _Restart:
-                            break
-                    reader.pos += 1  # consume marker second byte
-                    reader.n = 0
-                    pred = {c["id"]: 0 for c in comps}
-                n_mcu += 1
                 for c in comps:
                     td, ta = tables[c["id"]]
                     for by in range(c["v"]):
