@@ -171,7 +171,8 @@ def apply_prefix_sum(
                     f"literal-map offset keys must be str/int, got {type(v)}"
                 )
     entries = ", ".join(
-        "'%s', %dL" % ("|".join(str(v) for v in r[:-1]), r[-1])
+        "'%s', %dL"
+        % ("|".join(str(v) for v in r[:-1]).replace("'", "''"), r[-1])
         for r in stats["offsets"]
     )
     key_parts = ", ".join(
