@@ -476,6 +476,11 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = parallel_table(spark, sf_dir, "documents", "doc_id")
     toks = _tokens()
+    # bg feeds both the bigram-count build and the scoring join.
+    # Deliberately NOT cached: caching the exploded token relation was
+    # measured SLOWER (0.9 -> 2.3s) — materializing wide string rows
+    # costs more than re-running the JVM-side explode over the tiny
+    # parquet. Re-scan beats re-materialize for cheap expansions.
     bg = d.select("doc_id", F.explode(_grams(toks, 2)).alias("g")).withColumn(
         "w1", F.split(F.col("g"), " ")[0]
     )
@@ -569,6 +574,10 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamiyo_hive_spark.operators.dedup import _portable_hash
 
     d = parallel_table(spark, sf_dir, "documents", "doc_id")
+    # Three consumers (target counts, raw counts, scoring join) re-run
+    # the tokenize+hash explode; caching it was measured SLOWER (1.5 ->
+    # 3.0s, same lesson as ngram_lm_quality above) — the explode is
+    # cheaper than materializing its output.
     tok = d.select("doc_id", "source", F.explode(_tokens()).alias("w")).withColumn(
         "b",
         F.pmod(_portable_hash(F.col("w"), DSIR_SEED), F.lit(DSIR_BUCKETS)),
