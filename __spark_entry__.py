@@ -26,42 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return reg[FLAGSHIP].builder(spark, "/root/testdata/sf0.001")
 
 
-def _rotation_order(names: list[str]) -> list[str]:
-    """Never-yet-driver-sampled queries first. The external harness
-    checks a PREFIX of this dict (verified: the r2 sample is exactly
-    the first 50 keys in registry order), so a fixed order would re-test
-    the same 50 queries forever while 120+ others never earn a
-    driver-signed row. Ordering by "not seen in any CORRECTNESS_r*.json
-    yet" makes the sample self-rotating: each round surfaces queries
-    with no driver evidence, until every family has hard rows."""
-    import glob
-    import json
-    import os
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    sampled: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                sampled.update(json.load(fh).keys())
-        except (OSError, ValueError):
-            continue
-    fresh = [n for n in names if n not in sampled]
-    seen = [n for n in names if n in sampled]
-    return fresh + seen
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Deterministic registry (module-load) order; the harness owns its
+    own sampling strategy over this dict.
+    """
     reg = load_registry()
-    return {name: reg[name].builder for name in _rotation_order(list(reg))}
+    return {name: reg[name].builder for name in reg}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for every SQL-expressible query."""
     reg = load_registry()
-    return {
-        name: reg[name].oracle
-        for name in _rotation_order(list(reg))
-        if reg[name].oracle is not None
-    }
+    return {name: reg[name].oracle for name in reg if reg[name].oracle is not None}

@@ -220,6 +220,8 @@ def _jpeg_kit():
                 b = self.data[self.pos]
                 self.pos += 1
                 if b == 0xFF:
+                    if self.pos >= len(self.data):
+                        raise ValueError("jpeg: entropy stream truncated")
                     nxt = self.data[self.pos]
                     if nxt == 0x00:
                         self.pos += 1  # stuffed byte

@@ -29,6 +29,8 @@ numeric key.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,6 +137,18 @@ def _shard_from_bounds(df: DataFrame, lead_col: str, bounds: list) -> DataFrame:
     one round-trip and Catalyst folds it identically."""
     if not bounds:
         return df.withColumn("_shard", F.lit(0))
+    for b in bounds:
+        if (
+            not isinstance(b, (int, float))
+            or isinstance(b, bool)
+            or (isinstance(b, float) and not math.isfinite(b))
+        ):
+            # Python repr != Spark SQL literal escaping for strings, and
+            # NaN renders as invalid SQL — the expr-string fast path is
+            # only sound for finite numerics (all current callers).
+            raise TypeError(
+                f"shard boundaries must be finite numerics, got {b!r}"
+            )
     terms = " + ".join(
         f"(CASE WHEN `{lead_col}` > {b!r} THEN 1 ELSE 0 END)" for b in bounds
     )
@@ -170,6 +184,13 @@ def apply_prefix_sum(
                 raise TypeError(
                     f"literal-map offset keys must be str/int, got {type(v)}"
                 )
+            if isinstance(v, str) and ("|" in v or "\\" in v):
+                # '|' is the concat_ws delimiter (collision) and
+                # backslashes are interpreted inside Spark SQL string
+                # literals (misparse) — neither can round-trip safely.
+                raise ValueError(
+                    f"literal-map offset key contains '|' or backslash: {v!r}"
+                )
     entries = ", ".join(
         "'%s', %dL"
         % ("|".join(str(v) for v in r[:-1]).replace("'", "''"), r[-1])
@@ -178,7 +199,13 @@ def apply_prefix_sum(
     key_parts = ", ".join(
         [f"CAST(`{c}` AS STRING)" for c in part_cols] + ["CAST(_shard AS STRING)"]
     )
-    offset_expr = f"element_at(map({entries}), concat_ws('|', {key_parts}))"
+    lookup = f"element_at(map({entries}), concat_ws('|', {key_parts}))"
+    # A stale/mismatched stats dict must fail loudly, not silently NULL
+    # the running sum for the whole cell.
+    offset_expr = (
+        f"if(isnotnull({lookup}), {lookup}, raise_error(concat("
+        f"'prefix-sum offsets missing cell ', concat_ws('|', {key_parts}))))"
+    )
     sharded = _shard_from_bounds(df, order_cols[0], stats["bounds"]).repartition(
         stats["nparts"], "_shard", *part_cols
     )

@@ -708,18 +708,10 @@ def pq_codes_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     import os
 
-    from kamiyo_hive_spark.sources.sinks import (
-        SCRATCH,
-        _fingerprint,
-        record_staging,
-        staging_current,
-    )
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
 
     out = f"{SCRATCH}/pq_codes_{os.path.basename(sf_dir)}"
     source = os.path.join(sf_dir, "embeddings.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     # 128-row codebook relation from the seed vectors (broadcast)
@@ -753,9 +745,9 @@ def pq_codes_dir(spark: SparkSession, sf_dir: str) -> str:
             ).alias("codes")
         )
     )
-    codes.write.mode("overwrite").parquet(out)
-    record_staging(out, source, fp)
-    return out
+    return ensure_staging(
+        out, source, lambda tmp: codes.write.mode("overwrite").parquet(tmp)
+    )
 
 
 def _pq_sub_from(arr: Column, m: int) -> Column:
@@ -1076,28 +1068,20 @@ def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     the probe actually partition-prunes against it."""
     import os
 
-    from kamiyo_hive_spark.sources.sinks import (
-        SCRATCH,
-        _fingerprint,
-        record_staging,
-        staging_current,
-    )
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
 
     out = f"{SCRATCH}/embeddings_lsh_{os.path.basename(sf_dir)}"
     source = os.path.join(sf_dir, "embeddings.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
-    (
-        e.withColumn("bucket", srp_bucket(emb, _hyperplanes()))
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: e.withColumn("bucket", srp_bucket(emb, _hyperplanes()))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(out)
+        .parquet(tmp),
     )
-    record_staging(out, source, fp)
-    return out
 
 
 @register(

@@ -41,24 +41,18 @@ def token_profile_dir(spark: SparkSession, sf_dir: str) -> str:
     counts at ingest rather than re-tokenizing per downstream query."""
     import os
 
-    from kamiyo_hive_spark.sources.sinks import (
-        SCRATCH,
-        _fingerprint,
-        record_staging,
-        staging_current,
-    )
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
 
     out = f"{SCRATCH}/token_profile_{os.path.basename(sf_dir)}"
     source = os.path.join(sf_dir, "documents.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
     d = table(spark, sf_dir, "documents")
-    d.select("doc_id", "lang", F.size(_tokens()).alias("n_tokens")).write.mode(
-        "overwrite"
-    ).parquet(out)
-    record_staging(out, source, fp)
-    return out
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: d.select(
+            "doc_id", "lang", F.size(_tokens()).alias("n_tokens")
+        ).write.mode("overwrite").parquet(tmp),
+    )
 
 
 def _pack_stats(spark: SparkSession, profile_dir: str, nparts: int) -> dict:

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +38,7 @@ from kamiyo_hive_spark.functions.money import dec, money_sum
 from kamiyo_hive_spark.plans.registry import register
 from kamiyo_hive_spark.sources.sinks import (
     SCRATCH,
-    _fingerprint,
-    record_staging,
-    staging_current,
+    ensure_staging,
 )
 
 # ---------------------------------------------------------------------------
@@ -96,42 +93,38 @@ def write_zordered(spark: SparkSession, sf_dir: str) -> str:
     build. A source regeneration invalidates and rebuilds."""
     out = os.path.join(SCRATCH, f"lineitem_zorder_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "lineitem.parquet")
-    if staging_current(out, source) and os.path.exists(
-        os.path.join(out, "_KEY_RANGES.json")
-    ):
-        return out
-    fp = _fingerprint(source)
-    shutil.rmtree(out, ignore_errors=True)
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
-    )
-    rng = li.agg(
-        F.min("l_partkey").alias("pmin"),
-        F.max("l_partkey").alias("pmax"),
-        F.min("l_suppkey").alias("smin"),
-        F.max("l_suppkey").alias("smax"),
-    )
-    z = zvalue(
-        _bucket(F.col("l_partkey"), F.col("pmin"), F.col("pmax")),
-        _bucket(F.col("l_suppkey"), F.col("smin"), F.col("smax")),
-    )
-    (
-        li.crossJoin(F.broadcast(rng))
-        .withColumn("zval", z)
-        .repartitionByRange(Z_FILES, "zval")
-        .sortWithinPartitions("zval")
-        .drop("zval", "pmin", "pmax", "smin", "smax")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    # persist the key ranges with the layout: box_bounds() reads them
-    # back instead of re-scanning lineitem on every query (the stats a
-    # real table format keeps in its metadata)
-    r = rng.collect()[0]
-    with open(os.path.join(out, "_KEY_RANGES.json"), "w") as fh:
-        json.dump({k: int(r[k]) for k in ("pmin", "pmax", "smin", "smax")}, fh)
-    record_staging(out, source, fp)
-    return out
+
+    def build(tmp: str) -> None:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        rng = li.agg(
+            F.min("l_partkey").alias("pmin"),
+            F.max("l_partkey").alias("pmax"),
+            F.min("l_suppkey").alias("smin"),
+            F.max("l_suppkey").alias("smax"),
+        )
+        z = zvalue(
+            _bucket(F.col("l_partkey"), F.col("pmin"), F.col("pmax")),
+            _bucket(F.col("l_suppkey"), F.col("smin"), F.col("smax")),
+        )
+        (
+            li.crossJoin(F.broadcast(rng))
+            .withColumn("zval", z)
+            .repartitionByRange(Z_FILES, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval", "pmin", "pmax", "smin", "smax")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # persist the key ranges with the layout: box_bounds() reads them
+        # back instead of re-scanning lineitem on every query (the stats a
+        # real table format keeps in its metadata)
+        r = rng.collect()[0]
+        with open(os.path.join(tmp, "_KEY_RANGES.json"), "w") as fh:
+            json.dump({k: int(r[k]) for k in ("pmin", "pmax", "smin", "smax")}, fh)
+
+    return ensure_staging(out, source, build)
 
 
 _ZORDER_ORACLE = f"""
@@ -214,49 +207,55 @@ def build_snapshots(spark: SparkSession, sf_dir: str) -> str:
     query; a source regeneration invalidates it)."""
     root = os.path.join(SCRATCH, f"orders_snapshots_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "orders.parquet")
-    if staging_current(root, source):
-        return root
-    fp = _fingerprint(source)
-    shutil.rmtree(root, ignore_errors=True)
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cut = F.lit(SNAPSHOT_CUTOVER).cast("timestamp")
-    base_dir, inc_dir = os.path.join(root, "batch1"), os.path.join(root, "batch2")
-    o.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(base_dir)
-    o.filter(F.col("o_orderdate") >= cut).write.mode("overwrite").parquet(inc_dir)
 
-    def data_files(d: str) -> list[str]:
-        return sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    def build(tmp: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
         )
+        cut = F.lit(SNAPSHOT_CUTOVER).cast("timestamp")
+        base_dir, inc_dir = os.path.join(tmp, "batch1"), os.path.join(tmp, "batch2")
+        o.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(base_dir)
+        o.filter(F.col("o_orderdate") >= cut).write.mode("overwrite").parquet(inc_dir)
 
-    manifests = {
-        "v1": data_files(base_dir),
-        "v2": data_files(base_dir) + data_files(inc_dir),
-    }
-    for v, files in manifests.items():
-        with open(os.path.join(root, f"manifest_{v}.json"), "w") as fh:
-            json.dump({"version": v, "files": files}, fh)
-    open(os.path.join(root, "_SUCCESS"), "w").close()
-    record_staging(root, source, fp)
-    return root
+        # Manifests pin files RELATIVE to the table root: the build dir
+        # is atomically renamed into place (and a real lake moves/copies
+        # table roots), so absolute paths would dangle.
+        def data_files(batch: str) -> list[str]:
+            d = os.path.join(tmp, batch)
+            return sorted(
+                f"{batch}/{f}" for f in os.listdir(d) if f.endswith(".parquet")
+            )
+
+        manifests = {
+            "v1": data_files("batch1"),
+            "v2": data_files("batch1") + data_files("batch2"),
+        }
+        for v, files in manifests.items():
+            with open(os.path.join(tmp, f"manifest_{v}.json"), "w") as fh:
+                json.dump({"version": v, "files": files}, fh)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_staging(root, source, build)
+
+
+def _manifest_files(root: str, version: str) -> list[str]:
+    """Resolve a manifest's root-relative file list to absolute paths
+    (absolute entries from pre-r4 manifests still resolve unchanged)."""
+    with open(os.path.join(root, f"manifest_{version}.json")) as fh:
+        files = json.load(fh)["files"]
+    return [f if os.path.isabs(f) else os.path.join(root, f) for f in files]
 
 
 def read_snapshot(spark: SparkSession, root: str, version: str) -> DataFrame:
     """Time-travel read: exactly the files the manifest pinned."""
-    with open(os.path.join(root, f"manifest_{version}.json")) as fh:
-        files = json.load(fh)["files"]
-    return spark.read.parquet(*files)
+    return spark.read.parquet(*_manifest_files(root, version))
 
 
 def read_increment(spark: SparkSession, root: str, v_from: str, v_to: str) -> DataFrame:
     """Incremental read: only files added between two snapshots — the
     primitive that turns full recomputes into delta processing."""
-    with open(os.path.join(root, f"manifest_{v_from}.json")) as fh:
-        old = set(json.load(fh)["files"])
-    with open(os.path.join(root, f"manifest_{v_to}.json")) as fh:
-        new = json.load(fh)["files"]
+    old = set(_manifest_files(root, v_from))
+    new = _manifest_files(root, v_to)
     added = [f for f in new if f not in old]
     return spark.read.parquet(*added)
 
@@ -342,14 +341,14 @@ def _csv_dir(spark: SparkSession, sf_dir: str) -> str:
     survive text round-trip via shortest repr."""
     out = os.path.join(SCRATCH, f"supplier_csv_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "supplier.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
-    table(spark, sf_dir, "supplier").write.mode("overwrite").option(
-        "header", True
-    ).csv(out)
-    record_staging(out, source, fp)
-    return out
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "supplier")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(tmp),
+    )
 
 
 @register(
@@ -399,30 +398,28 @@ def _schema_evo_dir(spark: SparkSession, sf_dir: str) -> str:
     through."""
     out = os.path.join(SCRATCH, f"orders_schema_evo_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "orders.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
-    shutil.rmtree(out, ignore_errors=True)
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
-    )
-    cut = F.lit(SCHEMA_EVO_CUTOVER).cast("timestamp")
-    o.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(
-        os.path.join(out, "gen1")
-    )
-    (
-        o.filter(F.col("o_orderdate") >= cut)
-        .withColumn(
-            "o_channel",
-            F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("store"),
+
+    def build(tmp: str) -> None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
         )
-        .write.mode("overwrite")
-        .parquet(os.path.join(out, "gen2"))
-    )
-    # staging_current needs a root-level _SUCCESS marker
-    open(os.path.join(out, "_SUCCESS"), "w").close()
-    record_staging(out, source, fp)
-    return out
+        cut = F.lit(SCHEMA_EVO_CUTOVER).cast("timestamp")
+        o.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(
+            os.path.join(tmp, "gen1")
+        )
+        (
+            o.filter(F.col("o_orderdate") >= cut)
+            .withColumn(
+                "o_channel",
+                F.when(F.col("o_orderkey") % 2 == 0, "web").otherwise("store"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen2"))
+        )
+        # staging_current needs a root-level _SUCCESS marker
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_staging(out, source, build)
 
 
 @register(

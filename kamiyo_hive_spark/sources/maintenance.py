@@ -23,7 +23,6 @@ The two background jobs every parquet lake runs forever:
 from __future__ import annotations
 
 import os
-import shutil
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,9 +33,8 @@ from kamiyo_hive_spark.functions.money import dec, money_sum
 from kamiyo_hive_spark.plans.registry import register
 from kamiyo_hive_spark.sources.sinks import (
     SCRATCH,
-    _fingerprint,
-    record_staging,
-    staging_current,
+    ensure_staging,
+    fresh_staging,
 )
 
 # ---------------------------------------------------------------------------
@@ -58,20 +56,16 @@ def delete_pool_dir(spark: SparkSession, sf_dir: str) -> str:
     lives in exactly one file's range). Fingerprint-cached per sf_dir."""
     out = os.path.join(SCRATCH, f"orders_delete_pool_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "orders.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
-    shutil.rmtree(out, ignore_errors=True)
-    (
-        table(spark, sf_dir, "orders")
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .repartitionByRange(DELETE_POOL_FILES, "o_custkey")
         .sortWithinPartitions("o_custkey")
         .write.mode("overwrite")
-        .parquet(out)
+        .parquet(tmp),
     )
-    record_staging(out, source, fp)
-    return out
 
 
 def rewrite_matching_files(
@@ -83,8 +77,6 @@ def rewrite_matching_files(
     lookup, not a scan), hard-link every untouched file byte-identical,
     and write `rewrite(affected_rows_df)` as the replacement for the
     affected files. Returns (n_files_total, n_files_rewritten)."""
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
     pooled = spark.read.parquet(pool)
     # input_file_name() yields a percent-encoded file URI; decode the
     # basename before comparing against os.listdir output or a file
@@ -98,14 +90,19 @@ def rewrite_matching_files(
         .collect()
     }
     all_files = sorted(f for f in os.listdir(pool) if f.endswith(".parquet"))
-    for f in all_files:
-        if f not in affected:
-            os.link(os.path.join(pool, f), os.path.join(out, f))
-    if affected:
-        rows = spark.read.parquet(
-            *[os.path.join(pool, f) for f in sorted(affected)]
-        )
-        rewrite(rows).write.mode("append").parquet(out)
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp)
+        for f in all_files:
+            if f not in affected:
+                os.link(os.path.join(pool, f), os.path.join(tmp, f))
+        if affected:
+            rows = spark.read.parquet(
+                *[os.path.join(pool, f) for f in sorted(affected)]
+            )
+            rewrite(rows).write.mode("append").parquet(tmp)
+
+    fresh_staging(out, build)
     return len(all_files), len(affected)
 
 
@@ -181,19 +178,15 @@ def fragmented_dir(spark: SparkSession, sf_dir: str) -> str:
     ingest pathology. Fingerprint-cached per sf_dir."""
     out = os.path.join(SCRATCH, f"lineitem_fragments_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "lineitem.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
-    shutil.rmtree(out, ignore_errors=True)
-    (
-        table(spark, sf_dir, "lineitem")
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .repartition(FRAGMENT_FILES)
         .write.mode("overwrite")
-        .parquet(out)
+        .parquet(tmp),
     )
-    record_staging(out, source, fp)
-    return out
 
 
 def compact(spark: SparkSession, sf_dir: str) -> str:
@@ -202,15 +195,14 @@ def compact(spark: SparkSession, sf_dir: str) -> str:
     compactors fold a sort in since they're rewriting anyway)."""
     frags = fragmented_dir(spark, sf_dir)
     out = os.path.join(SCRATCH, f"lineitem_compacted_{os.path.basename(sf_dir)}")
-    shutil.rmtree(out, ignore_errors=True)
-    (
-        spark.read.parquet(frags)
+    return fresh_staging(
+        out,
+        lambda tmp: spark.read.parquet(frags)
         .repartitionByRange(COMPACT_FILES, "l_orderkey", "l_linenumber")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .write.mode("overwrite")
-        .parquet(out)
+        .parquet(tmp),
     )
-    return out
 
 
 _COMPACT_ORACLE = """

@@ -13,8 +13,10 @@ equivalence against the oracle computing directly from the source.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +60,78 @@ def record_staging(out: str, source: str, fingerprint: str | None = None) -> Non
         fh.write(fingerprint if fingerprint is not None else _fingerprint(source))
 
 
+@contextmanager
+def _staging_lock(out: str):
+    """Blocking exclusive flock keyed by the staging target path.
+    Serializes concurrent (re)builders across SESSIONS, not just
+    threads — the r3 race was two processes sharing `.scratch/`, one
+    reading a pool the other had just `rmtree`d mid-rebuild."""
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    lf = open(out + ".lock", "w")
+    try:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(lf, fcntl.LOCK_UN)
+        lf.close()
+
+
+def _swap_into_place(tmp: str, out: str) -> None:
+    """Atomically publish a completed build dir. POSIX rename is atomic,
+    so no reader ever lists a half-built pool; readers holding open fds
+    into the displaced dir keep reading the old complete files."""
+    old = f"{out}.old.{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out):
+        os.rename(out, old)
+    os.rename(tmp, out)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def ensure_staging(out: str, source: str, build) -> str:
+    """Concurrency-safe fingerprint-cached staging (VERDICT r3 finding 1).
+
+    ``build(tmp_dir)`` must write the complete staged contents into
+    ``tmp_dir`` (it does not exist yet). On success the directory is
+    fingerprint-stamped and atomically renamed into place. The build
+    runs under an exclusive cross-process lock with a double-check, so
+    concurrent sessions never rebuild the same pool twice or observe a
+    partially-built one — the two failure modes of the old
+    rmtree-then-write-in-place scheme.
+    """
+    if staging_current(out, source):
+        return out
+    with _staging_lock(out):
+        if staging_current(out, source):  # a concurrent builder won
+            return out
+        fp = _fingerprint(source)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            build(tmp)
+            record_staging(tmp, source, fp)
+            _swap_into_place(tmp, out)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def fresh_staging(out: str, build) -> str:
+    """Always-rebuild variant for derived pools that are cheap and
+    deterministic per run (sink roundtrips, copy-on-write DML outputs).
+    Still builds into a temp dir and atomically swaps, so a concurrent
+    session reading the previous build never sees a torn directory."""
+    with _staging_lock(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            build(tmp)
+            _swap_into_place(tmp, out)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Bulk-insert sink: atomic-overwrite partitioned parquet append
     target. (Delta/Iceberg MERGE is the transactional upgrade; their
@@ -84,11 +158,10 @@ def bulk_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     written rows (write/read consistency) and prunes non-matching
     partitions at planning time."""
     out = os.path.join(SCRATCH, "orders_sink")
-    shutil.rmtree(out, ignore_errors=True)
     recent = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
-    write_partitioned(recent, out, ["o_orderstatus"])
+    fresh_staging(out, lambda tmp: write_partitioned(recent, tmp, ["o_orderstatus"]))
     reread = spark.read.parquet(out)
     return (
         reread.groupBy("o_orderstatus")
@@ -142,49 +215,56 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites one day, not the table. Delta/Iceberg MERGE is the same
     plan with a transaction log on top."""
     out = os.path.join(SCRATCH, "orders_upsert")
-    shutil.rmtree(out, ignore_errors=True)
     base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     base = table(spark, sf_dir, "orders").select(*base_cols)
-    write_partitioned(base, out, ["o_orderstatus"])
 
-    upd_price = (dec("o_totalprice") + F.lit("100.00").cast("decimal(14,2)")).cast(
-        "double"
-    )
-    updates = (
-        base.filter(F.col("o_orderkey") % 7 == 0)
-        .select("o_orderkey", "o_orderstatus", upd_price.alias("o_totalprice"))
-        .union(
-            base.filter(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-                "o_orderstatus",
-                "o_totalprice",
+    def build(tmp: str) -> None:
+        write_partitioned(base, tmp, ["o_orderstatus"])
+
+        upd_price = (
+            dec("o_totalprice") + F.lit("100.00").cast("decimal(14,2)")
+        ).cast("double")
+        updates = (
+            base.filter(F.col("o_orderkey") % 7 == 0)
+            .select("o_orderkey", "o_orderstatus", upd_price.alias("o_totalprice"))
+            .union(
+                base.filter(F.col("o_orderkey") % 101 == 0).select(
+                    (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                    "o_orderstatus",
+                    "o_totalprice",
+                )
             )
         )
-    )
 
-    stored = spark.read.parquet(out)
-    touched = [
-        r.o_orderstatus
-        for r in updates.select("o_orderstatus").distinct().collect()
-    ]
-    survivors = stored.filter(F.col("o_orderstatus").isin(touched)).join(
-        F.broadcast(updates), "o_orderkey", "left_anti"
-    )
-    # Materialize before overwriting: the merge plan reads the same
-    # files the dynamic overwrite is about to replace (Delta solves this
-    # with snapshot isolation; on plain parquet we cut the dependency).
-    merged_touched = (
-        survivors.select(*base_cols).union(updates.select(*base_cols)).localCheckpoint()
-    )
+        stored = spark.read.parquet(tmp)
+        touched = [
+            r.o_orderstatus
+            for r in updates.select("o_orderstatus").distinct().collect()
+        ]
+        survivors = stored.filter(F.col("o_orderstatus").isin(touched)).join(
+            F.broadcast(updates), "o_orderkey", "left_anti"
+        )
+        # Materialize before overwriting: the merge plan reads the same
+        # files the dynamic overwrite is about to replace (Delta solves
+        # this with snapshot isolation; on plain parquet we cut the
+        # dependency).
+        merged_touched = (
+            survivors.select(*base_cols)
+            .union(updates.select(*base_cols))
+            .localCheckpoint()
+        )
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # Overwrites only the partitions present in merged_touched.
-        merged_touched.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # Overwrites only the partitions present in merged_touched.
+            merged_touched.write.mode("overwrite").partitionBy(
+                "o_orderstatus"
+            ).parquet(tmp)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    fresh_staging(out, build)
     reread = spark.read.parquet(out)
     return (
         reread.groupBy("o_orderstatus")
@@ -219,13 +299,15 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assertion lives in tests/test_bucketing.py."""
     out = os.path.join(SCRATCH, f"orders_by_year_{os.path.basename(sf_dir)}")
     source = os.path.join(sf_dir, "orders.parquet")
-    if not staging_current(out, source):
-        fp = _fingerprint(source)
-        base = table(spark, sf_dir, "orders").withColumn(
-            "o_year", F.year("o_orderdate")
-        )
-        base.write.mode("overwrite").partitionBy("o_year").parquet(out)
-        record_staging(out, source, fp)
+    ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(tmp),
+    )
     fact = spark.read.parquet(out)
     calendar = spark.range(1990, 2010).select(
         F.col("id").cast("int").alias("cal_year"),
@@ -250,9 +332,6 @@ def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> s
     sorted by key)."""
     out = f"{SCRATCH}/rest_pages_{os.path.basename(sf_dir)}"
     source = os.path.join(sf_dir, "customer.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
     c = table(spark, sf_dir, "customer")
     rec = F.struct("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     pages = (
@@ -261,9 +340,9 @@ def _rest_pages_dir(spark: SparkSession, sf_dir: str, page_size: int = 100) -> s
         .agg(F.sort_array(F.collect_list(rec)).alias("data"))
         .select(F.to_json(F.struct("page", "data")).alias("value"))
     )
-    pages.write.mode("overwrite").text(out)
-    record_staging(out, source, fp)
-    return out
+    return ensure_staging(
+        out, source, lambda tmp: pages.write.mode("overwrite").text(tmp)
+    )
 
 
 @register(
@@ -322,9 +401,6 @@ def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
     JVM expression work (hex/lpad/unhex), staged once per sf_dir."""
     out = f"{SCRATCH}/packed_accounts_{os.path.basename(sf_dir)}"
     source = os.path.join(sf_dir, "orders.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
     o = table(spark, sf_dir, "orders")
 
     def be64(col: F.Column) -> F.Column:
@@ -336,9 +412,9 @@ def _packed_accounts_dir(spark: SparkSession, sf_dir: str) -> str:
             "raw"
         )
     )
-    packed.write.mode("overwrite").parquet(out)
-    record_staging(out, source, fp)
-    return out
+    return ensure_staging(
+        out, source, lambda tmp: packed.write.mode("overwrite").parquet(tmp)
+    )
 
 
 @register(

@@ -279,43 +279,35 @@ def _multibatch_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -
     """Stage the events table as n time-ranged files so the file stream
     source (maxFilesPerTrigger=1) delivers a genuine multi-micro-batch
     stream — state must survive across batches, not just within one."""
+    import glob
     import os
-    import shutil
+    import time
 
-    from kamiyo_hive_spark.sources.sinks import (
-        _fingerprint,
-        record_staging,
-        staging_current,
-    )
+    from kamiyo_hive_spark.sources.sinks import ensure_staging
 
     out = f"/root/repo/.scratch/events_stream_{os.path.basename(sf_dir)}"
     # Staging is cached, but ONLY for the exact source file: the driver
     # regenerates testdata between rounds, and a stale staging would
     # make every streaming query diverge from its batch oracle.
     source = os.path.join(sf_dir, "events.parquet")
-    if staging_current(out, source):
-        return out
-    fp = _fingerprint(source)
-    shutil.rmtree(out, ignore_errors=True)
     from kamiyo_hive_spark.catalog import table as batch_table
 
-    batch_table(spark, sf_dir, "events").repartitionByRange(
-        n_files, "ts"
-    ).write.mode("overwrite").parquet(out)
-    # The file source orders micro-batches by modification time; one
-    # write job gives every part file the same mtime, leaving batch
-    # order unstable (a later time-range can arrive first, and its rows
-    # then look late to watermark-eviction operators like the
-    # stream-stream interval join). Pin mtimes so arrival order ==
-    # event-time order, the posture of a real tailing source.
-    import glob
-    import time
+    def build(tmp: str) -> None:
+        batch_table(spark, sf_dir, "events").repartitionByRange(
+            n_files, "ts"
+        ).write.mode("overwrite").parquet(tmp)
+        # The file source orders micro-batches by modification time; one
+        # write job gives every part file the same mtime, leaving batch
+        # order unstable (a later time-range can arrive first, and its
+        # rows then look late to watermark-eviction operators like the
+        # stream-stream interval join). Pin mtimes so arrival order ==
+        # event-time order, the posture of a real tailing source.
+        # (The atomic rename into place preserves these mtimes.)
+        base = time.time() - 3600
+        for i, path in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+            os.utime(path, (base + i, base + i))
 
-    base = time.time() - 3600
-    for i, path in enumerate(sorted(glob.glob(os.path.join(out, "part-*")))):
-        os.utime(path, (base + i, base + i))
-    record_staging(out, source, fp)
-    return out
+    return ensure_staging(out, source, build)
 
 
 from kamiyo_hive_spark.operators.stateful import QUORUM, T1, T2  # noqa: E402
@@ -756,12 +748,29 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _idempotent_sink_run(spark: SparkSession, sf_dir: str, reset: bool) -> DataFrame:
     """Run the foreachBatch exactly-once sink job; with reset=False the
     query restarts from the existing checkpoint (replay/restart path)."""
+    import contextlib
     import os
     import shutil
+
+    from kamiyo_hive_spark.sources.sinks import _staging_lock
 
     tag = os.path.basename(sf_dir)
     sink = f"/root/repo/.scratch/idempotent_sink_{tag}"
     ckpt = f"/root/repo/.scratch/idempotent_ckpt_{tag}"
+    # A checkpointed streaming run mutates sink+ckpt incrementally, so
+    # (unlike the batch stagings) it can't build-then-rename; hold the
+    # cross-process staging lock for the run instead so two sessions
+    # never interleave on the same checkpoint.
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(_staging_lock(sink))
+        return _idempotent_sink_run_locked(spark, sf_dir, reset, sink, ckpt)
+
+
+def _idempotent_sink_run_locked(
+    spark: SparkSession, sf_dir: str, reset: bool, sink: str, ckpt: str
+) -> DataFrame:
+    import shutil
+
     if reset:
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -39,19 +39,17 @@ def _stage_events_micros(spark: SparkSession, sf_dir: str, events_path: str) -> 
     import os
 
     from kamiyo_hive_spark.catalog import table
-    from kamiyo_hive_spark.sources.sinks import (
-        SCRATCH,
-        _fingerprint,
-        record_staging,
-        staging_current,
-    )
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
 
     slug = sf_dir.strip("/").replace("/", "_")
     out = f"{SCRATCH}/events_us/{slug}"
-    if not staging_current(out, events_path):
-        fp = _fingerprint(events_path)  # BEFORE the build (regeneration race)
-        table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
-        record_staging(out, events_path, fp)
+    ensure_staging(
+        out,
+        events_path,
+        lambda tmp: table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return os.path.abspath(out)
 
 
