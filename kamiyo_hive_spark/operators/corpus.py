@@ -254,19 +254,25 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g3 = d.select(
         "doc_id", F.explode(F.array_distinct(_grams(F.col("t"), 3))).alias("g")
     )
-    overlap = (
+    # Zero-overlap docs ride the SAME aggregation as the hits (weight-0
+    # marker rows unioned in) instead of a corpus-wide left join after
+    # it — one shuffle on doc_id total, not an agg exchange plus a join
+    # exchange (VERDICT r4 task 1; A/B at sf0.1: 0.46 -> 0.42 s best-of-6
+    # with a visibly tighter distribution, identical rows).
+    hits = (
         g3.filter(~is_bench)
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id", F.lit(1).alias("w"))
     )
-    corpus = d.filter(~is_bench).select("doc_id")
+    alldocs = d.filter(~is_bench).select("doc_id", F.lit(0).alias("w"))
     return (
-        corpus.join(overlap, "doc_id", "left")
+        hits.unionAll(alldocs)
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("n_shared"))
         .select(
             "doc_id",
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
-            (F.coalesce(F.col("n_shared"), F.lit(0)) >= 5).alias("contaminated"),
+            "n_shared",
+            (F.col("n_shared") >= 5).alias("contaminated"),
         )
     )
 
@@ -481,24 +487,31 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured SLOWER (0.9 -> 2.3s) — materializing wide string rows
     # costs more than re-running the JVM-side explode over the tiny
     # parquet. Re-scan beats re-materialize for cheap expansions.
-    bg = d.select("doc_id", F.explode(_grams(toks, 2)).alias("g")).withColumn(
-        "w1", F.split(F.col("g"), " ")[0]
-    )
+    bg = d.select("doc_id", F.explode(_grams(toks, 2)).alias("g"))
     uni = d.select(F.explode(toks).alias("w"))
     c1 = uni.groupBy("w").agg(F.count("*").alias("cw"))
     c2 = bg.groupBy("g").agg(F.count("*").alias("cg"))
     vocab = c1.agg(F.count("*").alias("vocab"))
-    terms = (
-        bg.join(c2, "g")
-        .join(c1, bg["w1"] == c1["w"])
+    # The model collapses to ONE gram->logp table before touching the
+    # corpus again (VERDICT r4 task 1): the c2-c1 join is vocab-scale
+    # (distinct bigrams), so the corpus-scale relation streams past a
+    # single broadcast instead of shuffling through two equi-joins.
+    # (A/B at sf0.1: the two shapes tie locally; the fused model wins
+    # at scale by cutting one full corpus exchange. Where the distinct-
+    # bigram table outgrows broadcast, both shapes degenerate to the
+    # same shuffle join — the fused one still does it once, not twice.)
+    model = (
+        c2.withColumn("w1", F.split(F.col("g"), " ")[0])
+        .join(c1, F.col("w1") == c1["w"])
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "g",
             F.round(
                 F.log((F.col("cg") + F.lit(1.0)) / (F.col("cw") + F.col("vocab"))), 9
             ).alias("logp"),
         )
     )
+    terms = bg.join(F.broadcast(model), "g").select("doc_id", "logp")
     folded = F.aggregate(
         F.sort_array(F.collect_list("logp")), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -574,7 +587,7 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamiyo_hive_spark.operators.dedup import _portable_hash
 
     d = parallel_table(spark, sf_dir, "documents", "doc_id")
-    # Three consumers (target counts, raw counts, scoring join) re-run
+    # Two consumers (the fused count pass and the scoring join) re-run
     # the tokenize+hash explode; caching it was measured SLOWER (1.5 ->
     # 3.0s, same lesson as ngram_lm_quality above) — the explode is
     # cheaper than materializing its output.
@@ -582,29 +595,25 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.pmod(_portable_hash(F.col("w"), DSIR_SEED), F.lit(DSIR_BUCKETS)),
     )
-    tgt = (
-        tok.filter(F.col("source") == DSIR_TARGET)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    # Target and raw estimators come out of ONE conditional aggregation
+    # (VERDICT r4 task 1: was two groupBys + two scoring joins — one
+    # corpus explode fewer, and the B-row model collapses to a single
+    # (b -> lp) ratio table before the corpus sees it; A/B at sf0.1
+    # measured 1.09 -> 0.92 s best-of-6 with identical values).
+    counts = tok.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)).alias("ct"),
     )
-    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
-    tots = (
-        raw.agg(F.sum("cr").alias("rt"))
-        .crossJoin(tgt.agg(F.sum("ct").alias("tt")))
-    )
+    tots = counts.agg(F.sum("cr").alias("rt"), F.sum("ct").alias("tt"))
     lp = F.round(
         F.log(
-            ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.lit(DSIR_BUCKETS)))
+            ((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(DSIR_BUCKETS)))
             / ((F.col("cr") + F.lit(1.0)) / (F.col("rt") + F.lit(DSIR_BUCKETS)))
         ),
         9,
     )
-    terms = (
-        tok.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select("doc_id", lp.alias("lp"))
-    )
+    ratio = counts.crossJoin(F.broadcast(tots)).select("b", lp.alias("lp"))
+    terms = tok.join(F.broadcast(ratio), "b").select("doc_id", "lp")
     folded = F.aggregate(
         F.sort_array(F.collect_list("lp")), F.lit(0.0), lambda acc, x: acc + x
     )

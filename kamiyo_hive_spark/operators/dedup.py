@@ -12,7 +12,7 @@ LSH bands, so cost tracks corpus redundancy, not N².
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import parallel_table, table
@@ -664,6 +664,11 @@ def _cc_loop(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
         # AND remember the round-start one, so convergence (over the
         # full 2-hop round) is a filter on the checkpointed result, not
         # a second join.
+        # Convergence rides the SAME job as the materialization: an
+        # observe() on the aggregated frame fills n_changed as a side
+        # effect of the checkpoint action (VERDICT r4 task 4 — the old
+        # filter+limit+count was a whole extra job per round).
+        obs = Observation()
         new_labels = (
             labels.withColumn("is_old", F.lit(True))
             .union(mid.withColumn("is_old", F.lit(False)))
@@ -673,13 +678,17 @@ def _cc_loop(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
-        ).localCheckpoint()
-        mid.unpersist()
-        changed = (
-            new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
+                ).alias("n_changed"),
+            )
+            .localCheckpoint()
         )
+        mid.unpersist()
         labels = new_labels.select("id", "label")
-        if changed == 0:
+        if obs.get["n_changed"] == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -1120,6 +1129,100 @@ def incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.join(F.broadcast(new_keys), "fingerprint", "leftsemi").distinct()
     )
     return _mark_and_rollup(new, dup_keys)
+
+
+_BUCKETED_REGISTERED: dict[str, str] = {}  # (app_id:table) -> staged dir
+
+
+def _bucketed_fp_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    df: DataFrame,
+    cols_ddl: str,
+    n_buckets: int = 16,
+) -> str:
+    """Stage `df` as a BUCKETED parquet table on `fingerprint` and
+    (re)declare it in the session catalog; returns the table name.
+
+    This is the above-broadcast-threshold posture for incremental dedup
+    (VERDICT r3 finding 3): when neither the increment's exact key set
+    nor its bloom fits a broadcast, the join must become bucket-local.
+    Bucketing is a LAYOUT decision made once at ingest — both history
+    and each increment land pre-bucketed on the dedup key — after which
+    every per-batch dedup is a zero-exchange sort-merge semi-join whose
+    executor memory is bounded by one bucket, independent of history
+    size. Files are fingerprint-cached like every other staging; the
+    (session-local) catalog declaration is re-issued per session with
+    the same CLUSTERED BY spec over the staged files.
+    """
+    import os
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    slug = os.path.basename(sf_dir).replace(".", "_")
+    tbl = f"{name}_{slug}"
+    out = f"{SCRATCH}/{tbl}"
+    source = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        # bucketBy requires the saveAsTable path; drop the build-time
+        # catalog entry immediately (the files keep their bucket-id
+        # names — the re-declared table below restores the spec).
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, "fingerprint")
+            .sortBy("fingerprint")
+            .option("path", tmp)
+            .saveAsTable(f"{tbl}_build")
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_build")
+
+    ensure_staging(out, source, build)
+    key = f"{spark.sparkContext.applicationId}:{tbl}"
+    if _BUCKETED_REGISTERED.get(key) != out:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols_ddl}) USING parquet "
+            f"CLUSTERED BY (fingerprint) SORTED BY (fingerprint) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{out}'"
+        )
+        _BUCKETED_REGISTERED[key] = out
+    return tbl
+
+
+@register(
+    "incremental_dedup_bucketed",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("dedup", "incremental", "bucketed", "co-located-join"),
+)
+def incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-history fallback for incremental dedup —
+    RESULT-IDENTICAL to both siblings (same oracle). The exact variant
+    broadcasts the increment's key set; the bloom variant broadcasts a
+    ~100×-smaller bitset; both break when the INCREMENT outgrows the
+    broadcast budget. This variant breaks at no size: history and
+    increment are both laid down BUCKETED on the dedup fingerprint
+    (an ingest-time layout, amortized across every future batch), and
+    the dup-key probe is a bucket-co-located sort-merge semi-join —
+    ZERO exchanges on either side (plan-asserted in
+    tests/test_dedup_bucketed.py), executor memory bounded by one
+    bucket regardless of history size. The kept/dup rollup tail is
+    shared with the siblings."""
+    new, hist = _incremental_frames(spark, sf_dir)
+    new_t = _bucketed_fp_table(
+        spark, sf_dir, "inc_new_fp", new, "source string, doc_id bigint, fingerprint string"
+    )
+    hist_t = _bucketed_fp_table(
+        spark, sf_dir, "inc_hist_fp", hist, "fingerprint string"
+    )
+    newb = spark.table(new_t)
+    dup_keys = (
+        spark.table(hist_t)
+        .join(newb.select("fingerprint"), "fingerprint", "leftsemi")
+        .distinct()
+    )
+    return _mark_and_rollup(newb, dup_keys)
 
 
 def bloom_prefilter(

@@ -850,6 +850,12 @@ SEMDEDUP_K = 32      # deterministic seed centroids: vec_id 0..K-1.
 SEMDEDUP_TAU = 0.25  # near-copy threshold (synthetic corpus is near-
                      # orthogonal, max pairwise cosine ~0.51 — real text
                      # embeddings would use ~0.95+)
+SEMDEDUP_CELL_CAP = 256  # max vectors per pair-stage cell: clusters
+                     # above the cap split into ceil(n/cap) deterministic
+                     # shards, bounding Σcell² to ~n·cap (linear). At
+                     # the test scale factors every cluster is under the
+                     # cap (shards = 1 → exact SemDeDup semantics); the
+                     # cap only engages where the quadratic term would.
 
 _SEMDEDUP_ORACLE = f"""
 WITH raw AS (
@@ -870,17 +876,26 @@ scored AS (
                              (acc, x) -> acc + x), 9) AS sim
     FROM d, c
 ),
-assigned AS (
+assigned0 AS (
     SELECT vec_id, cid
     FROM (SELECT vec_id, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
           FROM scored)
     WHERE rn = 1
 ),
+sizes AS (SELECT cid, count(*) AS n FROM assigned0 GROUP BY 1),
+assigned AS (
+    SELECT a.vec_id, a.cid,
+           CAST(concat('0x', substr(md5(concat(CAST(a.vec_id AS VARCHAR), ':7')), 1, 15))
+                AS BIGINT)
+               % ((s.n + {SEMDEDUP_CELL_CAP} - 1) // {SEMDEDUP_CELL_CAP}) AS shard
+    FROM assigned0 a JOIN sizes s USING (cid)
+),
 pairs AS (
     SELECT b.vec_id AS dup_id
     FROM assigned a
-    JOIN assigned b ON b.cid = a.cid AND b.vec_id > a.vec_id
+    JOIN assigned b
+      ON b.cid = a.cid AND b.shard = a.shard AND b.vec_id > a.vec_id
     JOIN d da ON da.vec_id = a.vec_id
     JOIN d db ON db.vec_id = b.vec_id
     WHERE round(list_reduce(list_transform(list_zip(da.nv, db.nv), p -> p[1] * p[2]),
@@ -918,10 +933,15 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: centroids are a broadcast literal-sized relation, so
     assignment is a map-side crossJoin (K comparisons/vector, no
-    shuffle); the pairwise stage self-joins WITHIN clusters only
-    (one shuffle on cluster id, Σ cluster² work — the SemDeDup bargain:
-    clustering bounds the quadratic term), and real deployments shard
-    oversized clusters before pairing. Two measured perf rules baked in
+    shuffle); the pairwise stage self-joins WITHIN bounded cells only.
+    The r4 change (VERDICT task 3): cells are bounded BY DEFAULT —
+    clusters above SEMDEDUP_CELL_CAP split into ceil(n/cap)
+    deterministic shards (portable id hash), so pair work is
+    Σ cluster²/S ≈ n·cap (linear), not Σ cluster² (the 59.9×-at-10×
+    quadratic the r3 tiling measured). At the test scale factors every
+    cluster is under the cap, so shards = 1 and the semantics are
+    EXACT SemDeDup; the oracle replays the adaptive sharding rule
+    end-to-end either way. Two measured perf rules baked in
     (8.9s → 2.5s at sf0.1, with K=32): vectors are L2-NORMALIZED once up front so
     every pairwise cosine is a single dot fold instead of dot + two
     norm folds, and `assigned` is materialized (localCheckpoint) — it
@@ -929,7 +949,23 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage per consumer. Float discipline as above: double-cast,
     sequential folds, round(9) before any comparison, and the
     normalization is the same structural formula on both engines."""
-    assigned = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K, materialize=True)
+    from pyspark.sql import Window
+
+    from kamiyo_hive_spark.operators.dedup import _portable_hash
+
+    base = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K, materialize=True)
+    # adaptive cell split: one window count over the (entity-scale)
+    # assignment — no extra shuffle beyond the cid clustering the pair
+    # join needs anyway
+    n_in_cluster = F.count("*").over(Window.partitionBy("cid"))
+    n_shards = (
+        (n_in_cluster + F.lit(SEMDEDUP_CELL_CAP - 1))
+        / F.lit(SEMDEDUP_CELL_CAP)
+    ).cast("long")
+    assigned = base.withColumn(
+        "shard",
+        F.pmod(_portable_hash(F.col("vec_id").cast("string"), 7), n_shards),
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim_p = F.round(_dot(F.col("a.nv"), F.col("b.nv")), 9)
@@ -938,7 +974,12 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that partitioning with no extra exchange — replacing the former
     # global DISTINCT + row-level left join + re-aggregation.
     dup_counts = (
-        a.join(b, (F.col("b.cid") == F.col("a.cid")) & (F.col("b.vec_id") > F.col("a.vec_id")))
+        a.join(
+            b,
+            (F.col("b.cid") == F.col("a.cid"))
+            & (F.col("b.shard") == F.col("a.shard"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
         .filter(sim_p >= SEMDEDUP_TAU)
         .groupBy(F.col("a.cid").alias("cluster_id"))
         .agg(F.countDistinct(F.col("b.vec_id")).alias("n_dups"))
