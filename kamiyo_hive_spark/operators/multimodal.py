@@ -368,7 +368,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 0))
         .select("doc_id", "n_chars")
     )
-    encode_, decode_ = _jpeg_kit()  # bind nested fns by value (see kit)
+    encode_, decode_, _ = _jpeg_kit()  # bind nested fns by value (see kit)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -379,6 +379,83 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 16 * ((n_chars // 7) % 2 + 1)
                 a = (doc_id * 37 + 11) % 256
                 payload = encode_(w, h, lambda i: (a + i * 13) % 256)
+                d = decode_(payload)
+                for k, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["n_components"],
+                        d["mean_luma"],
+                    ),
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=JPEG_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(16 * (n_chars % 3 + 1) AS BIGINT) AS width,
+               CAST(16 * ((n_chars // 7) % 2 + 1) AS BIGINT) AS height,
+               (doc_id * 37 + 11) % 256 AS a
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = 1
+    )
+    SELECT i.doc_id, i.width, i.height,
+           CAST(3 AS BIGINT) AS n_components,
+           AVG(CAST((i.a + t.range * 13) % 256 AS DOUBLE)) AS mean_luma
+    FROM imgs i
+    CROSS JOIN range(0, 24) t   -- max (48/8)*(32/8) = 24 blocks
+    WHERE t.range < (i.width // 8) * (i.height // 8)
+    GROUP BY 1, 2, 3
+    ORDER BY i.doc_id
+    """,
+    tags=("multimodal", "jpeg", "progressive", "real-decode", "mapInPandas"),
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG, decoded for real (VERDICT r4 task 7 —
+    the format gate r3 flagged as the top multimodal gap): each image
+    doc synthesizes a spec-correct multi-scan progressive 4:2:0 JPEG —
+    interleaved DC-first at Al=1, DC successive-approximation
+    refinement, then per-component AC scans with EOB runs — and the
+    decoder accumulates coefficients across all six scans before
+    dequant + IDCT. Solid luma blocks `(doc_id*37 + 11 + 13*i) % 256`
+    keep the decode closed-form for the oracle (exactly as the baseline
+    twin `multimodal_jpeg_decode`, disjoint doc slice); the AC
+    refinement protocol (newly-significant coefficients, correction
+    bits, buffered EOB-run bits) is pinned by randomized
+    encoder/decoder roundtrips against an independent IDCT in
+    tests/test_jpeg.py. Arithmetic-coded and lossless/hierarchical
+    JPEGs still raise NotImplementedError.
+
+    Scale shape: identical to the baseline twin — per-row mapInPandas
+    over Arrow batches, no shuffle."""
+    from kamiyo_hive_spark.functions.jpeg import _jpeg_kit
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 1))
+        .select("doc_id", "n_chars")
+    )
+    _, decode_, encode_prog_ = _jpeg_kit()  # bind by value (see kit)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in JPEG_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w = 16 * (n_chars % 3 + 1)
+                h = 16 * ((n_chars // 7) % 2 + 1)
+                a = (doc_id * 37 + 11) % 256
+                payload = encode_prog_(
+                    w, h, lambda i: [((a + i * 13) % 256 - 128) * 8] + [0] * 63
+                )
                 d = decode_(payload)
                 for k, v in zip(
                     out,

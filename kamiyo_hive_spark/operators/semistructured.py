@@ -428,14 +428,110 @@ LAYOUT_SCHEMA = T.StructType(
 )
 
 
+_LAYOUT_AUDIT_ORACLE = """
+WITH co AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS graph_id, o.o_custkey,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+top_c AS (
+    SELECT graph_id, o_custkey AS top_custkey
+    FROM (SELECT graph_id, o_custkey,
+                 row_number() OVER (PARTITION BY graph_id
+                                    ORDER BY n_orders DESC, o_custkey) AS rk
+          FROM co)
+    WHERE rk <= 150
+),
+ls AS (
+    SELECT CAST(s.s_nationkey AS BIGINT) AS s_graph_id, l.l_suppkey,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+top_s AS (
+    SELECT s_graph_id, l_suppkey AS top_suppkey
+    FROM (SELECT s_graph_id, l_suppkey,
+                 row_number() OVER (PARTITION BY s_graph_id
+                                    ORDER BY n_items DESC, l_suppkey) AS srk
+          FROM ls)
+    WHERE srk <= 50
+),
+pairs AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS graph_id,
+           'c' || o.o_custkey AS src,
+           's' || l.l_suppkey AS dst
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN top_c tc ON tc.graph_id = CAST(c.c_nationkey AS BIGINT)
+                 AND tc.top_custkey = o.o_custkey
+    JOIN top_s ts ON ts.s_graph_id = CAST(s.s_nationkey AS BIGINT)
+                 AND ts.top_suppkey = l.l_suppkey
+    WHERE c.c_nationkey = s.s_nationkey
+    GROUP BY 1, 2, 3
+),
+nodes AS (
+    SELECT DISTINCT graph_id, src AS a FROM pairs
+    UNION
+    SELECT DISTINCT graph_id, dst FROM pairs
+),
+nn AS (SELECT graph_id, count(*) AS n_nodes FROM nodes GROUP BY 1),
+ne AS (SELECT graph_id, count(*) AS n_edges FROM pairs GROUP BY 1)
+SELECT nn.graph_id,
+       CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(ne.n_edges AS BIGINT) AS n_edges,
+       TRUE AS coords_finite,
+       TRUE AS bbox_bounded,
+       TRUE AS centroid_preserved,
+       TRUE AS min_separation_positive
+FROM nn JOIN ne USING (graph_id)
+ORDER BY nn.graph_id
+"""
+
+LAYOUT_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("graph_id", T.LongType()),
+        T.StructField("n_nodes", T.LongType()),
+        T.StructField("n_edges", T.LongType()),
+        T.StructField("coords_finite", T.BooleanType()),
+        T.StructField("bbox_bounded", T.BooleanType()),
+        T.StructField("centroid_preserved", T.BooleanType()),
+        T.StructField("min_separation_positive", T.BooleanType()),
+    ]
+)
+
+
 @register(
     "force_directed_layout",
-    oracle=None,  # iterative numeric algorithm — rows-only driver check;
-    # invariants (determinism, edge contraction, sphere-bounded coords)
-    # are pinned in tests/test_graph.py instead.
-    tags=("U9", "graph", "layout", "applyInPandas"),
+    oracle=_LAYOUT_AUDIT_ORACLE,
+    tags=("U9", "graph", "layout", "applyInPandas", "self-audit"),
 )
 def force_directed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9, now hash-oracled (VERDICT r4 task 9 — the last rows-only §2
+    entry): the layout kernel emits a per-graph AUDIT row the DuckDB
+    oracle replays exactly — graph cardinalities (n_nodes/n_edges, the
+    full top-150/top-50 graph construction re-derived in SQL) plus
+    physics invariants the oracle pins TRUE: coordinates finite, bbox
+    within a sane bound, the centroid PRESERVED from initialization
+    (both the pairwise repulsion and the spring forces are
+    antisymmetric, so total momentum is exactly conserved — a real
+    conservation law of the declared simulation, not a tautology), and
+    strictly positive pairwise separation. The same self-audit idiom as
+    the sketch/Poseidon flagships; per-node coordinates remain
+    available via `force_directed_positions` (determinism and
+    shard-invariance pinned in tests/test_graph.py)."""
+    return _layout_frame(spark, sf_dir, audit=True)
+
+
+def force_directed_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node (graph_id, node_id, x, y, z, n_nodes) coordinates — the
+    HUD-facing output of the layout (see `force_directed_layout`)."""
+    return _layout_frame(spark, sf_dir, audit=False)
+
+
+def _layout_frame(spark: SparkSession, sf_dir: str, audit: bool) -> DataFrame:
     """U9 (closes the last SURVEY §2 row): force-directed graph layout,
     re-expressed Spark-first. The reference lays out ONE bounded HUD
     graph in the browser (`TrustGraphScene.tsx:89-144`: spherical init,
@@ -572,6 +668,7 @@ def force_directed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         es = np.array([idx[v] for v in e["src"]], dtype=int)
         ed = np.array([idx[v] for v in e["dst"]], dtype=int)
         ew = e["weight"].to_numpy(dtype=float)
+        pos0 = pos.copy()
         for _ in range(10):
             diff = pos[:, None, :] - pos[None, :, :]           # i - j
             d2 = (diff * diff).sum(-1)
@@ -587,15 +684,37 @@ def force_directed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.add.at(force, es, f)
                 np.add.at(force, ed, -f)
             pos = pos + force
+        if not audit:
+            return pd.DataFrame(
+                {
+                    "graph_id": gid,
+                    "node_id": node_ids,
+                    "x": np.round(pos[:, 0], 6),
+                    "y": np.round(pos[:, 1], 6),
+                    "z": np.round(pos[:, 2], 6),
+                    "n_nodes": n,
+                }
+            )
+        # Per-graph audit row (see the registered docstring): the oracle
+        # re-derives the cardinalities and pins the invariants TRUE.
+        findiff = pos[:, None, :] - pos[None, :, :]
+        findist = np.sqrt((findiff * findiff).sum(-1))
+        np.fill_diagonal(findist, np.inf)
         return pd.DataFrame(
             {
-                "graph_id": gid,
-                "node_id": node_ids,
-                "x": np.round(pos[:, 0], 6),
-                "y": np.round(pos[:, 1], 6),
-                "z": np.round(pos[:, 2], 6),
-                "n_nodes": n,
+                "graph_id": [gid],
+                "n_nodes": [n],
+                "n_edges": [len(e)],
+                "coords_finite": [bool(np.isfinite(pos).all())],
+                "bbox_bounded": [bool(np.abs(pos).max() <= 1e4)],
+                "centroid_preserved": [
+                    bool(np.abs(pos.mean(axis=0) - pos0.mean(axis=0)).max() < 1e-6)
+                ],
+                "min_separation_positive": [
+                    bool(n <= 1 or float(findist.min()) > 1e-9)
+                ],
             }
         )
 
-    return tagged.groupBy("graph_id").applyInPandas(layout, schema=LAYOUT_SCHEMA)
+    schema = LAYOUT_AUDIT_SCHEMA if audit else LAYOUT_SCHEMA
+    return tagged.groupBy("graph_id").applyInPandas(layout, schema=schema)

@@ -64,6 +64,10 @@ def build() -> str:
     if os.path.exists(os.path.join(OUT, "_DONE")):
         return OUT
     spark = get_spark(app_name="scale-build")
+    # events.ts must land as INT64 micros (the driver testdata layout the
+    # catalog sniffer understands) — Spark's default INT96 parquet
+    # timestamps break the streaming readers at sf1.0.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
     for t in DIMS:

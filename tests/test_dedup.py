@@ -259,3 +259,57 @@ def test_bloom_prefilter_actually_prunes(spark, sf_dir):
     assert n_cand >= true_matches            # never drops a true match
     assert n_cand <= true_matches + max(20, int(0.05 * n_hist))  # prunes
     assert n_cand < n_hist                   # not pass-everything
+
+
+def test_largestar_cc_matches_minlabel_on_varied_topologies(spark):
+    """Large-star/small-star CC (the deep-graph drop-in) must agree with
+    the min-label loop on every topology edge: chains, cliques,
+    singletons, hubs."""
+    from kamiyo_hive_spark.operators.dedup import (
+        connected_components,
+        connected_components_largestar,
+    )
+
+    cases = [
+        ([(i,) for i in range(12)], [(i, i + 1) for i in range(11)]),
+        (
+            [(i,) for i in range(8)],
+            [(0, 1), (1, 2), (0, 2), (4, 5), (5, 6), (6, 7), (4, 7)],
+        ),
+        ([(i,) for i in range(5)], [(1, 2)]),
+        ([(i,) for i in range(6)], [(5, i) for i in range(5)]),
+    ]
+    for vs, es in cases:
+        v = spark.createDataFrame(vs, "id long")
+        e = spark.createDataFrame(es, "src long, dst long")
+        a = sorted(
+            map(tuple, connected_components(v, e, shuffle_partitions=4).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                connected_components_largestar(v, e, shuffle_partitions=4).collect(),
+            )
+        )
+        assert a == b
+
+
+def test_largestar_cc_handles_adversarially_deep_chain(spark):
+    """The round-count advantage that justifies the second kernel: a
+    600-node chain (diameter 599) resolves within large-star's default
+    iteration budget (O(log² n) rounds), where min-label propagation
+    would need ~300 two-hop rounds — far past the same budget."""
+    from kamiyo_hive_spark.operators.dedup import connected_components_largestar
+
+    n = 600
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = sorted(
+        map(
+            tuple,
+            connected_components_largestar(v, e, shuffle_partitions=4).collect(),
+        )
+    )
+    assert got == [(i, 0) for i in range(n)]

@@ -38,9 +38,9 @@ def test_force_layout_deterministic_and_shard_invariant(spark, sf_dir):
     """U9: the layout must be a pure function of the graph — identical
     across runs AND across input partitioning (batch-synchronous force
     application; hash01 init instead of the reference's Math.random)."""
-    from kamiyo_hive_spark.plans.registry import load_registry
+    from kamiyo_hive_spark.operators.semistructured import force_directed_positions
 
-    b = load_registry()["force_directed_layout"].builder
+    b = force_directed_positions
     one = sorted(map(tuple, b(spark, sf_dir).collect()))
     two = sorted(map(tuple, b(spark, sf_dir).collect()))
     assert one == two
@@ -57,9 +57,9 @@ def test_force_layout_contracts_edges(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from kamiyo_hive_spark.catalog import table
-    from kamiyo_hive_spark.plans.registry import load_registry
+    from kamiyo_hive_spark.operators.semistructured import force_directed_positions
 
-    rows = load_registry()["force_directed_layout"].builder(spark, sf_dir).collect()
+    rows = force_directed_positions(spark, sf_dir).collect()
     by_graph: dict[int, dict[str, tuple]] = {}
     for r in rows:
         by_graph.setdefault(r.graph_id, {})[r.node_id] = (r.x, r.y, r.z)

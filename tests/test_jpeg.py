@@ -41,15 +41,22 @@ def test_roundtrip_extreme_dc_swings():
     assert out["mean_luma"] == pytest.approx(127.5)
 
 
-def test_progressive_and_arithmetic_rejected():
+def test_arithmetic_and_lossless_rejected():
     base = encode_jpeg_solid_blocks(16, 16, lambda i: 100)
-    # rewrite the SOF0 marker (FFC0) to SOF2 (progressive) / SOF9 (arith)
-    for sof, msg in [(0xC2, "progressive"), (0xC9, "arithmetic")]:
+    # rewrite the SOF0 marker (FFC0) to SOF9 (arith) / SOF3 (lossless)
+    for sof, msg in [(0xC9, "arithmetic"), (0xC3, "lossless")]:
         mutated = bytearray(base)
         idx = bytes(mutated).find(b"\xff\xc0")
         mutated[idx + 1] = sof
         with pytest.raises(NotImplementedError, match=msg):
             decode_jpeg(bytes(mutated))
+    # SOF2 is now SUPPORTED — but a baseline scan script under a
+    # progressive frame is spec-invalid (DC scan must have Se = 0)
+    mutated = bytearray(base)
+    idx = bytes(mutated).find(b"\xff\xc0")
+    mutated[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se"):
+        decode_jpeg(bytes(mutated))
 
 
 def test_truncated_stream_and_non_jpeg_rejected():
@@ -89,7 +96,7 @@ def test_ac_coefficient_path_matches_independent_idct():
     AC Huffman decode, zigzag placement, and dequantization with a
     non-trivial quant table — none of which the solid-block encoder
     touches."""
-    kit_encode, kit_decode = _jpeg_kit()
+    kit_encode, kit_decode, _kit_prog = _jpeg_kit()
     # Build by hand: quant table with q[0]=2 q[1]=3 q[5]=4 (zigzag order)
     qt_z = [1] * 64
     qt_z[0], qt_z[1], qt_z[5] = 2, 3, 4
@@ -217,3 +224,93 @@ def test_ac_coefficient_path_matches_independent_idct():
 def test_dims_must_be_mcu_aligned():
     with pytest.raises(ValueError, match="multiples of 16"):
         encode_jpeg_solid_blocks(20, 16, lambda i: 0)
+
+
+# ---------------- progressive (SOF2) coverage ----------------
+
+
+def _idct_ref_block(coefs_z):
+    import numpy as np
+
+    zig = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    m = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            m[x, u] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    blk = np.zeros((8, 8))
+    for i, z in enumerate(zig):
+        blk[z // 8, z % 8] = coefs_z[i]
+    return m @ blk @ m.T + 128.0
+
+
+def _progressive_expected_mean(blocks, w, h):
+    import numpy as np
+
+    nbx = w // 8
+    plane = np.zeros((h, w))
+    for i, c in enumerate(blocks):
+        by, bx = divmod(i, nbx)
+        plane[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = _idct_ref_block(c)
+    return float(np.clip(np.rint(plane), 0, 255).mean())
+
+
+def test_progressive_solid_blocks_roundtrip():
+    from kamiyo_hive_spark.functions.jpeg import encode_jpeg_progressive
+
+    for w, h, a, step in [(16, 16, 0, 0), (48, 32, 7, 13), (32, 16, 250, 251)]:
+        n_blocks = (w // 8) * (h // 8)
+        vals = [(a + i * step) % 256 for i in range(n_blocks)]
+        data = encode_jpeg_progressive(
+            w, h, lambda i: [(vals[i] - 128) * 8] + [0] * 63, chroma_dc=0
+        )
+        out = decode_jpeg(data)
+        assert out["width"] == w and out["height"] == h
+        assert out["n_components"] == 3
+        assert abs(out["mean_luma"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_progressive_refinement_protocol_randomized():
+    """The full successive-approximation protocol — DC first+refine, AC
+    first with EOB runs and ZRL, AC refinement with newly-significant
+    coefficients, correction bits, and buffered EOB-run bits — against
+    an INDEPENDENT loop-form IDCT, across randomized coefficient
+    layouts (the seed set that caught the ZRL-before-correction
+    encoder bug live)."""
+    import random
+
+    from kamiyo_hive_spark.functions.jpeg import encode_jpeg_progressive
+
+    w = h = 32
+    nb = (w // 8) * (h // 8)
+    for seed in range(8):
+        random.seed(seed)
+        blocks = []
+        for _ in range(nb):
+            c = [0] * 64
+            c[0] = random.randint(-300, 300)
+            for k in random.sample(range(1, 64), random.randint(0, 10)):
+                c[k] = random.choice([-1, 1, -3, 5, -17, 33, 2, -2, 127, -128, 64])
+            blocks.append(c)
+        blocks[3] = [0] * 64  # all-EOB block inside an EOB run
+        dense = [((-1) ** k) * (k % 5) for k in range(64)]
+        dense[0] = 50
+        blocks[5] = dense  # dense block: long symbol streams
+        data = encode_jpeg_progressive(w, h, lambda i: blocks[i])
+        out = decode_jpeg(data)
+        assert out["width"] == w and out["height"] == h
+        exp = _progressive_expected_mean(blocks, w, h)
+        assert abs(out["mean_luma"] - exp) < 1e-9, (seed, out["mean_luma"], exp)
+
+
+def test_progressive_truncation_rejected():
+    from kamiyo_hive_spark.functions.jpeg import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(16, 16, lambda i: [80] + [0] * 63)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])

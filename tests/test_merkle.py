@@ -76,3 +76,81 @@ def test_block_fold_edge_sizes(spark, n):
     assert got["root"] == expected_root
     assert got["depth"] == expected_depth
     assert got["n_leaves"] == n
+
+
+def test_proof_multiblock_and_bounded_driver_rows(spark, sf_dir):
+    """VERDICT r4 task 6: proof generation must never collect the leaf
+    set. Planted leaf at a multi-block size (block_bits=2 forces
+    in-block + top-fold paths); driver traffic is pinned to
+    block-roots + in-block path rows."""
+    from kamiyo_hive_spark.operators.merkle import (
+        ZERO,
+        _blockwise_proof,
+        merkle_root,
+        verify_merkle_proof,
+    )
+
+    n = 37
+    rows = [(i, f"agent-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v string")
+    root = merkle_root(df, "id", "v", block_bits=2).collect()[0].root
+
+    def leaf_hash(i, v):
+        import hashlib
+
+        return hashlib.sha256(f"{i}:{v}".encode()).hexdigest()
+
+    def pair_hash(a, b):
+        import hashlib
+
+        return hashlib.sha256((a + b).encode()).hexdigest()
+
+    path, got_root, n_driver_rows = _blockwise_proof(
+        df,
+        "id",
+        "v",
+        23,
+        leaf_hash=leaf_hash,
+        pair_hash=pair_hash,
+        zero_at=lambda lvl: ZERO,
+        to_str=lambda x: x,
+        from_str=lambda s: s,
+        block_bits=2,
+    )
+    assert got_root == root
+    proof = [
+        {
+            "level": p["level"],
+            "sibling_hash": p["sibling"],
+            "sibling_is_left": p["sibling_is_left"],
+        }
+        for p in path
+    ]
+    assert verify_merkle_proof(23, "agent-23", proof, root)
+    assert not verify_merkle_proof(23, "agent-TAMPER", proof, root)
+    # 37 leaves, 4-leaf blocks -> 10 block roots + 2 in-block path rows
+    assert n_driver_rows == 12
+    assert n_driver_rows < n
+
+
+def test_poseidon_proof_at_scale_factor(spark, sf_dir):
+    """Planted-leaf Poseidon proof straight off the customer table —
+    the distributed path end-to-end at a real scale factor."""
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.operators.merkle import (
+        merkle_proof_poseidon,
+        merkle_root_poseidon,
+        verify_poseidon_proof,
+    )
+
+    c = table(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_name").orderBy("c_custkey").limit(5).collect()[3]
+    proof, root = merkle_proof_poseidon(c, "c_custkey", "c_name", target["c_custkey"])
+    spark_root = int(
+        merkle_root_poseidon(c, "c_custkey", "c_name").collect()[0]["root"], 16
+    )
+    assert root == spark_root
+    assert verify_poseidon_proof(target["c_custkey"], target["c_name"], proof, root)
+    assert not verify_poseidon_proof(
+        target["c_custkey"], target["c_name"] + "x", proof, root
+    )
