@@ -12,6 +12,7 @@ LSH bands, so cost tracks corpus redundancy, not N².
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -599,12 +600,41 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _union_find_labels(edge_rows) -> dict:
+    """Min-root union-find over a collected edge list: every node maps
+    to the smallest id reachable from it (same contract as the
+    distributed loop). Attaching the larger root under the smaller one
+    makes each tree root the component minimum by construction."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# Below this edge count the component graph is metadata-sized and the
+# driver solves it directly (see connected_components docstring).
+CC_LOCAL_EDGE_THRESHOLD = 100_000
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     *,
     max_iter: int = 25,
     shuffle_partitions: int | None = None,
+    local_edge_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(id, cluster_id): min-id label propagation over an undirected edge
     set — each vertex converges to the smallest vertex id reachable from
@@ -624,7 +654,36 @@ def connected_components(
     knows the component graph is small (each round is several tiny jobs;
     per-task overhead dominates below ~1M edges) — None keeps the
     session setting for warehouse-scale graphs.
+
+    Adaptive local solve: when the edge set is metadata-sized (≤
+    `local_edge_threshold`, the same judgment call as broadcasting a
+    small join side — and exactly what the DuckDB oracle does with its
+    in-process recursive closure), the driver collects the edges, runs
+    min-root union-find, and broadcasts the label map back onto the
+    vertices: one count + one collect + one broadcast join instead of a
+    multi-job propagation loop (measured: CC over a 13-edge dup graph
+    1.37 s → ~0.1 s at sf0.1). Above the threshold — dup graphs over a
+    real corpus can carry billions of edges — the distributed loop
+    engages unchanged; both paths share the min-id contract and the
+    unit suite pins their agreement.
     """
+    n_edges = edges.count()  # caller persists `edges`; metadata action
+    if n_edges <= local_edge_threshold:
+        mapping = _union_find_labels(
+            [(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()]
+        )
+        if not mapping:
+            return vertices.select("id", F.col("id").alias("cluster_id"))
+        spark = vertices.sparkSession
+        map_df = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": list(mapping), "mapped_cluster": list(mapping.values())}
+            )
+        )
+        return vertices.join(F.broadcast(map_df), "id", "left").select(
+            "id",
+            F.coalesce(F.col("mapped_cluster"), F.col("id")).alias("cluster_id"),
+        )
     spark = vertices.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -659,37 +718,44 @@ def _cc_loop(vertices: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
         ).persist()
         prop = (
             sym.join(mid, sym["src"] == mid["id"])
-            .select(F.col("dst").alias("id"), F.col("label"), F.lit(False).alias("is_old"))
+            .select(F.col("dst").alias("id"), F.col("label"), F.lit(2).alias("tag"))
         )
         # The tagged union lets the same aggregate produce the new label
-        # AND remember the round-start one, so convergence (over the
-        # full 2-hop round) is a filter on the checkpointed result, not
-        # a second join.
-        # Convergence rides the SAME job as the materialization: an
-        # observe() on the aggregated frame fills n_changed as a side
-        # effect of the checkpoint action (VERDICT r4 task 4 — the old
-        # filter+limit+count was a whole extra job per round).
+        # AND remember the HOP-1 label, so convergence is a filter on
+        # the checkpointed result, not a second join — and it rides the
+        # SAME job as the materialization via observe() (VERDICT r4
+        # task 4; the old filter+limit+count was an extra job/round).
+        #
+        # The stop test compares the round's FINAL labels against its
+        # hop-1 labels, not against the round-start ones: final == hop1
+        # everywhere means hop 1 was already a fixpoint of the
+        # propagation operator, i.e. converged — even though the round
+        # DID change labels relative to the start. For clique/short-
+        # chain dup graphs, where hop 1 finishes the job, this ends the
+        # loop after ONE materialized round; the old round-start
+        # comparison always needed a second full round just to observe
+        # "no change" (measured: 1.90 s → ~1.2 s at sf0.1).
         obs = Observation()
         new_labels = (
-            labels.withColumn("is_old", F.lit(True))
-            .union(mid.withColumn("is_old", F.lit(False)))
+            labels.withColumn("tag", F.lit(0))
+            .union(mid.withColumn("tag", F.lit(1)))
             .union(prop)
             .groupBy("id")
             .agg(
                 F.min("label").alias("label"),
-                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+                F.min(F.when(F.col("tag") == 1, F.col("label"))).alias("mid_label"),
             )
             .observe(
                 obs,
                 F.sum(
-                    F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
-                ).alias("n_changed"),
+                    F.when(F.col("label") != F.col("mid_label"), 1).otherwise(0)
+                ).alias("n_unstable"),
             )
             .localCheckpoint()
         )
         mid.unpersist()
         labels = new_labels.select("id", "label")
-        if obs.get["n_changed"] == 0:
+        if obs.get["n_unstable"] == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -890,40 +956,52 @@ def dup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dup_clusters(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    inv = shingle_rows(d).persist()
-    a, b = inv.alias("a"), inv.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # The oracle-bounded slice is ~100 docs / ~5k shingles: pin the
+    # whole pair pipeline's exchange width, not just the CC loop's — at
+    # the session's 32 partitions each of the ~4 shuffles here paid
+    # 32-task scheduling for KB-sized data (A/B: 1.26 s → 0.99 s with
+    # width 4 + broadcast sizes). At corpus scale the caller would keep
+    # the session width; the bound is the doc_id slice, not the data.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        inv = shingle_rows(d).persist()
+        a, b = inv.alias("a"), inv.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
-    )
-    pairs = (
-        cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.02)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    ).persist()
-    # The oracle-bounded slice is ~100 vertices: pin the loop's exchange
-    # width so each round is a handful of tasks, not a session-wide fan.
-    comp = cc_fn(
-        d.select(F.col("doc_id").alias("id")), pairs, shuffle_partitions=4
-    )
-    # comp is checkpointed by the CC loop; upstream caches can go.
-    pairs.unpersist()
+        # per-doc shingle counts: ≤100 rows — always broadcast-sized
+        sizes = F.broadcast(inv.groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+        jac = F.col("n_common").cast("double") / (
+            F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        )
+        pairs = (
+            cand.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .filter(jac >= 0.02)
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        ).persist()
+        comp = cc_fn(
+            d.select(F.col("doc_id").alias("id")), pairs, shuffle_partitions=4
+        )
+        # comp is checkpointed/collected by the CC kernel; caches can go.
+        pairs.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # No terminal sort: the consumer contract is set-equality (driver
     # compare is order-insensitive), and a global sort funnels the
     # result through one range exchange for nothing. (A window-count
     # variant was tried instead of aggregate+broadcast-join — the sort
     # window measured ~0.3 s slower on the checkpointed components.)
-    csize = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    csize = F.broadcast(
+        comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    )
     out = comp.join(csize, "cluster_id").select(
         F.col("id").alias("doc_id"),
         "cluster_id",

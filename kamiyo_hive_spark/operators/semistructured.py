@@ -263,6 +263,29 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard bounded-iteration posture for analytics ranking (full
     convergence is GraphFrames/Pregel territory).
     """
+    import os as _os
+
+    # Size the query's shuffle width from the INPUT BYTES (the same
+    # file-stats-driven parallelism a real engine's planner uses): at
+    # sf0.1 the whole fact side is ~14 MB, and running every exchange
+    # at the session's full width just pays per-task scheduling — A/B
+    # best-of-6: 2.44 s at width 32 vs 1.62 s at width 8. The clamp
+    # ceiling is the session setting, so at warehouse scale (bytes >>
+    # 4 MB/partition) this is a no-op and the session width rules.
+    in_bytes = sum(
+        _os.path.getsize(_os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("orders", "lineitem")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(8, min(int(prev_parts), in_bytes // (4 << 20)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _pagerank_build(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     # The fact side is the probe of a broadcast join; on a single-split
     # local file that probe would run in one task, so spread it first
@@ -318,8 +341,16 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("id"), F.expr("rnk div outdeg").alias("part_m"))
             .groupBy("id")
             .agg(F.expr(f"(15 * {base}L + 85 * sum(part_m)) div 100").alias("rnk"))
-            .localCheckpoint()
         )
+    # ONE checkpoint at loop end, not one per round: each round's rank
+    # frame has a single consumer (the next round's join), so the lazy
+    # 3-round chain has no duplicated subtree and runs as ONE job —
+    # per-round checkpoints were 3 extra eager jobs whose only benefit
+    # (lineage truncation) matters for long/unbounded loops, not a
+    # fixed 3-round unroll (A/B best-of-6: 2.85 s → 2.45 s, identical
+    # ranks; the checkpoint here still truncates before the final sort
+    # and keeps the bounded-iteration contract for callers).
+    ranks = ranks.localCheckpoint()
     node_id = F.when(
         F.col("id") % 2 == 0, F.concat(F.lit("C"), (F.col("id") / 2).cast("long").cast("string"))
     ).otherwise(F.concat(F.lit("S"), ((F.col("id") - 1) / 2).cast("long").cast("string")))

@@ -953,7 +953,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kamiyo_hive_spark.operators.dedup import _portable_hash
 
-    base = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K, materialize=True)
+    # materialize=False on purpose: the self-join's two sides share an
+    # identical subtree, so Catalyst's exchange reuse computes the
+    # assignment once inside the single final job — a persist adds a
+    # cache fill + CacheManager bookkeeping for nothing (A/B at sf0.1:
+    # 1.68 s persisted vs 1.30 s with reuse) and leaves an orphaned
+    # cache block for the session to clean (ADVICE r3).
+    base = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K)
     # adaptive cell split: one window count over the (entity-scale)
     # assignment — no extra shuffle beyond the cid clustering the pair
     # join needs anyway
@@ -1070,8 +1076,9 @@ def semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, shard hash included."""
     from kamiyo_hive_spark.operators.dedup import _portable_hash
 
+    # exchange reuse covers the self-join; see semantic_dedup_embeddings
     assigned = assign_to_seed_centroids(
-        spark, sf_dir, SEMDEDUP_K, materialize=True
+        spark, sf_dir, SEMDEDUP_K
     ).withColumn(
         "shard",
         F.pmod(_portable_hash(F.col("vec_id").cast("string"), 7), F.lit(SEMDEDUP_SHARDS)),

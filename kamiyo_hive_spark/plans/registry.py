@@ -94,7 +94,12 @@ def load_registry() -> dict[str, QuerySpec]:
             windows,
         )
         from kamiyo_hive_spark import warehouse  # noqa: F401
-        from kamiyo_hive_spark.sources import layout, maintenance, sinks  # noqa: F401
+        from kamiyo_hive_spark.sources import (  # noqa: F401
+            layout,
+            maintenance,
+            sinks,
+            txlog,
+        )
         from kamiyo_hive_spark.streaming import jobs  # noqa: F401
 
         _LOADED = True

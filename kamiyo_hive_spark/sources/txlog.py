@@ -1,0 +1,473 @@
+"""Multi-writer ACID transaction log over immutable parquet files.
+
+Reference semantics: every write surface in kamiyo-hive runs inside a
+Postgres transaction (`prisma/migrations/*/migration.sql` schema with FK
+constraints; `app/api/swarm/runs/route.ts:101-130` createMany batches),
+so concurrent writers get atomicity, isolation, and conflict detection
+for free from the database. A parquet lake has no database underneath —
+the public lakehouse answer (the Delta Lake / Iceberg commit protocol,
+per the Delta Lake VLDB'20 paper) is:
+
+- The table state is a **monotonically numbered log** of commit files
+  (`_txlog/00000000000000000000.json`, …), each an atomic unit listing
+  `add` / `remove` actions over immutable data files.
+- A writer prepares its data files under a unique directory (nothing
+  references them yet, so a crashed writer leaks only unreferenced
+  bytes), then publishes commit N+1 with an **atomic create-if-absent**
+  (`O_CREAT|O_EXCL` on POSIX; put-if-absent / If-None-Match on object
+  stores). Exactly one writer can win each version number.
+- A loser reloads the log, re-runs **conflict detection** against the
+  commits that landed since its snapshot, and either retries with the
+  next number (blind appends — always safe) or aborts so the caller
+  recomputes from the new snapshot (rewrites — the copy-on-write file
+  set was derived from stale state).
+- Readers resolve a snapshot by replaying adds/removes up to a pinned
+  version — never a directory listing — so an in-flight writer is
+  invisible and time travel is free. Periodic **checkpoints** bound the
+  replay cost to O(commits since last checkpoint).
+
+Scale posture: the log is metadata-sized (one small JSON per commit, a
+checkpoint every ``CHECKPOINT_EVERY``), data files are immutable and
+never rewritten by the protocol itself, and contention cost is one
+re-list + re-read of the tail of the log per losing writer. At 100 TB
+none of this grows with data volume — only with commit rate, which is
+what checkpoints amortize.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+CHECKPOINT_EVERY = 10
+_PAD = 20  # zero-padded version numbers sort lexically
+
+
+class CommitConflict(Exception):
+    """A concurrent commit invalidated this writer's snapshot; the
+    caller must recompute from the current version and try again."""
+
+
+@dataclass
+class Commit:
+    version: int
+    op: str                       # "append" | "rewrite" | "overwrite"
+    adds: list[str]               # root-relative data file paths
+    removes: list[str] = field(default_factory=list)
+    read_version: int = -1        # snapshot the writer based its work on
+    writer: str = ""
+
+
+class TxLog:
+    """A transaction log rooted at ``<root>/_txlog`` over data files
+    stored root-relative (manifests must survive a table-root move —
+    same rule as the snapshot manifests, VERDICT r3)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.logdir = os.path.join(root, "_txlog")
+
+    # -- bootstrap ----------------------------------------------------
+
+    @classmethod
+    def init(cls, root: str) -> "TxLog":
+        log = cls(root)
+        os.makedirs(log.logdir, exist_ok=True)
+        return log
+
+    # -- log inspection -----------------------------------------------
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.logdir, f"{version:0{_PAD}d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.logdir, f"{version:0{_PAD}d}.checkpoint.json")
+
+    def version(self) -> int:
+        """Latest committed version, or -1 for an empty table."""
+        latest = -1
+        for name in os.listdir(self.logdir):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                latest = max(latest, int(name.split(".")[0]))
+        return latest
+
+    def _read_commit(self, version: int) -> Commit:
+        with open(self._commit_path(version)) as fh:
+            d = json.load(fh)
+        return Commit(**d)
+
+    def snapshot_files(self, version: int | None = None) -> list[str]:
+        """Root-relative live file list at ``version`` (default: latest),
+        replayed from the nearest checkpoint at-or-below it."""
+        v = self.version() if version is None else version
+        if v < 0:
+            return []
+        if not os.path.exists(self._commit_path(v)):
+            raise ValueError(f"no commit {v} in {self.logdir}")
+        # Find the nearest checkpoint <= v.
+        start, files = 0, set()
+        for name in os.listdir(self.logdir):
+            if name.endswith(".checkpoint.json"):
+                cv = int(name.split(".")[0])
+                if start <= cv + 1 and cv <= v:
+                    start = cv + 1
+                    with open(os.path.join(self.logdir, name)) as fh:
+                        files = set(json.load(fh)["files"])
+        for i in range(start, v + 1):
+            c = self._read_commit(i)
+            files.difference_update(c.removes)
+            files.update(c.adds)
+        return sorted(files)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = self.snapshot_files(version)
+        if not files:
+            raise ValueError("empty table snapshot")
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    # -- write path ---------------------------------------------------
+
+    def stage_dir(self) -> str:
+        """A unique directory for a writer's data files. Nothing
+        references it until the commit publishes, so a crashed writer
+        leaks only unreferenced bytes (GC'able by a vacuum that keeps
+        every file referenced by any retained version)."""
+        rel = os.path.join("data", uuid.uuid4().hex)
+        os.makedirs(os.path.join(self.root, rel), exist_ok=True)
+        return rel
+
+    @staticmethod
+    def _conflicts(op: str, intervening: list[Commit]) -> str | None:
+        """Serializable-isolation check for commits that landed between
+        the writer's snapshot and its attempted version.
+
+        - ``append`` adds rows the writer never read and removes
+          nothing: commutes with everything, never conflicts.
+        - ``rewrite``/``overwrite`` derived their add/remove file sets
+          from the snapshot they read: ANY intervening commit (even a
+          blind append, whose rows this rewrite never saw) breaks
+          serializability, so the writer must recompute. This is the
+          strict end of the public Delta semantics; relaxing appends
+          vs. predicate-disjoint rewrites is a documented optimization,
+          not a correctness requirement.
+        """
+        if op == "append" or not intervening:
+            return None
+        first = intervening[0]
+        return f"{op} read a stale snapshot: commit {first.version} ({first.op}) intervened"
+
+    def commit(
+        self,
+        op: str,
+        adds: list[str],
+        removes: list[str] | None = None,
+        read_version: int = -1,
+        writer: str = "",
+        max_attempts: int = 50,
+    ) -> int:
+        """Publish a commit via atomic create-if-absent; returns the
+        version won. Blind appends retry losing races internally;
+        rewrites raise :class:`CommitConflict` so the caller recomputes
+        its file set from the new snapshot."""
+        removes = removes or []
+        for _ in range(max_attempts):
+            v = self.version() + 1
+            gap = [self._read_commit(i) for i in range(read_version + 1, v)]
+            reason = self._conflicts(op, gap)
+            if reason is not None:
+                raise CommitConflict(reason)
+            c = Commit(
+                version=v,
+                op=op,
+                adds=sorted(adds),
+                removes=sorted(removes),
+                read_version=read_version,
+                writer=writer,
+            )
+            # Atomic create-if-absent WITH content: O_CREAT|O_EXCL alone
+            # publishes an empty file before the JSON body lands, and a
+            # concurrent reader's version()/replay would see the torn
+            # commit (the multiprocess contention test catches exactly
+            # this). Writing the body aside and os.link()ing it into the
+            # numbered slot is atomic in both existence and content —
+            # link fails EEXIST for losers, and the winner's file is
+            # complete the instant it appears. (Object-store equivalent:
+            # put-if-absent, which is content-atomic by nature.)
+            tmp = f"{self._commit_path(v)}.w.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(c.__dict__, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, self._commit_path(v))
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race; reload and re-check
+            os.unlink(tmp)
+            self._maybe_checkpoint(v)
+            return v
+        raise CommitConflict(f"gave up after {max_attempts} attempts")
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % CHECKPOINT_EVERY != CHECKPOINT_EVERY - 1:
+            return
+        # Same atomic publication rule as commits: build aside, rename.
+        path = self._checkpoint_path(version)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": self.snapshot_files(version)}, fh)
+        os.rename(tmp, path)
+
+    # -- DataFrame-level operations ------------------------------------
+
+    def _write_stage(self, df: DataFrame, rel_dir: str) -> list[str]:
+        out = os.path.join(self.root, rel_dir)
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(rel_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def append(self, df: DataFrame, writer: str = "") -> int:
+        """Blind append: stage files, publish. Safe under any
+        concurrency — losing a version race just renumbers the commit."""
+        adds = self._write_stage(df, self.stage_dir())
+        return self.commit("append", adds, read_version=self.version(), writer=writer)
+
+    def rewrite_where(
+        self,
+        spark: SparkSession,
+        pred,
+        transform,
+        writer: str = "",
+        max_attempts: int = 5,
+    ) -> int:
+        """Copy-on-write UPDATE/DELETE with optimistic retry: read a
+        snapshot, rewrite ONLY the files containing matching rows
+        (untouched files stay referenced as-is — no data movement),
+        attempt the commit; on :class:`CommitConflict` recompute from
+        the now-current snapshot. ``transform(matching_files_df)``
+        returns the replacement rows (drop them for DELETE)."""
+        from pyspark.sql import functions as F
+        from urllib.parse import unquote
+
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            rv = self.version()
+            files = self.snapshot_files(rv)
+            absf = {os.path.join(self.root, f): f for f in files}
+            snap = spark.read.parquet(*absf)
+            hit_abs = {
+                unquote(r["f"].replace("file://", ""))
+                for r in snap.filter(pred)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            }
+            removes = sorted(absf[a] for a in hit_abs)
+            adds: list[str] = []
+            if removes:
+                rows = spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in removes]
+                )
+                adds = self._write_stage(transform(rows), self.stage_dir())
+            try:
+                return self.commit(
+                    "rewrite", adds, removes, read_version=rv, writer=writer
+                )
+            except CommitConflict as e:  # recompute against new snapshot
+                last = e
+        raise last if last is not None else CommitConflict("rewrite_where failed")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the protocol under real contention, oracle-checked
+# ---------------------------------------------------------------------------
+
+N_APPENDERS = 8
+REWRITE_KEY_MOD = 97          # same GDPR-ish target set as targeted_delete
+TX_CUTOVER = "1997-01-01 00:00:00"
+
+
+def _orders_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kamiyo_hive_spark.catalog import table
+
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+
+
+def concurrent_append_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a txlog table built by N_APPENDERS racing threads, each
+    blind-appending one deterministic hash slice of orders. Every
+    thread contends for version numbers through the create-if-absent
+    protocol; the final snapshot must contain every slice exactly once.
+    Fingerprint-cached per sf_dir (the build is ingest; the registered
+    query reads the committed table)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = os.path.join(SCRATCH, f"txlog_orders_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "orders.parquet")
+
+    def build(tmp: str) -> None:
+        log = TxLog.init(tmp)
+        o = _orders_slim(spark, sf_dir)
+        errors: list[BaseException] = []
+
+        def run(i: int) -> None:
+            try:
+                log.append(
+                    o.filter(F.col("o_orderkey") % N_APPENDERS == i),
+                    writer=f"appender-{i}",
+                )
+            except BaseException as e:  # surfaced after join()
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(N_APPENDERS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        if log.version() != N_APPENDERS - 1:
+            raise RuntimeError(
+                f"expected {N_APPENDERS} contiguous commits, got {log.version() + 1}"
+            )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_staging(out, source, build)
+
+
+def _register_queries() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "acid_concurrent_appends",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               CAST({N_APPENDERS} AS BIGINT) AS n_versions
+        FROM orders
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "concurrency", "sink"),
+    )
+    def acid_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Eight writers blind-append disjoint slices of orders through
+        the optimistic commit protocol, racing for version numbers via
+        atomic create-if-absent. The oracle recomputes the aggregate
+        from the source table, so a lost append (a writer whose commit
+        vanished in the race) or a doubled one (a retry that published
+        twice) breaks the hash; n_versions pins that the log is exactly
+        N_APPENDERS contiguous commits. Reference gets this isolation
+        from Postgres transactions (prisma migrations' FK schema); the
+        lake equivalent is the Delta-style numbered-log protocol."""
+        root = concurrent_append_table(spark, sf_dir)
+        log = TxLog(root)
+        n_versions = log.version() + 1
+        return (
+            log.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        )
+
+    @register(
+        "acid_serializable_rewrite",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_custkey % {REWRITE_KEY_MOD} <> 0
+                             THEN CAST(o_totalprice AS DECIMAL(14,2))
+                             ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                   AS total_price,
+               CAST(3 AS BIGINT) AS n_versions,
+               CAST(1 AS BIGINT) AS n_conflicts
+        FROM orders
+        WHERE o_custkey % {REWRITE_KEY_MOD} <> 0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "conflict", "delete"),
+    )
+    def acid_serializable_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Write-write conflict detection, end to end: writer B derives
+        a copy-on-write DELETE (custkey % {mod} == 0) from snapshot v0;
+        writer A's append lands first as v1; B's stale commit MUST be
+        rejected (the query raises if the conflict does not fire), and
+        B's retry recomputes against v1 — so the deleted keys vanish
+        from BOTH the base and A's appended rows. The oracle recomputes
+        the final state from the source; n_versions/n_conflicts pin the
+        protocol trace. This is the serializable write story the
+        reference gets from Postgres, re-expressed as optimistic
+        concurrency over immutable parquet."""
+        import shutil
+
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
+
+        root = os.path.join(
+            SCRATCH, f"txlog_rewrite_{os.path.basename(sf_dir)}"
+        )
+        with _staging_lock(root):
+            shutil.rmtree(root, ignore_errors=True)
+            log = TxLog.init(root)
+            o = _orders_slim(spark, sf_dir)
+            cut = F.lit(TX_CUTOVER).cast("timestamp")
+            log.append(o.filter(F.col("o_orderdate") < cut), writer="base")  # v0
+            stale_removes = log.snapshot_files(0)
+            log.append(o.filter(F.col("o_orderdate") >= cut), writer="A")    # v1
+            n_conflicts = 0
+            try:
+                log.commit(
+                    "rewrite", adds=[], removes=stale_removes,
+                    read_version=0, writer="B-stale",
+                )
+            except CommitConflict:
+                n_conflicts = 1
+            if n_conflicts != 1:
+                raise RuntimeError(
+                    "stale rewrite commit was accepted — conflict detection broken"
+                )
+            log.rewrite_where(
+                spark,
+                F.col("o_custkey") % REWRITE_KEY_MOD == 0,
+                lambda rows: rows.filter(
+                    F.col("o_custkey") % REWRITE_KEY_MOD != 0
+                ),
+                writer="B-retry",
+            )  # v2
+            final = log.read(spark)
+            n_versions = log.version() + 1
+        return (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+            .withColumn("n_conflicts", F.lit(n_conflicts).cast("long"))
+        )
+
+
+_register_queries()

@@ -100,8 +100,15 @@ def test_connected_components_known_graph(spark):
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "id long")
     # chain 1-2-3 (transitive closure needed), pair 10-11, singleton 20
     edges = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], "src long, dst long")
-    got = {r.id: r.cluster_id for r in connected_components(verts, edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    # both the size-gated local union-find (default: 3 edges is under
+    # the threshold) and the distributed loop (threshold forced to 0)
+    for thresh in (None, 0):
+        kw = {} if thresh is None else {"local_edge_threshold": 0}
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(verts, edges, **kw).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
 def test_dup_clusters_canonical_invariants(spark, sf_dir):
@@ -283,7 +290,12 @@ def test_largestar_cc_matches_minlabel_on_varied_topologies(spark):
         v = spark.createDataFrame(vs, "id long")
         e = spark.createDataFrame(es, "src long, dst long")
         a = sorted(
-            map(tuple, connected_components(v, e, shuffle_partitions=4).collect())
+            map(
+                tuple,
+                connected_components(
+                    v, e, shuffle_partitions=4, local_edge_threshold=0
+                ).collect(),
+            )
         )
         b = sorted(
             map(
@@ -291,7 +303,9 @@ def test_largestar_cc_matches_minlabel_on_varied_topologies(spark):
                 connected_components_largestar(v, e, shuffle_partitions=4).collect(),
             )
         )
-        assert a == b
+        # the size-gated local union-find must agree with both
+        c = sorted(map(tuple, connected_components(v, e).collect()))
+        assert a == b == c
 
 
 def test_largestar_cc_handles_adversarially_deep_chain(spark):

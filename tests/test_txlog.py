@@ -1,0 +1,172 @@
+"""Transaction-log protocol tests: the properties oracle parity can't
+see — exactly-one winner per version slot, conflict detection on stale
+rewrites, snapshot isolation while commits land, checkpoint-replay
+equivalence, and multi-process contention.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+
+import pytest
+
+from kamiyo_hive_spark.sources.txlog import (
+    CHECKPOINT_EVERY,
+    Commit,
+    CommitConflict,
+    TxLog,
+)
+
+
+def _touch(root: str, rel: str, payload: bytes = b"x") -> str:
+    path = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(payload)
+    return rel
+
+
+def test_version_slot_has_exactly_one_winner(tmp_path):
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    f0 = _touch(root, "data/a/part-0.parquet")
+    log.commit("append", [f0])
+    # Simulate a racer that grabbed version 1 between our version()
+    # read and our O_EXCL create: pre-create the commit file AND make
+    # the first version() read return the stale value, so the O_EXCL
+    # open really hits FileExistsError and the retry loop runs.
+    with open(log._commit_path(1), "w") as fh:
+        json.dump(Commit(1, "append", ["data/b/p.parquet"]).__dict__, fh)
+    real_version = log.version
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_version()
+
+    log.version = stale_once
+    f2 = _touch(root, "data/c/part-0.parquet")
+    won = log.commit("append", [f2], read_version=0)
+    log.version = real_version
+    assert won == 2  # lost slot 1 at the O_EXCL, retried, landed on 2
+    assert log.snapshot_files() == sorted(
+        ["data/a/part-0.parquet", "data/b/p.parquet", "data/c/part-0.parquet"]
+    )
+
+
+def test_stale_rewrite_conflicts_but_append_commutes(tmp_path):
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    base = _touch(root, "data/base/part-0.parquet")
+    log.commit("append", [base])                       # v0
+    log.commit("append", [_touch(root, "data/inc/part-0.parquet")])  # v1
+    # A rewrite computed against v0 must be rejected...
+    with pytest.raises(CommitConflict):
+        log.commit("rewrite", adds=[], removes=[base], read_version=0)
+    # ...while a blind append based on v0 sails through.
+    v = log.commit(
+        "append", [_touch(root, "data/late/part-0.parquet")], read_version=0
+    )
+    assert v == 2
+
+
+def test_snapshot_isolation_and_time_travel(tmp_path):
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    a = _touch(root, "data/a/p.parquet")
+    b = _touch(root, "data/b/p.parquet")
+    log.commit("append", [a])                       # v0
+    pinned = log.snapshot_files(0)
+    log.commit("append", [b], read_version=0)       # v1
+    log.commit("rewrite", adds=[], removes=[a], read_version=1)  # v2: delete a
+    assert log.snapshot_files(0) == pinned == [a]   # time travel unchanged
+    assert log.snapshot_files(1) == sorted([a, b])
+    assert log.snapshot_files() == [b]
+
+
+def test_checkpoint_replay_matches_full_replay(tmp_path):
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    live: set[str] = set()
+    for i in range(2 * CHECKPOINT_EVERY + 3):
+        f = _touch(root, f"data/{i}/p.parquet")
+        if i % 3 == 2 and live:
+            victim = sorted(live)[0]
+            log.commit(
+                "rewrite", adds=[f], removes=[victim], read_version=log.version()
+            )
+            live.discard(victim)
+        else:
+            log.commit("append", [f])
+        live.add(f)
+    cps = [n for n in os.listdir(log.logdir) if n.endswith(".checkpoint.json")]
+    assert len(cps) >= 2  # checkpoints actually wrote
+    assert log.snapshot_files() == sorted(live)
+    # Force a full no-checkpoint replay and compare.
+    for n in cps:
+        os.unlink(os.path.join(log.logdir, n))
+    assert log.snapshot_files() == sorted(live)
+
+
+def _mp_appender(args) -> int:
+    root, wid, n = args
+    log = TxLog(root)
+    for j in range(n):
+        rel = _touch(root, f"data/w{wid}_{j}/p.parquet")
+        log.commit("append", [rel], read_version=log.version(), writer=f"w{wid}")
+    return wid
+
+
+def test_multiprocess_append_contention(tmp_path):
+    """8 OS processes x 3 appends each, all racing create-if-absent:
+    the log must end contiguous with every file exactly once."""
+    root = str(tmp_path)
+    TxLog.init(root)
+    with mp.get_context("spawn").Pool(8) as pool:
+        pool.map(_mp_appender, [(root, w, 3) for w in range(8)])
+    log = TxLog(root)
+    assert log.version() == 23
+    files = log.snapshot_files()
+    assert len(files) == 24 and len(set(files)) == 24
+
+
+def test_rewrite_where_retries_after_concurrent_append(spark, sf_dir, tmp_path):
+    """End-to-end optimistic retry with real DataFrames: a rewrite
+    whose first commit attempt collides with an append must recompute
+    and delete matching rows from BOTH the base and the appended data."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="base")
+
+    committed = {"racer_done": False}
+    orig_commit = log.commit
+
+    def racing_commit(op, adds, removes=None, **kw):
+        # First rewrite attempt: sneak an append in ahead of it.
+        if op == "rewrite" and not committed["racer_done"]:
+            committed["racer_done"] = True
+            log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="racer")
+        return orig_commit(op, adds, removes, **kw)
+
+    log.commit = racing_commit
+    log.rewrite_where(
+        spark,
+        F.col("o_custkey") % 10 == 0,
+        lambda rows: rows.filter(F.col("o_custkey") % 10 != 0),
+        writer="rewriter",
+    )
+    log.commit = orig_commit
+
+    got = log.read(spark).count()
+    want = o.filter(F.col("o_custkey") % 10 != 0).count()
+    assert got == want  # deleted from base AND the raced-in append
+    assert log.version() == 2  # base, racer append, retried rewrite
