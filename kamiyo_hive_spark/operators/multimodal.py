@@ -3,11 +3,16 @@
 Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct riding alongside (the lakehouse-standard layout: bytes +
 width/height/codec/duration columns, partitioned by modality/date).
-Real decode/resize/frame-sample needs codec libraries this container
-doesn't ship, so the decode kernel is STUBBED — `decode_image_batch`
-raises NotImplementedError, and the deterministic fake
-(`fake_feature_extract`) stands in so the Spark-side plumbing (schema,
-Arrow batch shape, partition behavior) is real and tested.
+
+Formats with an in-repo decoder run for REAL: BMP + 16-bit PCM WAV
+(`_codec_kit`), baseline and progressive JPEG (`functions/jpeg.py`),
+and MJPEG-in-AVI video with stride frame sampling (`functions/avi.py`).
+Formats that genuinely need native codec libraries this container
+doesn't ship (H.264/MP4, arithmetic-coded JPEG, non-PCM WAV) raise
+NotImplementedError — never silence — and the deterministic fake
+(`fake_feature_extract`) stands in only for the generic-plumbing
+queries so schema, Arrow batch shape, and partition behavior stay
+real and tested.
 
 All Python runs through `mapInPandas` (Arrow batches), never per-row.
 """
@@ -542,3 +547,99 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assets"),
         F.max("n_frames").cast("long").alias("max_frames_per_asset"),
     )
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("mean_sampled_luma", T.DoubleType()),
+    ]
+)
+
+VIDEO_STRIDE = 2  # decode every other frame
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id,
+               CAST(16 * (n_chars % 3 + 1) AS BIGINT) AS width,
+               CAST(16 * ((n_chars // 7) % 2 + 1) AS BIGINT) AS height,
+               CAST(doc_id % 5 + 3 AS BIGINT) AS nf,
+               (doc_id * 37 + 11) % 256 AS a
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = 2
+    )
+    SELECT v.doc_id, v.width, v.height,
+           v.nf AS n_frames,
+           CAST(ceil(v.nf / {VIDEO_STRIDE}.0) AS BIGINT) AS n_sampled,
+           AVG(CAST((v.a + t.range * 13) % 256 AS DOUBLE)) AS mean_sampled_luma
+    FROM vids v
+    CROSS JOIN range(0, 8) t   -- max doc_id%5+3 = 7 frames
+    WHERE t.range < v.nf AND t.range % {VIDEO_STRIDE} = 0
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY v.doc_id
+    """,
+    tags=("multimodal", "video", "mjpeg", "avi", "real-decode", "mapInPandas"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI video, decoded for real (the r3 verdict's video
+    gap, minus formats that genuinely need ffmpeg): each video doc
+    synthesizes a spec-shaped AVI container (RIFF → hdrl/strl stream
+    headers → movi '00dc' chunks → idx1 index) holding `doc_id % 5 + 3`
+    baseline-JPEG frames whose solid luma is `(doc_id*37 + 11 + 13*i) %
+    256`, then the container parser walks the chunks and the JPEG
+    decoder runs on EVERY OTHER frame only (stride-2 sampling — the
+    unsampled frames are never decoded past the chunk walk, which is
+    the cost shape that makes frame sampling viable at corpus scale).
+    The oracle predicts dims, frame counts, and the mean sampled luma
+    in closed form from `documents`; container bugs (chunk padding,
+    idx1 mismatch, strf dims) and decoder bugs alike break the hash.
+    H.264/raw-DIB streams raise NotImplementedError in the parser.
+
+    Scale shape: per-row mapInPandas over Arrow batches, no shuffle —
+    identical to the image-decode twins."""
+    from kamiyo_hive_spark.functions.avi import _avi_kit
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 2))
+        .select("doc_id", "n_chars")
+    )
+    encode_avi, _, sample_, encode_jpeg = _avi_kit()  # bind by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w = 16 * (n_chars % 3 + 1)
+                h = 16 * ((n_chars // 7) % 2 + 1)
+                a = (doc_id * 37 + 11) % 256
+                nf = doc_id % 5 + 3
+                frames = [
+                    encode_jpeg(w, h, lambda _b, i=i: (a + i * 13) % 256)
+                    for i in range(nf)
+                ]
+                payload = encode_avi(frames, w, h)
+                d = sample_(payload, stride=VIDEO_STRIDE)
+                lumas = [s["mean_luma"] for s in d["sampled"]]
+                for k, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["n_frames"],
+                        len(lumas),
+                        sum(lumas) / len(lumas),
+                    ),
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=VIDEO_SCHEMA)

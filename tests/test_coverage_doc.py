@@ -18,6 +18,9 @@ NON_QUERY_TOKENS = {
     "llm_batch_infer", "tier_band", "init_warehouse", "queries",
     "oracle_sql", "might_contain", "persist", "lead", "explain",
     "merkle_root_poseidon", "merkle_proof_poseidon", "verify_poseidon_proof",
+    # module functions documented alongside their registered wrappers
+    "connected_components_largestar", "force_directed_positions",
+    "rewrite_where", "sample_frames", "parse_avi",
 }
 
 # queries registered only when a runtime feature exists (may be absent)
