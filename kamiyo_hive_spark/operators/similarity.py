@@ -993,12 +993,19 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_vecs")
     )
-    return sizes.join(dup_counts, "cluster_id", "left").select(
+    out = sizes.join(dup_counts, "cluster_id", "left").select(
         "cluster_id",
         "n_vecs",
         F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
         (F.col("n_vecs") - F.coalesce(F.col("n_dups"), F.lit(0))).cast("long").alias("n_kept"),
     )
+    # K-row result, metadata-sized input: execute under an input-sized
+    # shuffle width (no-op at warehouse scale; A/B best-of-6 at sf0.1:
+    # ~0.15 s off the 32-wide exchange scheduling).
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "embeddings"):
+        return out.localCheckpoint()
 
 
 SEMDEDUP_SHARDS = 4  # pair-stage cells per cluster (scale knob)
@@ -1100,12 +1107,19 @@ def semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count("*").alias("n_vecs")
     )
-    return sizes.join(dup_counts, "cluster_id", "left").select(
+    out = sizes.join(dup_counts, "cluster_id", "left").select(
         "cluster_id",
         "n_vecs",
         F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
         (F.col("n_vecs") - F.coalesce(F.col("n_dups"), F.lit(0))).cast("long").alias("n_kept"),
     )
+    # K-row result, metadata-sized input: execute under an input-sized
+    # shuffle width (no-op at warehouse scale; A/B best-of-6 at sf0.1:
+    # ~0.15 s off the 32-wide exchange scheduling).
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "embeddings"):
+        return out.localCheckpoint()
 
 
 def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:

@@ -471,3 +471,143 @@ def _register_queries() -> None:
 
 
 _register_queries()
+
+
+# ---------------------------------------------------------------------------
+# Maintenance through the log: vacuum (GC) and optimize (compaction)
+# ---------------------------------------------------------------------------
+
+
+def vacuum(log: TxLog, retain_versions: int = 2) -> int:
+    """Delete data files referenced by NO retained snapshot — the GC
+    that pairs with optimistic commits (crashed writers leak staged
+    files nothing references; rewrites strand the replaced files once
+    their versions age out of the retention window). Keeps the last
+    ``retain_versions`` snapshots time-travelable; returns the number
+    of files deleted.
+
+    Scale posture: pure metadata work — the referenced set is the union
+    of the retained manifests, never a data scan. (On an object store
+    the directory walk becomes a LIST; same shape.)"""
+    latest = log.version()
+    if latest < 0:
+        return 0
+    keep_from = max(0, latest - retain_versions + 1)
+    referenced: set = set()
+    for v in range(keep_from, latest + 1):
+        referenced.update(log.snapshot_files(v))
+    deleted = 0
+    data_root = os.path.join(log.root, "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, log.root)
+            if rel not in referenced:
+                os.unlink(full)
+                deleted += 1
+    return deleted
+
+
+def optimize(log: TxLog, spark: SparkSession, target_files: int = 2,
+             writer: str = "optimize", max_attempts: int = 5) -> int:
+    """Small-file compaction THROUGH the commit protocol: read the
+    current snapshot, rewrite it as ``target_files`` bin-packed files,
+    and publish a rewrite commit that removes every old file. A
+    concurrent append between read and commit aborts the attempt
+    (CommitConflict) and the compaction recomputes over the new
+    snapshot — maintenance obeys the same isolation rules as DML.
+    Returns the committed version. Pure re-layout: the table's rows are
+    byte-identical before and after (oracle-checked by the registered
+    roundtrip)."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        rv = log.version()
+        files = log.snapshot_files(rv)
+        if len(files) <= target_files:
+            return rv  # nothing to do
+        df = spark.read.parquet(*[os.path.join(log.root, f) for f in files])
+        adds = log._write_stage(df.repartition(target_files), log.stage_dir())
+        try:
+            return log.commit(
+                "rewrite", adds, removes=files, read_version=rv, writer=writer
+            )
+        except CommitConflict as e:
+            last = e
+    raise last if last is not None else CommitConflict("optimize failed")
+
+
+def _register_maintenance_queries() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    N_SMALL_APPENDS = 12
+    OPTIMIZE_TARGET = 2
+
+    @register(
+        "acid_optimize_roundtrip",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               CAST({N_SMALL_APPENDS + 1} AS BIGINT) AS n_versions,
+               CAST({OPTIMIZE_TARGET} AS BIGINT) AS n_files_live
+        FROM orders
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "compaction", "maintenance"),
+    )
+    def acid_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming-style ingest (12 small appends) compacted through
+        the commit protocol: optimize() publishes a rewrite commit that
+        replaces every fragment with OPTIMIZE_TARGET bin-packed files,
+        then vacuum() garbage-collects the now-unreferenced fragments
+        outside the retention window. The oracle recomputes the
+        aggregate from the source — compaction must be a pure
+        re-layout — and pins the version count (12 appends + 1 rewrite)
+        and the live file count. Fingerprint-cached staging: the build
+        is ingest+maintenance; the query reads the compacted table."""
+        import threading
+
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_optimize_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            for i in range(N_SMALL_APPENDS):
+                log.append(
+                    o.filter(F.col("o_orderkey") % N_SMALL_APPENDS == i),
+                    writer=f"ingest-{i}",
+                )
+            v = optimize(log, spark, target_files=OPTIMIZE_TARGET)
+            if v != N_SMALL_APPENDS:
+                raise RuntimeError(f"optimize landed at v{v}, expected {N_SMALL_APPENDS}")
+            # retention window = the optimized snapshot only: every
+            # fragment file must be collectable
+            n_deleted = vacuum(log, retain_versions=1)
+            if n_deleted < N_SMALL_APPENDS:
+                raise RuntimeError(f"vacuum removed {n_deleted} files, expected >= {N_SMALL_APPENDS}")
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        files = log.snapshot_files()
+        return (
+            log.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("n_versions", F.lit(log.version() + 1).cast("long"))
+            .withColumn("n_files_live", F.lit(len(files)).cast("long"))
+        )
+
+
+_register_maintenance_queries()

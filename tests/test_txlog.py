@@ -170,3 +170,78 @@ def test_rewrite_where_retries_after_concurrent_append(spark, sf_dir, tmp_path):
     want = o.filter(F.col("o_custkey") % 10 != 0).count()
     assert got == want  # deleted from base AND the raced-in append
     assert log.version() == 2  # base, racer append, retried rewrite
+
+
+def test_vacuum_keeps_retained_versions_and_gcs_the_rest(tmp_path):
+    from kamiyo_hive_spark.sources.txlog import vacuum
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    a = _touch(root, "data/a/p.parquet")
+    b = _touch(root, "data/b/p.parquet")
+    c = _touch(root, "data/c/p.parquet")
+    orphan = _touch(root, "data/crashed_writer/p.parquet")  # never committed
+    log.commit("append", [a])                                 # v0
+    log.commit("append", [b], read_version=0)                 # v1
+    log.commit("rewrite", adds=[c], removes=[a], read_version=1)  # v2
+    # retain v1..v2: a is still referenced by v1; only the orphan goes
+    assert vacuum(log, retain_versions=2) == 1
+    assert not os.path.exists(os.path.join(root, orphan))
+    assert os.path.exists(os.path.join(root, a))
+    assert log.snapshot_files(1) == sorted([a, b])  # time travel intact
+    # retain only v2: a ages out
+    assert vacuum(log, retain_versions=1) == 1
+    assert not os.path.exists(os.path.join(root, a))
+    assert log.snapshot_files() == sorted([b, c])
+
+
+def test_optimize_compacts_through_the_protocol(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources.txlog import optimize, vacuum
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(6):
+        log.append(o.filter(F.col("o_orderkey") % 6 == i), writer=f"w{i}")
+    before = log.read(spark).count()
+    n_files_before = len(log.snapshot_files())
+    v = optimize(log, spark, target_files=2)
+    assert v == 6
+    files = log.snapshot_files()
+    assert len(files) == 2 < n_files_before
+    assert log.read(spark).count() == before          # pure re-layout
+    vacuum(log, retain_versions=1)
+    assert log.read(spark).count() == before          # still readable
+    # optimize on an already-compact table is a no-op (no new version)
+    assert optimize(log, spark, target_files=2) == 6
+
+
+def test_optimize_retries_after_concurrent_append(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources.txlog import optimize
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(3):
+        log.append(o.filter(F.col("o_orderkey") % 3 == i))
+    raced = {"done": False}
+    orig = log.commit
+
+    def racing(op, adds, removes=None, **kw):
+        if op == "rewrite" and not raced["done"]:
+            raced["done"] = True
+            log.append(o.limit(0), writer="racer")  # empty but real commit
+        return orig(op, adds, removes, **kw)
+
+    log.commit = racing
+    v = optimize(log, spark, target_files=1)
+    log.commit = orig
+    # versions 0-2 = appends, 3 = racer, 4 = the retried rewrite
+    assert raced["done"] and v == 4
+    assert log.read(spark).count() == o.count()
