@@ -541,8 +541,15 @@ def force_directed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly positive pairwise separation. The same self-audit idiom as
     the sketch/Poseidon flagships; per-node coordinates remain
     available via `force_directed_positions` (determinism and
-    shard-invariance pinned in tests/test_graph.py)."""
-    return _layout_frame(spark, sf_dir, audit=True)
+    shard-invariance pinned in tests/test_graph.py).
+
+    The 25-row audit executes under an input-sized shuffle width
+    (no-op at scale; ~0.07 s off exchange scheduling at sf0.1) —
+    `force_directed_positions` keeps the fully lazy plan."""
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "orders", "lineitem"):
+        return _layout_frame(spark, sf_dir, audit=True).localCheckpoint()
 
 
 def force_directed_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
