@@ -611,3 +611,134 @@ def _register_maintenance_queries() -> None:
 
 
 _register_maintenance_queries()
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink: exactly-once APPENDS via batch-id-keyed commits
+# ---------------------------------------------------------------------------
+
+
+class TxLogBatchSink:
+    """foreachBatch sink making APPENDS exactly-once (the Delta `txn`
+    recipe): every commit records the micro-batch id in its writer tag,
+    and a replayed batch — same id, delivered again after a crash or
+    checkpoint restart — is recognized and skipped instead of appended
+    twice. This complements `streaming_idempotent_sink`'s
+    overwrite-own-directory recipe, which only works for sinks that can
+    partition BY batch; a transactional log makes plain appends safe.
+
+    Scope (same as Delta's): exactly-once holds per checkpointed query —
+    the streaming engine serializes foreachBatch calls within one query,
+    so check-then-append never races ITSELF; unrelated writers commute
+    through the normal append protocol."""
+
+    def __init__(self, log: TxLog, query_id: str = "stream"):
+        self.log = log
+        self.query_id = query_id
+
+    def _tag(self, batch_id: int) -> str:
+        return f"{self.query_id}:txn:{batch_id}"
+
+    def committed_batches(self) -> set:
+        out = set()
+        for v in range(self.log.version() + 1):
+            w = self.log._read_commit(v).writer
+            prefix = f"{self.query_id}:txn:"
+            if w.startswith(prefix):
+                out.add(int(w[len(prefix):]))
+        return out
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Returns True if the batch was appended, False if it was a
+        recognized replay (or empty) and skipped."""
+        if batch_id in self.committed_batches():
+            return False
+        if batch_df.isEmpty():
+            return False
+        self.log.append(batch_df, writer=self._tag(batch_id))
+        return True
+
+
+def _register_streaming_sink_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "streaming_txlog_sink",
+        oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+               CAST(4 AS BIGINT) AS n_versions
+        FROM events
+        GROUP BY 1
+        ORDER BY event_type
+        """,
+        tags=("streaming", "foreachBatch", "exactly-once", "acid", "txlog"),
+    )
+    def streaming_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Transactional streaming appends: the 4-micro-batch events
+        stream lands in a TxLog table through foreachBatch, one commit
+        per batch keyed by batch id (the Delta `txn` exactly-once
+        recipe for APPEND sinks — the overwrite recipe next door only
+        works when the sink can partition by batch). After the run the
+        query REPLAYS batch 0 through the sink and asserts it is
+        skipped, then pins n_versions == 4: a double-append or a lost
+        batch breaks the oracle hash on both the counts and the version
+        column."""
+        import shutil
+
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
+        from kamiyo_hive_spark.streaming.jobs import _events_stream
+
+        root = os.path.join(
+            SCRATCH, f"txlog_stream_{os.path.basename(sf_dir)}"
+        )
+        with _staging_lock(root):
+            shutil.rmtree(root, ignore_errors=True)
+            ckpt = root + ".ckpt"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            log = TxLog.init(root)
+            sink = TxLogBatchSink(log, query_id="events-ingest")
+            stream = _events_stream(spark, sf_dir).select(
+                "event_id", "event_type", "value"
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                q = (
+                    stream.writeStream.outputMode("append")
+                    .foreachBatch(lambda df, bid: sink.write(df, bid))
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            # Replay batch 0 (crash-recovery path): must be recognized
+            # and skipped, leaving the version count untouched.
+            v_before = log.version()
+            replay = log.read(spark, version=0)
+            if sink.write(replay, 0):
+                raise RuntimeError("replayed batch 0 was appended twice")
+            if log.version() != v_before:
+                raise RuntimeError("replay changed the log")
+            n_versions = log.version() + 1
+            out = (
+                log.read(spark)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(dec("value")).cast("double").alias("total_value"),
+                )
+                .withColumn("n_versions", F.lit(n_versions).cast("long"))
+            )
+        return out
+
+
+_register_streaming_sink_query()

@@ -245,3 +245,31 @@ def test_optimize_retries_after_concurrent_append(spark, sf_dir, tmp_path):
     # versions 0-2 = appends, 3 = racer, 4 = the retried rewrite
     assert raced["done"] and v == 4
     assert log.read(spark).count() == o.count()
+
+
+def test_batch_sink_exactly_once_appends(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources.txlog import TxLogBatchSink
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    sink = TxLogBatchSink(log, query_id="q1")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    assert sink.write(b0, 0) is True
+    assert sink.write(b1, 1) is True
+    # crash-recovery replay of both batches: recognized, skipped
+    assert sink.write(b0, 0) is False
+    assert sink.write(b1, 1) is False
+    assert log.version() == 1
+    assert log.read(spark).count() == o.count()
+    # empty batches commit nothing
+    assert sink.write(o.limit(0), 2) is False
+    assert log.version() == 1
+    # a DIFFERENT query's sink is independent (per-query txn scope)
+    sink2 = TxLogBatchSink(log, query_id="q2")
+    assert sink2.write(b0.limit(5), 0) is True
+    assert log.version() == 2
