@@ -17,7 +17,7 @@ bit-for-bit; a production Spark-only pipeline would swap in xxhash64
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
@@ -365,4 +365,66 @@ def epoch_plan(w: "DataFrame") -> "DataFrame":
         # [0, 1) contract; clamp just below (a <=1e-6 planning error)
         F.least(F.round(frac, 6), F.lit(0.999999)).alias("final_epoch_keep"),
         F.floor(desired).cast("long").alias("planned_tokens"),
+    )
+
+
+WRS_SEED = _SEED + 7
+WRS_K = 5  # survivors per stratum
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               round(
+                   ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{WRS_SEED}'), 1, 15)) AS BIGINT) + 1.0)
+                      / 1152921504606846977.0)
+                   / n_chars, 9) AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY es_key DESC, doc_id
+               ) AS rk
+        FROM keyed
+    )
+    SELECT source, rk, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked
+    WHERE rk <= {WRS_K}
+    ORDER BY source, rk
+    """,
+    tags=("sampling", "weighted", "reservoir", "training-pipeline"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    (2006): each row draws u ∈ (0,1) and survives if its key u^(1/w)
+    ranks in the stratum's top K — equivalent (and numerically safer)
+    in log space, key = ln(u)/w, larger is better. The standard way to
+    take a size-K weighted sample in ONE distributed pass: no
+    sequential reservoir state, just a per-stratum top-K of an
+    embarrassingly parallel projection — at any scale this is the
+    map-side-heap TakeOrdered shape per group, never a global sort.
+
+    The \"randomness\" is the engine-portable id hash (u = (h+1)/(2^60+1),
+    strictly inside (0,1)), so the sample is REPRODUCIBLE across
+    engines, reruns, and repartitionings — which is what makes a
+    DuckDB oracle possible at all, and what a real pipeline wants
+    anyway (resumable sampling without a persisted RNG state). Weight
+    here = n_chars (long documents proportionally likelier), the
+    char-budget-weighted curation convention. Float discipline: the
+    single transcendental (ln) is rounded to 9 dp on both engines
+    before ranking; ties break on doc_id."""
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    u = (_portable_hash(F.col("doc_id").cast("string"), WRS_SEED) + F.lit(1.0)) / F.lit(
+        float(2**60 + 1)
+    )
+    es_key = F.round(F.log(u) / F.col("n_chars"), 9)
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        docs.withColumn("es_key", es_key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WRS_K)
+        .select("source", "rk", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
     )

@@ -742,3 +742,144 @@ def _register_streaming_sink_query() -> None:
 
 
 _register_streaming_sink_query()
+
+
+# ---------------------------------------------------------------------------
+# Change data feed: version-range diffs at file granularity
+# ---------------------------------------------------------------------------
+
+
+def read_changes(
+    log: TxLog, spark: SparkSession, v_from: int, v_to: int
+) -> DataFrame:
+    """The rows that changed between two snapshots, tagged with a
+    `_change_type` column — the lakehouse change-data-feed shape
+    (Delta CDF at file granularity): rows in files ADDED across the
+    range surface as 'insert', rows in files REMOVED surface as
+    'delete'. A rewrite that carries a row through unchanged emits a
+    delete+insert pair for it — the standard file-granular contract;
+    row-level minimal diffs need column stats or row tracking, which
+    the commits don't carry.
+
+    Scale posture: resolving the two manifests is metadata work; only
+    the CHANGED files are read — the whole point of incremental
+    consumption (a downstream consumer processes the day's delta,
+    never the table)."""
+    from pyspark.sql import functions as F
+
+    old = set(log.snapshot_files(v_from))
+    new = set(log.snapshot_files(v_to))
+    added = sorted(new - old)
+    removed = sorted(old - new)
+    parts = []
+    if added:
+        parts.append(
+            spark.read.parquet(*[os.path.join(log.root, f) for f in added])
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if removed:
+        parts.append(
+            spark.read.parquet(*[os.path.join(log.root, f) for f in removed])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    if not parts:
+        raise ValueError(f"no changes between v{v_from} and v{v_to}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _register_cdf_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "acid_change_data_feed",
+        oracle="""
+        WITH changes AS (
+            -- the copy-on-write delete (custkey % 12 = 0) lives only
+            -- in the bucket-0 files (custkey % 4 = 0): their previous
+            -- contents surface as deletes, their survivors as
+            -- re-inserts; buckets 1-3 never enter the feed.
+            SELECT 'delete' AS change_type, o_orderstatus, o_totalprice
+            FROM orders WHERE o_custkey % 4 = 0
+            UNION ALL
+            SELECT 'insert', o_orderstatus, o_totalprice
+            FROM orders WHERE o_custkey % 4 = 0 AND o_custkey % 12 <> 0
+        )
+        SELECT change_type, o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM changes
+        GROUP BY 1, 2
+        ORDER BY change_type, o_orderstatus
+        """,
+        tags=("acid", "txlog", "cdc", "incremental"),
+    )
+    def acid_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Change-data-feed over the transaction log: base (v0) and
+        increment (v1) are appended as custkey%4 BUCKETED files (one
+        commit each, four file groups per commit — the partitioned
+        layout under which a keyed delete is file-prunable), then a
+        copy-on-write delete of custkey%12 rows (v2) rewrites ONLY the
+        bucket-0 files. The v1→v2 feed therefore surfaces bucket 0's
+        previous rows as deletes and its survivors as re-inserts,
+        while buckets 1-3 — untouched by the rewrite — correctly never
+        enter the feed (the query asserts the feed is smaller than the
+        table). Incremental consumers read the delta, never the table;
+        the oracle recomputes both sides from source."""
+        import shutil
+
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
+
+        root = os.path.join(SCRATCH, f"txlog_cdf_{os.path.basename(sf_dir)}")
+
+        def bucketed_append(log: TxLog, df: DataFrame, writer: str) -> int:
+            adds: list = []
+            for b in range(4):
+                adds += log._write_stage(
+                    df.filter(F.col("o_custkey") % 4 == b), log.stage_dir()
+                )
+            return log.commit(
+                "append", adds, read_version=log.version(), writer=writer
+            )
+
+        with _staging_lock(root):
+            shutil.rmtree(root, ignore_errors=True)
+            log = TxLog.init(root)
+            o = _orders_slim(spark, sf_dir)
+            cut = F.lit(TX_CUTOVER).cast("timestamp")
+            bucketed_append(log, o.filter(F.col("o_orderdate") < cut), "base")  # v0
+            bucketed_append(log, o.filter(F.col("o_orderdate") >= cut), "inc")  # v1
+            log.rewrite_where(
+                spark,
+                F.col("o_custkey") % 12 == 0,
+                lambda rows: rows.filter(F.col("o_custkey") % 12 != 0),
+                writer="gdpr",
+            )  # v2
+            changed = read_changes(log, spark, 1, 2)
+            n_feed = changed.count()
+            n_table = log.read(spark).count()
+            if n_feed >= n_table:
+                raise RuntimeError(
+                    "CDF pruning broken: the feed should be bucket 0 only, "
+                    f"got {n_feed} feed rows vs {n_table} table rows"
+                )
+            out = (
+                changed.groupBy(
+                    F.col("_change_type").alias("change_type"), "o_orderstatus"
+                )
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    money_sum(dec("o_totalprice")).alias("total_price"),
+                )
+                .localCheckpoint()
+            )
+        return out
+
+
+_register_cdf_query()

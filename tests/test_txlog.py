@@ -273,3 +273,34 @@ def test_batch_sink_exactly_once_appends(spark, sf_dir, tmp_path):
     sink2 = TxLogBatchSink(log, query_id="q2")
     assert sink2.write(b0.limit(5), 0) is True
     assert log.version() == 2
+
+
+def test_read_changes_file_granular_diffs(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources.txlog import read_changes
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 1)
+    log.append(a, writer="A")  # v0
+    log.append(b, writer="B")  # v1
+    # v2: rewrite removes A's files entirely
+    log.commit(
+        "rewrite", adds=[], removes=log.snapshot_files(0),
+        read_version=log.version(),
+    )
+    # v0 -> v1: only B inserted, nothing deleted
+    c01 = read_changes(log, spark, 0, 1)
+    assert c01.filter(F.col("_change_type") == "delete").count() == 0
+    assert c01.filter(F.col("_change_type") == "insert").count() == b.count()
+    # v1 -> v2: A deleted, nothing inserted
+    c12 = read_changes(log, spark, 1, 2)
+    assert c12.filter(F.col("_change_type") == "insert").count() == 0
+    assert c12.filter(F.col("_change_type") == "delete").count() == a.count()
+    # same-version range: no changes
+    with pytest.raises(ValueError, match="no changes"):
+        read_changes(log, spark, 1, 1)
