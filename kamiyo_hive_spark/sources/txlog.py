@@ -790,6 +790,49 @@ def read_changes(
     return out
 
 
+def cdf_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the CDF demo table — base (v0) and increment (v1) appended
+    as custkey%4 bucketed file groups, then a copy-on-write delete of
+    custkey%12 rows (v2) that rewrites only the bucket-0 files.
+    Fingerprint-cached per sf_dir (the DML history is ingest; the
+    registered queries consume the feed): same convention as the other
+    acid_* stagings, with the live-contention protocol paths exercised
+    by tests/test_txlog.py."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = os.path.join(SCRATCH, f"txlog_cdf_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "orders.parquet")
+
+    def build(tmp: str) -> None:
+        log = TxLog.init(tmp)
+        o = _orders_slim(spark, sf_dir)
+        cut = F.lit(TX_CUTOVER).cast("timestamp")
+
+        def bucketed_append(df: DataFrame, writer: str) -> int:
+            adds: list = []
+            for b in range(4):
+                adds += log._write_stage(
+                    df.filter(F.col("o_custkey") % 4 == b), log.stage_dir()
+                )
+            return log.commit(
+                "append", adds, read_version=log.version(), writer=writer
+            )
+
+        bucketed_append(o.filter(F.col("o_orderdate") < cut), "base")   # v0
+        bucketed_append(o.filter(F.col("o_orderdate") >= cut), "inc")   # v1
+        log.rewrite_where(
+            spark,
+            F.col("o_custkey") % 12 == 0,
+            lambda rows: rows.filter(F.col("o_custkey") % 12 != 0),
+            writer="gdpr",
+        )  # v2
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_staging(out, source, build)
+
+
 def _register_cdf_query() -> None:
     from pyspark.sql import functions as F
 
@@ -832,54 +875,22 @@ def _register_cdf_query() -> None:
         enter the feed (the query asserts the feed is smaller than the
         table). Incremental consumers read the delta, never the table;
         the oracle recomputes both sides from source."""
-        import shutil
-
-        from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
-
-        root = os.path.join(SCRATCH, f"txlog_cdf_{os.path.basename(sf_dir)}")
-
-        def bucketed_append(log: TxLog, df: DataFrame, writer: str) -> int:
-            adds: list = []
-            for b in range(4):
-                adds += log._write_stage(
-                    df.filter(F.col("o_custkey") % 4 == b), log.stage_dir()
-                )
-            return log.commit(
-                "append", adds, read_version=log.version(), writer=writer
+        root = cdf_table(spark, sf_dir)
+        log = TxLog(root)
+        changed = read_changes(log, spark, 1, 2)
+        n_feed = changed.count()
+        n_table = log.read(spark).count()
+        if n_feed >= n_table:
+            raise RuntimeError(
+                "CDF pruning broken: the feed should be bucket 0 only, "
+                f"got {n_feed} feed rows vs {n_table} table rows"
             )
-
-        with _staging_lock(root):
-            shutil.rmtree(root, ignore_errors=True)
-            log = TxLog.init(root)
-            o = _orders_slim(spark, sf_dir)
-            cut = F.lit(TX_CUTOVER).cast("timestamp")
-            bucketed_append(log, o.filter(F.col("o_orderdate") < cut), "base")  # v0
-            bucketed_append(log, o.filter(F.col("o_orderdate") >= cut), "inc")  # v1
-            log.rewrite_where(
-                spark,
-                F.col("o_custkey") % 12 == 0,
-                lambda rows: rows.filter(F.col("o_custkey") % 12 != 0),
-                writer="gdpr",
-            )  # v2
-            changed = read_changes(log, spark, 1, 2)
-            n_feed = changed.count()
-            n_table = log.read(spark).count()
-            if n_feed >= n_table:
-                raise RuntimeError(
-                    "CDF pruning broken: the feed should be bucket 0 only, "
-                    f"got {n_feed} feed rows vs {n_table} table rows"
-                )
-            out = (
-                changed.groupBy(
-                    F.col("_change_type").alias("change_type"), "o_orderstatus"
-                )
-                .agg(
-                    F.count("*").alias("n_rows"),
-                    money_sum(dec("o_totalprice")).alias("total_price"),
-                )
-                .localCheckpoint()
-            )
-        return out
+        return changed.groupBy(
+            F.col("_change_type").alias("change_type"), "o_orderstatus"
+        ).agg(
+            F.count("*").alias("n_rows"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
 
 
 _register_cdf_query()
@@ -919,16 +930,9 @@ def _register_ivm_query() -> None:
         consumption pattern `read_changes` exists for: at 100 TB the
         nightly rollup touches the day's changed files, not the table.
 
-        Reuses the CDF table staged by `acid_change_data_feed` (same
-        bucketed layout, same delete) rather than rebuilding it."""
-        from kamiyo_hive_spark.plans.registry import REGISTRY
-        from kamiyo_hive_spark.sources.sinks import SCRATCH
-
-        # Stage (or reuse) the CDF pool: the registered builder is
-        # idempotent per session-run and leaves the log at v2.
-        REGISTRY["acid_change_data_feed"].builder(spark, sf_dir)
-        root = os.path.join(SCRATCH, f"txlog_cdf_{os.path.basename(sf_dir)}")
-        log = TxLog(root)
+        Consumes the same fingerprint-cached CDF staging as
+        `acid_change_data_feed` (one build per testdata generation)."""
+        log = TxLog(cdf_table(spark, sf_dir))
 
         def rollup(df: DataFrame, sign: int) -> DataFrame:
             return df.groupBy("o_orderstatus").agg(
