@@ -87,13 +87,38 @@ class TxLog:
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(self.logdir, f"{version:0{_PAD}d}.checkpoint.json")
 
+    def _last_checkpoint_path(self) -> str:
+        return os.path.join(self.logdir, "_last_checkpoint")
+
+    def _read_last_checkpoint(self) -> int | None:
+        try:
+            with open(self._last_checkpoint_path()) as fh:
+                return int(fh.read())
+        except (FileNotFoundError, ValueError):
+            return None
+
     def version(self) -> int:
-        """Latest committed version, or -1 for an empty table."""
-        latest = -1
-        for name in os.listdir(self.logdir):
-            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
-                latest = max(latest, int(name.split(".")[0]))
-        return latest
+        """Latest committed version, or -1 for an empty table.
+
+        Resolution is O(commits since the last checkpoint), not
+        O(total commits): the `_last_checkpoint` pointer (the Delta
+        `_last_checkpoint` idea) names a version known committed, and
+        the probe walks forward by file existence — commit numbers are
+        contiguous by construction, so the first missing slot ends the
+        log. A stale or missing pointer only costs a longer probe /
+        one full listing, never a wrong answer."""
+        lc = self._read_last_checkpoint()
+        if lc is not None and os.path.exists(self._commit_path(lc)):
+            v = lc
+        else:
+            v = -1
+            for name in os.listdir(self.logdir):
+                if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                    v = max(v, int(name.split(".")[0]))
+            return v
+        while os.path.exists(self._commit_path(v + 1)):
+            v += 1
+        return v
 
     def _read_commit(self, version: int) -> Commit:
         with open(self._commit_path(version)) as fh:
@@ -108,15 +133,28 @@ class TxLog:
             return []
         if not os.path.exists(self._commit_path(v)):
             raise ValueError(f"no commit {v} in {self.logdir}")
-        # Find the nearest checkpoint <= v.
+        # Find the nearest checkpoint <= v: the `_last_checkpoint`
+        # pointer answers directly for reads at-or-after the newest
+        # checkpoint (the hot path); time travel behind it falls back
+        # to a directory scan.
         start, files = 0, set()
-        for name in os.listdir(self.logdir):
-            if name.endswith(".checkpoint.json"):
-                cv = int(name.split(".")[0])
-                if start <= cv + 1 and cv <= v:
-                    start = cv + 1
-                    with open(os.path.join(self.logdir, name)) as fh:
-                        files = set(json.load(fh)["files"])
+        lc = self._read_last_checkpoint()
+        if (
+            lc is not None
+            and lc <= v
+            and os.path.exists(self._checkpoint_path(lc))
+        ):
+            start = lc + 1
+            with open(self._checkpoint_path(lc)) as fh:
+                files = set(json.load(fh)["files"])
+        else:
+            for name in os.listdir(self.logdir):
+                if name.endswith(".checkpoint.json"):
+                    cv = int(name.split(".")[0])
+                    if start <= cv + 1 and cv <= v:
+                        start = cv + 1
+                        with open(os.path.join(self.logdir, name)) as fh:
+                            files = set(json.load(fh)["files"])
         for i in range(start, v + 1):
             c = self._read_commit(i)
             files.difference_update(c.removes)
@@ -221,6 +259,14 @@ class TxLog:
         with open(tmp, "w") as fh:
             json.dump({"version": version, "files": self.snapshot_files(version)}, fh)
         os.rename(tmp, path)
+        # Advance the pointer only forward: a slow writer finishing an
+        # OLD checkpoint must not rewind readers onto a longer probe.
+        cur = self._read_last_checkpoint()
+        if cur is None or version > cur:
+            ptmp = f"{self._last_checkpoint_path()}.tmp.{os.getpid()}"
+            with open(ptmp, "w") as fh:
+                fh.write(str(version))
+            os.rename(ptmp, self._last_checkpoint_path())
 
     # -- DataFrame-level operations ------------------------------------
 
@@ -635,18 +681,26 @@ class TxLogBatchSink:
     def __init__(self, log: TxLog, query_id: str = "stream"):
         self.log = log
         self.query_id = query_id
+        self._seen: set = set()
+        self._scanned_upto = -1  # commits [0.._scanned_upto] already read
 
     def _tag(self, batch_id: int) -> str:
         return f"{self.query_id}:txn:{batch_id}"
 
     def committed_batches(self) -> set:
-        out = set()
-        for v in range(self.log.version() + 1):
+        """Batch ids this query has already committed. Incremental: a
+        long-running stream scans each commit ONCE across its lifetime
+        (the naive per-batch full rescan is O(commits²) over the life
+        of the query); a fresh sink instance — the restart path —
+        rebuilds the set from the log it finds."""
+        latest = self.log.version()
+        prefix = f"{self.query_id}:txn:"
+        for v in range(self._scanned_upto + 1, latest + 1):
             w = self.log._read_commit(v).writer
-            prefix = f"{self.query_id}:txn:"
             if w.startswith(prefix):
-                out.add(int(w[len(prefix):]))
-        return out
+                self._seen.add(int(w[len(prefix):]))
+        self._scanned_upto = latest
+        return self._seen
 
     def write(self, batch_df: DataFrame, batch_id: int) -> bool:
         """Returns True if the batch was appended, False if it was a

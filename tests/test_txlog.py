@@ -304,3 +304,32 @@ def test_read_changes_file_granular_diffs(spark, sf_dir, tmp_path):
     # same-version range: no changes
     with pytest.raises(ValueError, match="no changes"):
         read_changes(log, spark, 1, 1)
+
+
+def test_last_checkpoint_pointer_resolution(tmp_path):
+    """version() and latest-snapshot reads resolve through the
+    _last_checkpoint pointer (O(commits since checkpoint), not a full
+    listing); a stale or missing pointer only lengthens the probe."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    live = []
+    for i in range(2 * CHECKPOINT_EVERY + 5):
+        f = _touch(root, f"data/{i}/p.parquet")
+        log.commit("append", [f])
+        live.append(f)
+    n = 2 * CHECKPOINT_EVERY + 5
+    assert log.version() == n - 1
+    ptr = log._read_last_checkpoint()
+    assert ptr == 2 * CHECKPOINT_EVERY - 1  # newest checkpoint
+    assert log.snapshot_files() == sorted(live)
+    # stale pointer: correctness unaffected, just a longer probe
+    with open(log._last_checkpoint_path(), "w") as fh:
+        fh.write(str(CHECKPOINT_EVERY - 1))
+    assert log.version() == n - 1
+    assert log.snapshot_files() == sorted(live)
+    # missing pointer: listdir fallback
+    os.unlink(log._last_checkpoint_path())
+    assert log.version() == n - 1
+    assert log.snapshot_files(CHECKPOINT_EVERY + 2) == sorted(
+        live[: CHECKPOINT_EVERY + 3]
+    )  # time travel still replays correctly
