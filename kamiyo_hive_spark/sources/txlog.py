@@ -60,6 +60,7 @@ class Commit:
     removes: list[str] = field(default_factory=list)
     read_version: int = -1        # snapshot the writer based its work on
     writer: str = ""
+    schema: str = ""              # simpleString of the written rows
 
 
 class TxLog:
@@ -206,6 +207,7 @@ class TxLog:
         read_version: int = -1,
         writer: str = "",
         max_attempts: int = 50,
+        schema: str = "",
     ) -> int:
         """Publish a commit via atomic create-if-absent; returns the
         version won. Blind appends retry losing races internally;
@@ -225,6 +227,7 @@ class TxLog:
                 removes=sorted(removes),
                 read_version=read_version,
                 writer=writer,
+                schema=schema,
             )
             # Atomic create-if-absent WITH content: O_CREAT|O_EXCL alone
             # publishes an empty file before the JSON body lands, and a
@@ -279,11 +282,39 @@ class TxLog:
             if f.endswith(".parquet")
         )
 
+    def table_schema(self) -> str:
+        """The table's current schema simpleString — the newest commit
+        that recorded one (metadata read, O(recent commits); pre-schema
+        commits record nothing and enforce nothing)."""
+        for v in range(self.version(), -1, -1):
+            sch = self._read_commit(v).schema
+            if sch:
+                return sch
+        return ""
+
+    def _check_schema(self, df: DataFrame) -> str:
+        sch = df.schema.simpleString()
+        cur = self.table_schema()
+        if cur and sch != cur:
+            raise ValueError(
+                f"schema mismatch: table is {cur}, write is {sch} — "
+                "a silent schema drift would corrupt snapshot reads; "
+                "evolve the table with an explicit overwrite"
+            )
+        return sch
+
     def append(self, df: DataFrame, writer: str = "") -> int:
         """Blind append: stage files, publish. Safe under any
-        concurrency — losing a version race just renumbers the commit."""
+        concurrency — losing a version race just renumbers the commit.
+        The written schema is recorded in the commit and must match the
+        table's current schema (parquet snapshot reads take the first
+        footer's schema, so a drifted append would silently null-fill
+        or drop columns — rejected here instead)."""
+        sch = self._check_schema(df)
         adds = self._write_stage(df, self.stage_dir())
-        return self.commit("append", adds, read_version=self.version(), writer=writer)
+        return self.commit(
+            "append", adds, read_version=self.version(), writer=writer, schema=sch
+        )
 
     def rewrite_where(
         self,
@@ -317,14 +348,18 @@ class TxLog:
             }
             removes = sorted(absf[a] for a in hit_abs)
             adds: list[str] = []
+            sch = ""
             if removes:
                 rows = spark.read.parquet(
                     *[os.path.join(self.root, f) for f in removes]
                 )
-                adds = self._write_stage(transform(rows), self.stage_dir())
+                replacement = transform(rows)
+                sch = self._check_schema(replacement)
+                adds = self._write_stage(replacement, self.stage_dir())
             try:
                 return self.commit(
-                    "rewrite", adds, removes, read_version=rv, writer=writer
+                    "rewrite", adds, removes, read_version=rv, writer=writer,
+                    schema=sch,
                 )
             except CommitConflict as e:  # recompute against new snapshot
                 last = e

@@ -266,3 +266,62 @@ def test_global_sorted_index_null_keys(spark):
     assert sorted(rows.values()) == [0, 1, 2, 3, 4]
     assert {rows["a"], rows["c"]} == {0, 1}          # nulls first
     assert rows["d"] == 2 and rows["b"] == 3 and rows["e"] == 4
+
+
+# -- txlog protocol: random op sequences must match a set model --------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 3)),
+            st.tuples(st.just("rewrite"), st.integers(0, 2)),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_txlog_snapshots_match_set_model(tmp_path_factory, ops, rng):
+    """Model-based protocol check: an arbitrary interleaving of appends
+    and rewrites (crossing checkpoint boundaries) must reproduce a
+    plain python set model at EVERY historical version — checkpoints,
+    the _last_checkpoint pointer, and replay may never change what a
+    snapshot contains."""
+    import os as _os
+
+    from kamiyo_hive_spark.sources.txlog import TxLog
+
+    root = str(tmp_path_factory.mktemp("txlog_model"))
+    log = TxLog.init(root)
+    model: list[set] = []  # live file set at each version
+    live: set = set()
+    counter = [0]
+
+    def touch() -> str:
+        counter[0] += 1
+        rel = f"data/f{counter[0]}/p.parquet"
+        path = _os.path.join(root, rel)
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        open(path, "wb").write(b"x")
+        return rel
+
+    for kind, n in ops:
+        if kind == "append":
+            adds = [touch() for _ in range(n)]
+            log.commit("append", adds, read_version=log.version())
+            live |= set(adds)
+        else:
+            removes = sorted(rng.sample(sorted(live), min(n, len(live))))
+            adds = [touch()] if n and removes else []
+            log.commit(
+                "rewrite", adds, removes=removes, read_version=log.version()
+            )
+            live -= set(removes)
+            live |= set(adds)
+        model.append(set(live))
+
+    assert log.version() == len(model) - 1
+    for v, want in enumerate(model):
+        assert set(log.snapshot_files(v)) == want, f"version {v} diverged"

@@ -333,3 +333,30 @@ def test_last_checkpoint_pointer_resolution(tmp_path):
     assert log.snapshot_files(CHECKPOINT_EVERY + 2) == sorted(
         live[: CHECKPOINT_EVERY + 3]
     )  # time travel still replays correctly
+
+
+def test_schema_drift_rejected(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    assert log.table_schema() == o.schema.simpleString()
+    # same schema: fine
+    log.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    # drifted schema (missing column): rejected before any commit
+    v_before = log.version()
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.append(o.select("o_orderkey"))
+    assert log.version() == v_before
+    # a rewrite whose transform drops a column is rejected too
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.rewrite_where(
+            spark,
+            F.col("o_orderkey") % 10 == 0,
+            lambda rows: rows.select("o_orderkey"),
+            max_attempts=1,
+        )
