@@ -166,7 +166,19 @@ class TxLog:
         files = self.snapshot_files(version)
         if not files:
             raise ValueError("empty table snapshot")
-        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        paths = [os.path.join(self.root, f) for f in files]
+        # Read under the LOG's schema, not the files': after an
+        # additive evolution, pre-evolution files simply null-fill the
+        # new columns (per-file parquet projection) — no mergeSchema
+        # footer sweep, because the log already knows the answer.
+        sch = self.table_schema()
+        if sch:
+            from pyspark.sql import types as T
+
+            return spark.read.schema(
+                T.StructType.fromJson(json.loads(sch))
+            ).parquet(*paths)
+        return spark.read.parquet(*paths)
 
     # -- write path ---------------------------------------------------
 
@@ -283,34 +295,61 @@ class TxLog:
         )
 
     def table_schema(self) -> str:
-        """The table's current schema simpleString — the newest commit
-        that recorded one (metadata read, O(recent commits); pre-schema
-        commits record nothing and enforce nothing)."""
+        """The table's current schema (StructType json) — the newest
+        commit that recorded one (metadata read, O(recent commits);
+        pre-schema commits record nothing and enforce nothing)."""
         for v in range(self.version(), -1, -1):
             sch = self._read_commit(v).schema
             if sch:
                 return sch
         return ""
 
-    def _check_schema(self, df: DataFrame) -> str:
-        sch = df.schema.simpleString()
+    def _check_schema(self, df: DataFrame, merge_schema: bool = False) -> str:
+        """Enforce (default) or additively evolve the table schema.
+        Evolution admits exactly the safe case: every existing column
+        kept with its type, new columns nullable — so pre-evolution
+        files remain readable (they null-fill) and nothing is ever
+        silently dropped or retyped."""
+        sch = json.dumps(df.schema.jsonValue())
         cur = self.table_schema()
-        if cur and sch != cur:
-            raise ValueError(
-                f"schema mismatch: table is {cur}, write is {sch} — "
-                "a silent schema drift would corrupt snapshot reads; "
-                "evolve the table with an explicit overwrite"
-            )
-        return sch
+        if not cur or sch == cur:
+            return sch
+        if merge_schema:
+            from pyspark.sql import types as T
 
-    def append(self, df: DataFrame, writer: str = "") -> int:
+            cur_t = T.StructType.fromJson(json.loads(cur))
+            cur_fields = {f.name: f.dataType for f in cur_t.fields}
+            new_fields = {f.name: f for f in df.schema.fields}
+            ok = all(
+                n in new_fields and new_fields[n].dataType == t
+                for n, t in cur_fields.items()
+            ) and all(
+                f.nullable
+                for n, f in new_fields.items()
+                if n not in cur_fields
+            )
+            if ok:
+                return sch
+            raise ValueError(
+                "unsafe schema evolution: only adding NULLABLE columns "
+                f"is supported (table {cur_t.simpleString()}, "
+                f"write {df.schema.simpleString()})"
+            )
+        raise ValueError(
+            f"schema mismatch: table is {cur}, write is {sch} — "
+            "a silent schema drift would corrupt snapshot reads; "
+            "pass merge_schema=True for an additive evolution"
+        )
+
+    def append(self, df: DataFrame, writer: str = "", merge_schema: bool = False) -> int:
         """Blind append: stage files, publish. Safe under any
         concurrency — losing a version race just renumbers the commit.
         The written schema is recorded in the commit and must match the
         table's current schema (parquet snapshot reads take the first
         footer's schema, so a drifted append would silently null-fill
-        or drop columns — rejected here instead)."""
-        sch = self._check_schema(df)
+        or drop columns — rejected here instead); ``merge_schema=True``
+        admits additive nullable evolution."""
+        sch = self._check_schema(df, merge_schema=merge_schema)
         adds = self._write_stage(df, self.stage_dir())
         return self.commit(
             "append", adds, read_version=self.version(), writer=writer, schema=sch
@@ -1066,3 +1105,75 @@ def _register_ivm_query() -> None:
 
 
 _register_ivm_query()
+
+
+def _register_schema_evolution_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "acid_schema_evolution",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{TX_CUTOVER}'
+                                  AND o_custkey % 5 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_priority,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{TX_CUTOVER}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evolution,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "schema-evolution"),
+    )
+    def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Metadata-tracked schema evolution: v0 lands the pre-cutover
+        orders, v1 appends the rest WITH a new nullable `priority`
+        column (admitted by merge_schema — additive and nullable only;
+        drift and retyping are rejected), and the read resolves the
+        LOG's schema so v0's files null-fill the new column without a
+        mergeSchema footer sweep. The aggregate pins all three
+        populations — priority rows, pre-evolution (null) rows, and
+        the money total across both generations — against a source
+        recompute. Fingerprint-cached staging (the two-generation
+        history is ingest)."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_evo_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            cut = F.lit(TX_CUTOVER).cast("timestamp")
+            log.append(o.filter(F.col("o_orderdate") < cut), writer="v0")
+            evolved = (
+                o.filter(F.col("o_orderdate") >= cut)
+                .withColumn("priority", F.col("o_custkey") % 5 == 0)
+            )
+            log.append(evolved, writer="v1-evolved", merge_schema=True)
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        t = TxLog(root).read(spark)
+        return (
+            t.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col("priority"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_priority"),
+                F.sum(F.when(F.col("priority").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_pre_evolution"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+        )
+
+
+_register_schema_evolution_query()

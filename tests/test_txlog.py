@@ -344,7 +344,9 @@ def test_schema_drift_rejected(spark, sf_dir, tmp_path):
     log = TxLog.init(root)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     log.append(o.filter(F.col("o_orderkey") % 2 == 0))
-    assert log.table_schema() == o.schema.simpleString()
+    import json as _json
+
+    assert log.table_schema() == _json.dumps(o.schema.jsonValue())
     # same schema: fine
     log.append(o.filter(F.col("o_orderkey") % 2 == 1))
     # drifted schema (missing column): rejected before any commit
@@ -359,4 +361,39 @@ def test_schema_drift_rejected(spark, sf_dir, tmp_path):
             F.col("o_orderkey") % 10 == 0,
             lambda rows: rows.select("o_orderkey"),
             max_attempts=1,
+        )
+
+
+def test_additive_schema_evolution(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_old = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    evolved = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "flag", (F.col("o_orderkey") % 4 == 1)
+    )
+    # without merge_schema: rejected; with it: accepted
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.append(evolved)
+    log.append(evolved, merge_schema=True)
+    got = log.read(spark)
+    assert [f.name for f in got.schema.fields] == [
+        "o_orderkey", "o_totalprice", "flag",
+    ]
+    # pre-evolution rows null-fill the new column
+    assert got.filter(F.col("flag").isNull()).count() == n_old
+    assert got.count() == o.count()
+    # post-evolution appends must carry the evolved schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.append(o.limit(5))
+    # non-additive evolution (retyping a column) stays rejected
+    with pytest.raises(ValueError, match="unsafe schema evolution"):
+        log.append(
+            evolved.withColumn("o_totalprice", F.col("o_totalprice").cast("string")),
+            merge_schema=True,
         )
