@@ -1,0 +1,241 @@
+"""Distributed iterative clustering (fixed-point Lloyd's k-means).
+
+Reference semantics: the reference clusters embeddings once, offline,
+and serves the assignment (`packages/hive-sdk` consumes precomputed
+cluster/centroid tables); the engine-side requirement is the TRAINING
+loop itself — the canonical iterative-refinement workload every
+100 TB curation stack runs (SemDeDup, DoReMi-style domain discovery,
+IVF coarse-quantizer training all start from it).
+
+Determinism discipline — why this replays bit-for-bit on two engines:
+floating-point k-means is not portable (per-dimension mean = a float
+sum whose value depends on addition order, which a shuffle does not
+fix). Here NO float ever enters the loop:
+
+- inputs are quantized ONCE to integer micro-units q_d = round(x·1e6);
+- a centroid is its members' per-dimension integer-mean snapped back
+  onto the SAME grid with symmetric half-away-from-zero integer
+  rounding,  c_d = sign(s_d) · (2·|s_d| + n) // (2·n)  (pure integer —
+  no engine-dependent float division or round() in the update);
+- distances are then plain Σ(q_d − c_d)² over int64 (≤ 64·(4e6)² ≈
+  1e15, comfortably in range), exact on a COMMON scale for every
+  centroid, so the argmin (lowest-cid tie-break) is engine-independent.
+
+Note the earlier design that carried (sums, n) and compared
+n²-scaled distances was WRONG across centroids with different n —
+n²·d(q,c) is not monotone in d when n varies. Snapping the mean to
+the fixed grid restores a single common scale (and is the standard
+fixed-point formulation; the ≤½-micro-unit centroid perturbation is
+the explicit, documented quantization of the algorithm, applied
+identically by both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.catalog import input_sized_shuffle, table
+from kamiyo_hive_spark.plans.registry import register
+
+KM_K = 8  # deterministic seeds: vec_id 0..K-1
+KM_ITERS = 2  # assignment rounds (each followed by a recompute)
+KM_SCALE = 1_000_000  # micro-unit quantization of the float input
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv array<long>): embeddings in integer micro-units."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance (sequential long fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _round_mean(s: int, n: int) -> int:
+    """Half-away-from-zero integer mean — the centroid grid snap."""
+    m = (2 * abs(s) + n) // (2 * n)
+    return -m if s < 0 else m
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment round: broadcast the K (cid, cv) centroid
+    rows, score every vector with the exact integer distance, argmin
+    with lowest-cid tie-break. Map-side only — the sole exchange is
+    the argmin partial-agg on vec_id."""
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "qv", "cid", _sqdist(F.col("qv"), F.col("cv")).alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"),
+            F.first("qv").alias("qv"),
+        )
+        .select("vec_id", "qv", F.col("best.cid").alias("cid"))
+    )
+
+
+def _recompute(spark: SparkSession, assigned: DataFrame) -> tuple[DataFrame, dict]:
+    """New centroids: per-(cluster, dimension) integer sums + member
+    counts, snapped to the micro-unit grid. posexplode fans each vector
+    to D (cid, pos, val) rows, but partial aggregation collapses every
+    task to ≤ K·D cells before the exchange — the shuffle moves KBs at
+    any corpus size. The K·D merged state is bounded metadata: collect
+    it and hand the next round a literal broadcast frame (exactly the
+    O(K·D)-per-round centroid round-trip an MLlib/parameter-server run
+    does — never O(N)). Returns (centroid frame, {cid: Σ_d s_d})."""
+    sums = (
+        assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    counts = {
+        r["cid"]: r["n"]
+        for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in sums:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["s"]
+    rows = [
+        (cid, [_round_mean(dims[p], counts[cid]) for p in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+    checksums = {
+        cid: sum(dims.values()) for cid, dims in by_cid.items()
+    }
+    return (
+        spark.createDataFrame(rows, "cid long, cv array<long>"),
+        checksums,
+    )
+
+
+_KM_DIST = """list_reduce(list_transform(list_zip(q.qv, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           (a, b) -> a + b)"""
+
+_KM_ROUND = (
+    "SELECT d.cid, d.pos, CASE WHEN d.s < 0 "
+    "THEN -((2 * (-d.s) + n.n) // (2 * n.n)) "
+    "ELSE (2 * d.s + n.n) // (2 * n.n) END AS cval, d.s"
+)
+
+
+@register(
+    "kmeans_lloyd_clusters",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cents0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {KM_K}),
+    assigned0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM q, cents0 c)
+        WHERE rn = 1
+    ),
+    dims1 AS (
+        SELECT a.cid, u.pos, SUM(u.val) AS s
+        FROM assigned0 a
+        JOIN (SELECT vec_id, unnest(qv) AS val,
+                     generate_subscripts(qv, 1) AS pos FROM q) u USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    n1 AS (SELECT cid, COUNT(*) AS n FROM assigned0 GROUP BY 1),
+    cv1 AS ({_KM_ROUND} FROM dims1 d JOIN n1 n USING (cid)),
+    cents1 AS (
+        SELECT cid, list(cval ORDER BY pos) AS cv FROM cv1 GROUP BY cid
+    ),
+    assigned1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_KM_DIST}, c.cid) AS rn
+            FROM q, cents1 c)
+        WHERE rn = 1
+    ),
+    dims2 AS (
+        SELECT a.cid, u.pos, SUM(u.val) AS s
+        FROM assigned1 a
+        JOIN (SELECT vec_id, unnest(qv) AS val,
+                     generate_subscripts(qv, 1) AS pos FROM q) u USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    n2 AS (SELECT cid, COUNT(*) AS n FROM assigned1 GROUP BY 1)
+    SELECT d.cid AS cluster_id,
+           CAST(any_value(n.n) AS BIGINT) AS n_vecs,
+           CAST(SUM(d.s) AS BIGINT) AS centroid_checksum,
+           CAST(any_value(m.mn) AS BIGINT) AS min_member,
+           CAST(any_value(m.mx) AS BIGINT) AS max_member
+    FROM dims2 d
+    JOIN n2 n USING (cid)
+    JOIN (SELECT cid, MIN(vec_id) AS mn, MAX(vec_id) AS mx
+          FROM assigned1 GROUP BY 1) m USING (cid)
+    GROUP BY d.cid
+    ORDER BY cluster_id
+    """,
+    tags=("clustering", "kmeans", "iterative", "embedding"),
+)
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: K=8 deterministic
+    seeds (vec_id < K), two full assign→recompute rounds, reported as
+    per-cluster sizes, member-id span, and the exact integer
+    centroid-sum checksum (a single drifted vector changes it).
+
+    Scale posture per round: centroids are a K-row broadcast (map-side
+    crossJoin, K exact-integer distance folds per vector, no shuffle);
+    the recompute's posexplode collapses to ≤ K·D cells per task under
+    partial aggregation, so the per-round exchange is KB-scale
+    regardless of N; the K·D merged centroid state is bounded metadata
+    collected to the driver. Fixed iteration count keeps the plan
+    static (no data-dependent convergence test mid-query; a production
+    loop adds the observe()-based movement check the CC operator
+    uses).
+
+    Why it hash-matches DuckDB: see the module docstring — quantized
+    integer input, grid-snapped integer centroids, plain Σ(q−c)² long
+    distances, lowest-cid tie-break. The oracle replays BOTH rounds
+    end-to-end, so a missed iteration, a float sneaking into the mean,
+    or a tie broken by hash order hash-fails."""
+    q = _quantized(spark, sf_dir)
+    cents = q.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    assigned, checksums = None, {}
+    for _ in range(KM_ITERS):
+        assigned = _assign(q, cents)
+        cents, checksums = _recompute(spark, assigned)
+    per_cluster = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_vecs"),
+        F.min("vec_id").alias("min_member"),
+        F.max("vec_id").alias("max_member"),
+    )
+    ck = F.create_map(
+        *[x for cid in sorted(checksums) for x in (F.lit(cid), F.lit(checksums[cid]))]
+    )
+    out = per_cluster.select(
+        "cluster_id",
+        "n_vecs",
+        ck[F.col("cluster_id")].cast("long").alias("centroid_checksum"),
+        "min_member",
+        "max_member",
+    )
+    with input_sized_shuffle(spark, sf_dir, "embeddings"):
+        return out.localCheckpoint()

@@ -643,3 +643,117 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
+MP4_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_keyframes", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("mean_sampled_luma", T.DoubleType()),
+        T.StructField("selective_decode", T.BooleanType()),
+    ]
+)
+
+MP4_STRIDE = 2  # decode every other KEYFRAME
+
+
+@register(
+    "multimodal_mp4_keyframes",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id,
+               CAST(16 * (n_chars % 2 + 1) AS BIGINT) AS width,
+               CAST(16 * ((n_chars // 5) % 3 + 1) AS BIGINT) AS height,
+               CAST(doc_id % 6 + 4 AS BIGINT) AS nf,
+               CAST(doc_id % 2 + 2 AS BIGINT) AS k,
+               (doc_id * 29 + 7) % 256 AS a
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = 1
+    )
+    SELECT v.doc_id, v.width, v.height, v.nf AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE t.range % v.k = 0) AS BIGINT)
+               AS n_keyframes,
+           CAST(COUNT(*) FILTER (WHERE t.range % (2 * v.k) = 0) AS BIGINT)
+               AS n_sampled,
+           AVG(CAST((v.a + t.range * 11) % 256 AS DOUBLE))
+               FILTER (WHERE t.range % (2 * v.k) = 0) AS mean_sampled_luma,
+           TRUE AS selective_decode
+    FROM vids v
+    CROSS JOIN range(0, 9) t   -- max doc_id%6+4 = 9 frames
+    WHERE t.range < v.nf
+    GROUP BY v.doc_id, v.width, v.height, v.nf, v.k, v.a
+    ORDER BY v.doc_id
+    """,
+    tags=("multimodal", "video", "mp4", "isobmff", "real-decode", "mapInPandas"),
+)
+def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-MP4 (ISO BMFF) keyframe sampling, decoded for real —
+    the second half of the r3 verdict's video gap (AVI landed first;
+    MP4 was "gated on absent ffmpeg", but the CONTAINER never needed
+    ffmpeg: moov's stsd/stts/stsz/stsc/stco/stss sample tables are pure
+    metadata, per ISO/IEC 14496-12). Each video doc synthesizes a
+    spec-shaped MP4 (ftyp → mdat → moov) holding `doc_id % 6 + 4`
+    baseline-JPEG samples with a sync (keyframe) every `doc_id % 2 + 2`
+    frames; the parser expands the full chunk-run tables into a
+    per-sample (offset, size, pts, is_sync) index, then decodes every
+    OTHER keyframe only — non-sync and unsampled samples never have
+    their mdat bytes read. That index-then-range-read shape is exactly
+    how keyframe extraction must run at 100 TB: moov is ~KBs per asset
+    regardless of video size, so the planner's input is metadata-scale
+    and decode cost tracks the SAMPLED frame count. `selective_decode`
+    asserts decoded_bytes < total sample bytes on every asset (pinned
+    TRUE by the oracle); dims, frame/keyframe/sample counts, and the
+    mean sampled luma are all closed-form from `documents`, so a bug in
+    box layout, stsc expansion, stss indexing (1-based!), or the JPEG
+    decoder breaks the hash. Non-JPEG sample entries (avc1/hev1/…)
+    still index — range planning works for any codec — but decode
+    raises NotImplementedError, never silence.
+
+    Scale shape: per-row mapInPandas over Arrow batches, no shuffle."""
+    from kamiyo_hive_spark.functions.mp4 import _mp4_kit
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 1))
+        .select("doc_id", "n_chars")
+    )
+    encode_mp4, _, sample_, encode_jpeg = _mp4_kit()  # bind by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in MP4_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w = 16 * (n_chars % 2 + 1)
+                h = 16 * ((n_chars // 5) % 3 + 1)
+                a = (doc_id * 29 + 7) % 256
+                nf = doc_id % 6 + 4
+                k = doc_id % 2 + 2
+                frames = [
+                    encode_jpeg(w, h, lambda _b, i=i: (a + i * 11) % 256)
+                    for i in range(nf)
+                ]
+                payload = encode_mp4(frames, w, h, keyframe_every=k)
+                d = sample_(payload, stride=MP4_STRIDE)
+                lumas = [s["mean_luma"] for s in d["sampled"]]
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["n_frames"],
+                        d["n_keyframes"],
+                        len(lumas),
+                        sum(lumas) / len(lumas),
+                        d["decoded_bytes"] < d["total_sample_bytes"],
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=MP4_SCHEMA)

@@ -86,7 +86,9 @@ def load_registry() -> dict[str, QuerySpec]:
             scalars,
             semistructured,
             setops,
+            clustering,
             similarity,
+            sketches,
             stateful,
             text,
             timeseries,

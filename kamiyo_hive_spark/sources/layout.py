@@ -464,3 +464,63 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("o_totalprice")).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC ingest
+# ---------------------------------------------------------------------------
+
+def _orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage part as ORC — the other columnar lake format Spark ships a
+    native vectorized reader for (Hive-lineage warehouses hand exactly
+    this to a Spark migration)."""
+    out = os.path.join(SCRATCH, f"part_orc_{os.path.basename(sf_dir)}")
+    source = os.path.join(sf_dir, "part.parquet")
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "part")
+        .write.mode("overwrite")
+        .orc(tmp),
+    )
+
+
+@register(
+    "orc_ingest_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_retail,
+           CAST(MIN(p_partkey) AS BIGINT) AS first_partkey,
+           CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS size_sum
+    FROM part
+    WHERE p_size >= 10
+    GROUP BY 1
+    ORDER BY p_brand
+    """,
+    tags=("S4", "ingest", "orc", "format"),
+)
+def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC lake ingest: write part as ORC, read it back, filter +
+    aggregate. The oracle computes from the ORIGINAL parquet, so the
+    hash proves the cross-format roundtrip is lossless (strings,
+    doubles, ints all survive ORC's encodings), and the plan assertion
+    lives in tests: the p_size predicate must reach the ORC scan as a
+    pushed filter — ORC carries row-group min/max statistics exactly
+    like parquet, and a reader that re-filters JVM-side instead of
+    pruning stripes reads the whole 100 TB table.
+
+    Scale posture: identical to the parquet path — columnar scan with
+    predicate + projection pushdown, one group-by exchange."""
+    src = _orc_dir(spark, sf_dir)
+    p = spark.read.orc(src).filter(F.col("p_size") >= 10)
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            money_sum(dec("p_retailprice")).alias("total_retail"),
+            F.min("p_partkey").alias("first_partkey"),
+            F.sum(F.col("p_size").cast("long")).alias("size_sum"),
+        )
+    )

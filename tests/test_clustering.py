@@ -1,0 +1,108 @@
+"""Fixed-point Lloyd k-means tests: the invariants the DuckDB hash
+replay can't see — the centroid grid snap is the half-away-from-zero
+nearest integer to the exact rational mean, the exact-integer state is
+independent of how the data is partitioned, the assignment is a true
+argmin, and the assignment step can never increase inertia under fixed
+centroids (the Lloyd descent property that survives quantization).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from kamiyo_hive_spark.operators.clustering import (
+    KM_K,
+    _assign,
+    _quantized,
+    _recompute,
+    _round_mean,
+    kmeans_lloyd_clusters,
+)
+
+
+def _seed_cents(q):
+    return q.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+
+
+def test_round_mean_is_nearest_half_away():
+    for s in range(-25, 26):
+        for n in (1, 2, 3, 7):
+            got = _round_mean(s, n)
+            exact = Fraction(s, n)
+            assert abs(Fraction(got) - exact) <= Fraction(1, 2)
+            if abs(Fraction(got) - exact) == Fraction(1, 2):
+                # tie → away from zero
+                assert abs(got) > abs(exact)
+
+
+def test_assignment_is_exact_argmin(spark, sf_dir):
+    """Replay the argmin in pure Python ints for a sample of vectors:
+    assigned cid must equal the argmin of Σ(q−c)² with lowest-cid
+    tie-break."""
+    q = _quantized(spark, sf_dir).filter(F.col("vec_id") < 60)
+    cents, _ = _recompute(spark, _assign(q, _seed_cents(q)))
+    crows = {r["cid"]: r["cv"] for r in cents.collect()}
+    qrows = {r["vec_id"]: r["qv"] for r in q.collect()}
+    assigned = {
+        r["vec_id"]: r["cid"]
+        for r in _assign(q, cents).select("vec_id", "cid").collect()
+    }
+    for vid, qv in list(qrows.items())[:12]:
+        best = min(
+            (sum((x - y) ** 2 for x, y in zip(qv, cv)), cid)
+            for cid, cv in crows.items()
+        )
+        assert assigned[vid] == best[1]
+
+
+def test_assignment_step_never_increases_inertia(spark, sf_dir):
+    """Under FIXED centroids, re-assignment is an argmin, so total
+    inertia vs those centroids cannot exceed the inertia of any other
+    assignment — checked against the previous round's assignment."""
+    q = _quantized(spark, sf_dir)
+    qrows = {r["vec_id"]: r["qv"] for r in q.collect()}
+
+    def inertia(assign_map, crows):
+        return sum(
+            sum((x - y) ** 2 for x, y in zip(qrows[vid], crows[cid]))
+            for vid, cid in assign_map.items()
+        )
+
+    a0 = _assign(q, _seed_cents(q))
+    cents1, _ = _recompute(spark, a0)
+    crows1 = {r["cid"]: r["cv"] for r in cents1.collect()}
+    old = {r["vec_id"]: r["cid"] for r in a0.select("vec_id", "cid").collect()}
+    new = {
+        r["vec_id"]: r["cid"]
+        for r in _assign(q, cents1).select("vec_id", "cid").collect()
+    }
+    # old assignment scored against the NEW centroids vs the argmin
+    assert inertia(new, crows1) <= inertia(old, crows1)
+
+
+def test_centroid_state_partition_invariant(spark, sf_dir):
+    """The merged centroid state must be identical whether the corpus
+    arrives as 1 partition or 13 — integer sums are order-free, so any
+    difference means a float leaked into the reduction."""
+    q1 = _quantized(spark, sf_dir).coalesce(1)
+    q13 = _quantized(spark, sf_dir).repartition(13)
+    c1, k1 = _recompute(spark, _assign(q1, _seed_cents(q1)))
+    c13, k13 = _recompute(spark, _assign(q13, _seed_cents(q13)))
+    assert k1 == k13
+    assert {r["cid"]: r["cv"] for r in c1.collect()} == {
+        r["cid"]: r["cv"] for r in c13.collect()
+    }
+
+
+def test_full_query_shape(spark, sf_dir):
+    out = kmeans_lloyd_clusters(spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= KM_K
+    assert sum(r["n_vecs"] for r in rows) == _quantized(spark, sf_dir).count()
+    for r in rows:
+        assert r["min_member"] <= r["max_member"]
+        assert r["centroid_checksum"] is not None
