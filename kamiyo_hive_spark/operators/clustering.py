@@ -99,13 +99,12 @@ def _recompute(spark: SparkSession, assigned: DataFrame) -> tuple[DataFrame, dic
     sums = (
         assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
         .groupBy("cid", "pos")
-        .agg(F.sum("val").alias("s"))
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
         .collect()
     )
-    counts = {
-        r["cid"]: r["n"]
-        for r in assigned.groupBy("cid").agg(F.count("*").alias("n")).collect()
-    }
+    # each member contributes one row per dimension, so any (cid, pos)
+    # cell's row count IS the cluster size — one job, not two
+    counts = {r["cid"]: r["n"] for r in sums}
     by_cid: dict[int, dict[int, int]] = {}
     for r in sums:
         by_cid.setdefault(r["cid"], {})[r["pos"]] = r["s"]

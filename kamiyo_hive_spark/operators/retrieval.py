@@ -429,3 +429,183 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "hybrid_score")
         .orderBy("query_id", F.desc("hybrid_score"), "cand_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of independent retrievers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60      # the standard RRF damping constant (Cormack et al. 2009)
+RRF_NQ = 4      # query docs: doc_id/vec_id < N (aligned ids, as rag_hybrid)
+RRF_POOL = 50   # per-retriever candidate pool (top-N each side)
+RRF_TOP = 10    # fused results per query
+
+_RRF_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(
+               v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y),
+                                            (acc, y) -> acc + y))) AS nv
+    FROM raw
+),
+q AS (SELECT vec_id AS query_id, nv AS qnv FROM d WHERE vec_id < {RRF_NQ}),
+dpool AS (
+    SELECT query_id, cand_id, r FROM (
+        SELECT q.query_id, d.vec_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_reduce(
+                       list_transform(list_zip(d.nv, q.qnv), p -> p[1] * p[2]),
+                       (acc, x) -> acc + x), 9) DESC, d.vec_id) AS r
+        FROM d, q WHERE d.vec_id <> q.query_id)
+    WHERE r <= {RRF_POOL}
+),
+toks AS (
+    SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS ts
+    FROM documents
+),
+qt AS (SELECT doc_id AS query_id, ts AS qts FROM toks WHERE doc_id < {RRF_NQ}),
+lpool AS (
+    SELECT query_id, cand_id, r FROM (
+        SELECT qt.query_id, t.doc_id AS cand_id,
+               row_number() OVER (
+                   PARTITION BY qt.query_id
+                   ORDER BY round(CAST(len(list_intersect(t.ts, qt.qts)) AS DOUBLE)
+                                  / len(list_distinct(t.ts || qt.qts)), 9) DESC,
+                            t.doc_id) AS r
+        FROM toks t, qt WHERE t.doc_id <> qt.query_id)
+    WHERE r <= {RRF_POOL}
+),
+fused AS (
+    SELECT COALESCE(dp.query_id, lp.query_id) AS query_id,
+           COALESCE(dp.cand_id, lp.cand_id) AS cand_id,
+           round(COALESCE(round(1.0 / ({RRF_K} + dp.r), 9), 0)
+                 + COALESCE(round(1.0 / ({RRF_K} + lp.r), 9), 0), 9) AS rrf_score,
+           CAST(COALESCE(dp.r, 0) AS BIGINT) AS dense_rank,
+           CAST(COALESCE(lp.r, 0) AS BIGINT) AS lex_rank
+    FROM dpool dp
+    FULL JOIN lpool lp
+      ON lp.query_id = dp.query_id AND lp.cand_id = dp.cand_id
+)
+SELECT query_id, cand_id, rrf_score, dense_rank, lex_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, cand_id) AS rn
+      FROM fused)
+WHERE rn <= {RRF_TOP}
+ORDER BY query_id, rrf_score DESC, cand_id
+"""
+
+
+@register(
+    "rrf_fusion",
+    oracle=_RRF_ORACLE,
+    tags=("retrieval", "rrf", "hybrid", "rank-fusion"),
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    independent retrievers — the production-default way to combine
+    dense and lexical search without score calibration: each retriever
+    contributes 1/(60 + rank), a document missing from a pool
+    contributes 0, and documents high in EITHER list surface.
+
+    Retriever A: exact cosine over L2-normalized embeddings (dense).
+    Retriever B: token-set Jaccard (lexical). Each yields its top-50
+    pool per query (4 queries); the fusion is a full outer join of two
+    4×50-row pools — metadata-sized regardless of corpus size, which
+    is RRF's operational point: after the per-retriever top-N, fusion
+    cost is O(queries × pool), never O(corpus).
+
+    Scale shape: queries are a broadcast 4-row relation, so both
+    scoring passes are map-side broadcast probes; the two rank windows
+    partition by query_id; at 100 TB the pools come from the ANN index
+    (`knn_lsh_partitioned`) and BM25 (`bm25_doc_search`) instead of
+    brute force — the fusion stage is unchanged. Ranks, not scores,
+    cross the join, so the 9-dp rounding discipline only has to hold
+    within each retriever; absent ranks are encoded 0 (not NULL) to
+    keep the schema integer-typed on both engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    d = (
+        e.select("vec_id", emb.alias("v"))
+        .withColumn(
+            "_n",
+            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .select(
+            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
+        )
+    )
+    q = d.filter(F.col("vec_id") < RRF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("nv"), F.col("qnv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        9,
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    dpool = (
+        d.join(F.broadcast(q), d.vec_id != q.query_id)
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("sim"))
+        .withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= RRF_POOL)
+        .select("query_id", "cand_id", "r")
+    )
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens()).alias("ts")
+    )
+    qt = toks.filter(F.col("doc_id") < RRF_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("ts").alias("qts")
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("ts"), F.col("qts"))).cast("double")
+        / F.size(F.array_union(F.col("ts"), F.col("qts"))),
+        9,
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.asc("cand_id"))
+    lpool = (
+        toks.join(F.broadcast(qt), toks.doc_id != qt.query_id)
+        .select("query_id", F.col("doc_id").alias("cand_id"), jac.alias("jac"))
+        .withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") <= RRF_POOL)
+        .select("query_id", "cand_id", "r")
+    )
+    dp = dpool.select("query_id", "cand_id", F.col("r").alias("dr"))
+    lp = lpool.select(
+        F.col("query_id").alias("lquery_id"),
+        F.col("cand_id").alias("lcand_id"),
+        F.col("r").alias("lr"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(RRF_K) + r), 9), F.lit(0.0)
+    )
+    fused = (
+        dp.join(
+            lp,
+            (dp.query_id == lp.lquery_id) & (dp.cand_id == lp.lcand_id),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("query_id", "lquery_id").alias("query_id"),
+            F.coalesce("cand_id", "lcand_id").alias("cand_id"),
+            F.round(contrib(F.col("dr")) + contrib(F.col("lr")), 9).alias("rrf_score"),
+            F.coalesce("dr", F.lit(0)).cast("long").alias("dense_rank"),
+            F.coalesce("lr", F.lit(0)).cast("long").alias("lex_rank"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= RRF_TOP)
+        .select("query_id", "cand_id", "rrf_score", "dense_rank", "lex_rank")
+        .orderBy("query_id", F.desc("rrf_score"), "cand_id")
+    )
