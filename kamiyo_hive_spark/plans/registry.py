@@ -72,6 +72,7 @@ def load_registry() -> dict[str, QuerySpec]:
             aggregates,
             analytics,
             asof,
+            clustering,
             corpus,
             dedup,
             joins,
@@ -86,7 +87,6 @@ def load_registry() -> dict[str, QuerySpec]:
             scalars,
             semistructured,
             setops,
-            clustering,
             similarity,
             sketches,
             stateful,
@@ -100,6 +100,7 @@ def load_registry() -> dict[str, QuerySpec]:
             layout,
             maintenance,
             sinks,
+            skipping,
             txlog,
         )
         from kamiyo_hive_spark.streaming import jobs  # noqa: F401
