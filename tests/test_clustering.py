@@ -23,9 +23,10 @@ from kamiyo_hive_spark.operators.clustering import (
 
 
 def _seed_cents(q):
-    return q.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
+    return {
+        r["vec_id"]: list(r["qv"])
+        for r in q.filter(F.col("vec_id") < KM_K).collect()
+    }
 
 
 def test_round_mean_is_nearest_half_away():
@@ -44,12 +45,11 @@ def test_assignment_is_exact_argmin(spark, sf_dir):
     assigned cid must equal the argmin of Σ(q−c)² with lowest-cid
     tie-break."""
     q = _quantized(spark, sf_dir).filter(F.col("vec_id") < 60)
-    cents, _ = _recompute(spark, _assign(q, _seed_cents(q)))
-    crows = {r["cid"]: r["cv"] for r in cents.collect()}
+    crows, _ = _recompute(spark, _assign(q, _seed_cents(q)))
     qrows = {r["vec_id"]: r["qv"] for r in q.collect()}
     assigned = {
         r["vec_id"]: r["cid"]
-        for r in _assign(q, cents).select("vec_id", "cid").collect()
+        for r in _assign(q, crows).select("vec_id", "cid").collect()
     }
     for vid, qv in list(qrows.items())[:12]:
         best = min(
@@ -73,12 +73,11 @@ def test_assignment_step_never_increases_inertia(spark, sf_dir):
         )
 
     a0 = _assign(q, _seed_cents(q))
-    cents1, _ = _recompute(spark, a0)
-    crows1 = {r["cid"]: r["cv"] for r in cents1.collect()}
+    crows1, _ = _recompute(spark, a0)
     old = {r["vec_id"]: r["cid"] for r in a0.select("vec_id", "cid").collect()}
     new = {
         r["vec_id"]: r["cid"]
-        for r in _assign(q, cents1).select("vec_id", "cid").collect()
+        for r in _assign(q, crows1).select("vec_id", "cid").collect()
     }
     # old assignment scored against the NEW centroids vs the argmin
     assert inertia(new, crows1) <= inertia(old, crows1)
@@ -92,10 +91,8 @@ def test_centroid_state_partition_invariant(spark, sf_dir):
     q13 = _quantized(spark, sf_dir).repartition(13)
     c1, k1 = _recompute(spark, _assign(q1, _seed_cents(q1)))
     c13, k13 = _recompute(spark, _assign(q13, _seed_cents(q13)))
-    assert k1 == k13
-    assert {r["cid"]: r["cv"] for r in c1.collect()} == {
-        r["cid"]: r["cv"] for r in c13.collect()
-    }
+    assert k1 == k13  # full stats dicts: n, checksum, member span
+    assert c1 == c13
 
 
 def test_full_query_shape(spark, sf_dir):
@@ -106,3 +103,22 @@ def test_full_query_shape(spark, sf_dir):
     for r in rows:
         assert r["min_member"] <= r["max_member"]
         assert r["centroid_checksum"] is not None
+
+
+def test_literal_and_broadcast_argmin_agree(spark, sf_dir, monkeypatch):
+    """The literal-expression fast path and the large-K broadcast
+    fallback must be the same function (distance, tie-break)."""
+    import kamiyo_hive_spark.operators.clustering as C
+
+    q = C._quantized(spark, sf_dir).filter(F.col("vec_id") < 80)
+    cents = _seed_cents(q)
+    lit = {
+        r["vec_id"]: r["cid"]
+        for r in C._assign(q, cents).select("vec_id", "cid").collect()
+    }
+    monkeypatch.setattr(C, "LITERAL_ARGMIN_MAX_CELLS", 0)
+    bc = {
+        r["vec_id"]: r["cid"]
+        for r in C._assign(q, cents).select("vec_id", "cid").collect()
+    }
+    assert lit == bc
