@@ -603,9 +603,16 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("cand_id"))
-    return (
+    out = (
         fused.withColumn("rn", F.row_number().over(wf))
         .filter(F.col("rn") <= RRF_TOP)
         .select("query_id", "cand_id", "rrf_score", "dense_rank", "lex_rank")
         .orderBy("query_id", F.desc("rrf_score"), "cand_id")
     )
+    # queries×pool-row intermediates: execute under an input-sized
+    # shuffle width (no-op at scale; A/B best-of-4 ×2 at sf0.1:
+    # 1.45/1.15 s → 1.21/1.01 s)
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "embeddings", "documents"):
+        return out.localCheckpoint()
