@@ -61,6 +61,9 @@ class Commit:
     read_version: int = -1        # snapshot the writer based its work on
     writer: str = ""
     schema: str = ""              # simpleString of the written rows
+    spec: str = ""                # partition spec of the added files
+                                  # ("" = unpartitioned; additive field,
+                                  # absent in pre-evolution commits)
 
 
 class TxLog:
@@ -220,6 +223,7 @@ class TxLog:
         writer: str = "",
         max_attempts: int = 50,
         schema: str = "",
+        spec: str = "",
     ) -> int:
         """Publish a commit via atomic create-if-absent; returns the
         version won. Blind appends retry losing races internally;
@@ -240,6 +244,7 @@ class TxLog:
                 read_version=read_version,
                 writer=writer,
                 schema=schema,
+                spec=spec,
             )
             # Atomic create-if-absent WITH content: O_CREAT|O_EXCL alone
             # publishes an empty file before the JSON body lands, and a
@@ -354,6 +359,58 @@ class TxLog:
         return self.commit(
             "append", adds, read_version=self.version(), writer=writer, schema=sch
         )
+
+    def append_partitioned(
+        self, df: DataFrame, layout, spec: str, writer: str = ""
+    ) -> int:
+        """Append under a PARTITION SPEC: rows land in
+        ``<stage>/<spec>=<value>/`` directories keyed by the ``layout``
+        column expression, the commit records ``spec``, and the spec's
+        value stays path-encoded on every file — so a later reader can
+        prune each file under the spec IT was written with (Iceberg's
+        partition-spec-evolution contract: specs are per-file metadata,
+        not a table-wide constant). The layout value is written as a
+        SEPARATE path-only column, so the data files keep the full row
+        schema and a snapshot mixing specs still reads uniformly."""
+        from pyspark.sql import functions as F  # local: keep module import-light
+
+        sch = self._check_schema(df, merge_schema=False)
+        rel = self.stage_dir()
+        out = os.path.join(self.root, rel)
+        df.withColumn(spec, layout.cast("string")).write.partitionBy(
+            spec
+        ).mode("overwrite").parquet(out)
+        adds = sorted(
+            os.path.join(rel, os.path.relpath(os.path.join(dirpath, f), out))
+            for dirpath, _, fs in os.walk(out)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        return self.commit(
+            "append",
+            adds,
+            read_version=self.version(),
+            writer=writer,
+            schema=sch,
+            spec=spec,
+        )
+
+    def pruned_files(self, spec: str, value: str) -> list[str]:
+        """Snapshot file list pruned for the point predicate
+        ``spec == value``: a file written under ``spec`` keeps only the
+        matching partition directory; a file written under ANY OTHER
+        spec (or none) cannot be pruned on this key and is kept for the
+        row-level filter — never a false negative, exactly the
+        per-file-spec semantics partition evolution requires. Pure
+        path/metadata work: no data file is opened."""
+        keep = []
+        for f in self.snapshot_files():
+            if f"{spec}=" in f:
+                if f"{spec}={value}/" in f:
+                    keep.append(f)
+            else:
+                keep.append(f)
+        return keep
 
     def rewrite_where(
         self,
@@ -1177,3 +1234,86 @@ def _register_schema_evolution_query() -> None:
 
 
 _register_schema_evolution_query()
+
+
+def _register_partition_evolution_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "acid_partition_evolution",
+        oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1
+        ORDER BY o_year
+        """,
+        tags=("acid", "txlog", "partition-evolution", "pruning"),
+    )
+    def acid_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Partition-SPEC evolution through the log (the Iceberg
+        contract): v0 lands pre-cutover orders partitioned by
+        `status=<o_orderstatus>`, v1 appends the rest under an EVOLVED
+        time-based layout `o_year=<year>` — the table's history now
+        mixes two physical layouts, each file's spec path-encoded and
+        recorded in its commit. The `o_orderstatus = 'F'` point read
+        prunes v0 to its single `status=F` directory by METADATA alone,
+        while v1's files — written under the other spec — are kept and
+        row-filtered (never a false negative); tests assert
+        `inputFiles()` contains every v1 file but only the matching v0
+        directory. The aggregate spans both generations, so a pruning
+        bug on either side breaks the hash against the source replay.
+
+        Scale shape: pruning is pure log/path work (no data file
+        opened); per-file spec semantics mean old data is NEVER
+        rewritten when the layout policy changes — the 100 TB reason
+        partition evolution exists."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_pspec_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            cut = F.lit(TX_CUTOVER).cast("timestamp")
+            log.append_partitioned(
+                o.filter(F.col("o_orderdate") < cut),
+                F.col("o_orderstatus"),
+                spec="status",
+                writer="v0-status-layout",
+            )
+            log.append_partitioned(
+                o.filter(F.col("o_orderdate") >= cut),
+                F.year("o_orderdate"),
+                spec="o_year",
+                writer="v1-year-layout",
+            )
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        files = log.pruned_files("status", "F")
+        paths = [os.path.join(root, f) for f in files]
+        sch = log.table_schema()
+        from pyspark.sql import types as T
+
+        reader = spark.read.schema(T.StructType.fromJson(json.loads(sch)))
+        t = reader.parquet(*paths).filter(F.col("o_orderstatus") == "F")
+        return (
+            t.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .orderBy("o_year")
+        )
+
+
+_register_partition_evolution_query()
