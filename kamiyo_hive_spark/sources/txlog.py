@@ -1317,3 +1317,109 @@ def _register_partition_evolution_query() -> None:
 
 
 _register_partition_evolution_query()
+
+
+def _register_cdf_stream_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "streaming_cdf_tail",
+        oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_custkey % 12 <> 0
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("streaming", "acid", "txlog", "cdc", "incremental", "stateful"),
+    )
+    def streaming_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING consumption of the transaction log's change feed —
+        the read-side twin of `streaming_txlog_sink` (which streams
+        INTO the log) and the Delta-streaming-source shape: each
+        committed version's change set arrives as one micro-batch
+        (v0 base inserts, v1 increment inserts, v2's copy-on-write
+        delete as delete+re-insert pairs), and a stateful SIGNED
+        aggregation (+row for insert, −row for delete) maintains the
+        downstream per-status rollup across batches. The telescoping
+        is the correctness claim: after the last batch the maintained
+        state must equal the batch aggregate of the FINAL snapshot —
+        which is exactly what the oracle computes from the source, so
+        a missed version, a double-applied batch, or sign confusion
+        hash-fails. Money stays decimal inside the signed sum, so the
+        delete legs cancel the insert legs exactly.
+
+        Scale shape: the consumer reads only each version's CHANGED
+        files (file-granular CDF — metadata-resolved), and the
+        maintained state is one row per group, the incremental-view
+        bound; at any table size the per-batch cost tracks the delta,
+        never the table."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        table_root = cdf_table(spark, sf_dir)
+        out = os.path.join(SCRATCH, f"txlog_cdf_stream_{os.path.basename(sf_dir)}")
+        # fingerprint on the same source the cdf table stages from, so
+        # both pools invalidate together on testdata regeneration
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog(table_root)
+            os.makedirs(tmp, exist_ok=True)
+            base = 1_700_000_000
+            for v in range(log.version() + 1):
+                chg = read_changes(log, spark, v - 1, v).coalesce(1)
+                vdir = os.path.join(tmp, f"_v{v}")
+                chg.write.mode("overwrite").parquet(vdir)
+                part = next(
+                    f for f in os.listdir(vdir) if f.endswith(".parquet")
+                )
+                dst = os.path.join(tmp, f"changes-v{v:05d}.parquet")
+                os.replace(os.path.join(vdir, part), dst)
+                import shutil as _sh
+
+                _sh.rmtree(vdir)
+                # arrival order == commit order (same mtime-pinning
+                # convention as the staged event streams)
+                os.utime(dst, (base + v, base + v))
+
+        src = ensure_staging(out, source, build)
+        sch = (
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_orderdate timestamp, o_totalprice double, _change_type string"
+        )
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        agg = stream.groupBy("o_orderstatus").agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            F.sum(dec("o_totalprice") * sign).cast("double").alias("total_price"),
+        )
+        name = "cdf_tail_mem"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.table(name).orderBy("o_orderstatus")
+
+
+_register_cdf_stream_query()
