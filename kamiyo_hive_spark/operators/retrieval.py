@@ -616,3 +616,150 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with input_sized_shuffle(spark, sf_dir, "embeddings", "documents"):
         return out.localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge learning)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+_BPE_ENC0 = """
+    SELECT ' ' || array_to_string(string_split(lower(tok), ''), '  ') || ' ' AS s
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE regexp_matches(tok, '^[a-zA-Z0-9]+$') AND length(tok) >= 2
+"""
+
+
+def _bpe_oracle() -> str:
+    """Unrolled R-round replay: count pairs → pick argmax (count desc,
+    pair asc) → literal-replace the doubled-separator encoding —
+    exactly the Spark loop, so a drifted tie-break, a boundary-unsafe
+    merge, or a missed round hash-fails."""
+    ctes = [f"enc0 AS ({_BPE_ENC0})"]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(f"""
+    p{r} AS (
+        SELECT string_split(pair, '|')[1] AS l,
+               string_split(pair, '|')[2] AS r,
+               n
+        FROM (
+            SELECT u.pair, count(*) AS n FROM (
+                SELECT unnest(list_transform(
+                    range(1, len(string_split(trim(s), '  '))),
+                    i -> string_split(trim(s), '  ')[CAST(i AS BIGINT)] || '|' ||
+                         string_split(trim(s), '  ')[CAST(i + 1 AS BIGINT)])) AS pair
+                FROM enc{r - 1}
+                WHERE len(string_split(trim(s), '  ')) >= 2) u
+            GROUP BY 1 ORDER BY n DESC, u.pair LIMIT 1)
+    ),
+    enc{r} AS (
+        SELECT replace(e.s, ' ' || p.l || '  ' || p.r || ' ',
+                       ' ' || p.l || p.r || ' ') AS s
+        FROM enc{r - 1} e, p{r} p
+    )""")
+        ctes.append(f"""
+    stat{r} AS (
+        SELECT CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_symbols
+        FROM enc{r}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, CAST(n AS BIGINT) AS pair_count, "
+        f"(SELECT n_symbols FROM stat{r}) AS corpus_symbols_after "
+        f"FROM p{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"WITH {','.join(ctes)} {selects} ORDER BY round"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    tags=("tokenizer", "bpe", "iterative", "text"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, the iterative loop itself (completes the
+    story `bpe_pair_induction` starts): R=3 rounds of count-adjacent-
+    pairs → learn the argmax merge (count desc, pair asc tie-break) →
+    apply it corpus-wide → recount on the merged corpus. Round r's
+    counts depend on round r-1's applied merge — the data-dependent
+    iteration that makes tokenizer training a loop, not a query.
+
+    The merge application is ENGINE-PORTABLE by construction: token
+    encodings are doubled-separator symbol strings (' a  b  c '), so
+    applying merge (l, r) is a LITERAL string replace of ' l  r ' with
+    ' lr ' — leftmost non-overlapping, boundary-safe (a symbol's outer
+    single-spaces are the halves of its neighbors' double separators;
+    multi-char symbols can never false-match inside another symbol),
+    and bit-identical across Spark, DuckDB, and Python str.replace
+    (verified on overlap runs like 'aaaa' → ' aa  aa '). No UDF: the
+    per-round plan is split + transform + explode (JVM codegen), one
+    count exchange whose keys are vocabulary-bounded (map-side combine
+    does the work), and a broadcast-free literal replace.
+
+    Scale shape per round: one corpus-scale explode→count with tiny
+    keys + one map-side replace; the learned merge is a 1-row collect
+    (bounded metadata, the parameter-server round-trip — same
+    discipline as the k-means centroids). `corpus_symbols_after` pins
+    each round's APPLICATION, not just its argmax: a merge applied at
+    wrong boundaries changes the symbol count."""
+    d = table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    toks = (
+        d.select(tok)
+        .filter(F.col("tok").rlike("^[a-zA-Z0-9]+$") & (F.length("tok") >= 2))
+        .select(F.lower("tok").alias("tok"))
+    )
+    enc = toks.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.filter(F.split(F.col("tok"), ""), lambda x: x != ""), "  "
+            ),
+            F.lit(" "),
+        ).alias("s")
+    )
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            enc.filter(F.size(syms) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda i: F.concat(
+                            F.element_at(syms, i),
+                            F.lit("|"),
+                            F.element_at(syms, i + 1),
+                        ),
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+        )
+        best = pairs.first()
+        left, right = best["pair"].split("|")
+        enc = enc.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("s")
+        )
+        n_symbols = enc.select(
+            F.sum(F.size(F.split(F.trim(F.col("s")), "  "))).alias("n")
+        ).first()["n"]
+        rows.append((r, left, right, left + right, best["n"], int(n_symbols)))
+    return spark.createDataFrame(
+        rows,
+        "round long, left_sym string, right_sym string, merged string, "
+        "pair_count long, corpus_symbols_after long",
+    )
