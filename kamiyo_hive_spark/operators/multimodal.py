@@ -757,3 +757,91 @@ def multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema=MP4_SCHEMA)
+
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("n_filters_exercised", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(8 * (n_chars % 3 + 1) AS BIGINT) AS width,
+               CAST(8 * ((n_chars // 7) % 4 + 1) AS BIGINT) AS height,
+               (doc_id * 13 + 5) % 256 AS a
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 3 = 2
+    )
+    SELECT i.doc_id, i.width, i.height,
+           CAST(i.width * i.height AS BIGINT) AS n_pixels,
+           AVG(CAST((i.a + 3 * x.range + 7 * y.range) % 256 AS DOUBLE))
+               AS mean_luma,
+           CAST(5 AS BIGINT) AS n_filters_exercised
+    FROM imgs i
+    CROSS JOIN range(0, 24) x
+    CROSS JOIN range(0, 32) y
+    WHERE x.range < i.width AND y.range < i.height
+    GROUP BY i.doc_id, i.width, i.height, i.a
+    ORDER BY i.doc_id
+    """,
+    tags=("multimodal", "image", "png", "real-decode", "mapInPandas"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decoded for real — the most common lossless image format in
+    scraped corpora, and fully decodable with zero dependencies because
+    Python ships zlib (the BMP/WAV → JPEG → AVI/MP4 codec-kit
+    progression's missing member). Each image doc synthesizes a
+    grayscale-8 PNG whose encoder cycles the scanline filter row % 5
+    through None/Sub/Up/Average/Paeth, so the decode path must run ALL
+    five unfilter branches (including the Paeth predictor tie-breaks) —
+    `n_filters_exercised` is pinned to 5 by the oracle, and every
+    chunk's CRC32 is verified on the way in. Pixels are the closed form
+    (a + 3x + 7y) % 256, so dims, pixel count, and MEAN LUMA are
+    replayed exactly by the oracle: one wrong byte in chunk walking,
+    inflate framing, or any unfilter branch moves the mean. Palette/
+    RGB/16-bit/Adam7 raise NotImplementedError, never misdecode.
+
+    Scale shape: per-row mapInPandas over Arrow batches, no shuffle."""
+    from kamiyo_hive_spark.functions.png import decode_png, encode_png
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 2))
+        .select("doc_id", "n_chars")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in PNG_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w = 8 * (n_chars % 3 + 1)
+                h = 8 * ((n_chars // 7) % 4 + 1)
+                a = (doc_id * 13 + 5) % 256
+                payload = encode_png(w, h, lambda x, y: (a + 3 * x + 7 * y) % 256)
+                d = decode_png(payload)
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["n_pixels"],
+                        d["mean_luma"],
+                        len(d["filters_seen"]),
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=PNG_SCHEMA)
