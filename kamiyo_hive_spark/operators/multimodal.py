@@ -845,3 +845,104 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema=PNG_SCHEMA)
+
+
+GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("mean_sampled_luma", T.DoubleType()),
+        T.StructField("selective_decode", T.BooleanType()),
+    ]
+)
+
+GIF_STRIDE = 2
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle=f"""
+    WITH gifs AS (
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS width,
+               CAST(8 * (n_chars % 2 + 1) AS BIGINT) AS height,
+               CAST(doc_id % 5 + 4 AS BIGINT) AS nf,
+               (doc_id * 19 + 3) % 256 AS a
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 5 = 0
+    )
+    SELECT g.doc_id, g.width, g.height, g.nf AS n_frames,
+           CAST((g.nf + {GIF_STRIDE} - 1) // {GIF_STRIDE} AS BIGINT) AS n_sampled,
+           AVG(CAST((g.a + 5 * x.range + 11 * y.range + 17 * f.range) % 256
+                    AS DOUBLE)) AS mean_sampled_luma,
+           TRUE AS selective_decode
+    FROM gifs g
+    CROSS JOIN range(0, 9) f
+    CROSS JOIN range(0, 16) x
+    CROSS JOIN range(0, 16) y
+    WHERE f.range < g.nf AND f.range % {GIF_STRIDE} = 0
+      AND x.range < g.width AND y.range < g.height
+    GROUP BY g.doc_id, g.width, g.height, g.nf, g.a
+    ORDER BY g.doc_id
+    """,
+    tags=("multimodal", "image", "gif", "animation", "lzw", "real-decode"),
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling with REAL LZW decompression — the
+    codec kit's animated-image member (a compression family zlib can't
+    stand in for: variable-width LZW with clear/EOI, dictionary
+    rebuild, and the KwKwK case, all exercised because the in-repo
+    encoder is a real LZW encoder whose streams cross the 512/1024
+    width boundaries and the 4096-entry clear on corpus-shaped data).
+    Each animation doc synthesizes `doc_id % 5 + 4` full frames; the
+    sampler LZW-decodes every {GIF_STRIDE}nd frame and SKIPS the rest
+    by hopping GIF's length-prefixed sub-blocks — no decompression of
+    unsampled frames, which `selective_decode` (decoded_bytes <
+    total_image_bytes) pins TRUE on every asset. Dims, frame/sample
+    counts, and the mean sampled luma are closed-form from
+    `documents`, so a bug in header parsing, sub-block reassembly,
+    LZW width growth, or palette mapping breaks the hash.
+
+    Scale shape: per-row mapInPandas over Arrow batches, no shuffle;
+    per-asset cost tracks SAMPLED frames (the sub-block hop is why)."""
+    from kamiyo_hive_spark.functions.gif import encode_gif, sample_gif_frames
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id", "n_chars")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in GIF_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = 16, 8 * (n_chars % 2 + 1)
+                nf = doc_id % 5 + 4
+                a = (doc_id * 19 + 3) % 256
+                frames = [
+                    (lambda f: lambda x, y: (a + 5 * x + 11 * y + 17 * f) % 256)(i)
+                    for i in range(nf)
+                ]
+                payload = encode_gif(w, h, frames)
+                d = sample_gif_frames(payload, stride=GIF_STRIDE)
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        d["width"],
+                        d["height"],
+                        d["n_frames"],
+                        d["n_sampled"],
+                        sum(d["sampled_means"]) / d["n_sampled"],
+                        d["decoded_bytes"] < d["total_image_bytes"],
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=GIF_SCHEMA)
