@@ -80,6 +80,7 @@ def load_registry() -> dict[str, QuerySpec]:
             merkle,
             multimodal,
             pipelines,
+            profiling,
             quality,
             relational,
             retrieval,
