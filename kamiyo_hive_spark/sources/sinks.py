@@ -16,6 +16,7 @@ from __future__ import annotations
 import fcntl
 import os
 import shutil
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,14 +79,22 @@ def _staging_lock(out: str):
 
 def _swap_into_place(tmp: str, out: str) -> None:
     """Atomically publish a completed build dir. POSIX rename is atomic,
-    so no reader ever lists a half-built pool; readers holding open fds
-    into the displaced dir keep reading the old complete files."""
-    old = f"{out}.old.{os.getpid()}"
-    shutil.rmtree(old, ignore_errors=True)
+    so no reader ever lists a half-built pool — and the DISPLACED
+    generation is kept on disk until the NEXT swap garbage-collects it:
+    a concurrent session may hold a LAZY plan whose file list points
+    into the old generation (Spark lists at planning, opens at task
+    start — an fd-less window), so deleting it at swap time would fail
+    that session's collect mid-flight. One retained generation gives
+    in-flight readers a full rebuild cycle of grace with bounded disk
+    (these are small derived pools)."""
+    parent = os.path.dirname(out) or "."
+    base = os.path.basename(out)
+    for name in os.listdir(parent):
+        if name.startswith(f"{base}.old."):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     if os.path.exists(out):
-        os.rename(out, old)
+        os.rename(out, f"{out}.old.{os.getpid()}.{uuid.uuid4().hex[:8]}")
     os.rename(tmp, out)
-    shutil.rmtree(old, ignore_errors=True)
 
 
 def ensure_staging(out: str, source: str, build) -> str:

@@ -636,15 +636,22 @@ def _register_queries() -> None:
             )  # v2
             final = log.read(spark)
             n_versions = log.version() + 1
-        return (
-            final.groupBy("o_orderstatus")
-            .agg(
-                F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+            # MATERIALIZE before the lock releases: the result frame
+            # reads this run's data files, and a concurrent session's
+            # builder rmtree-rebuilds the same root the moment it takes
+            # the lock — a lazy return would collect AFTER that delete
+            # (FILE_NOT_EXIST under a two-session drive; caught by the
+            # concurrent double-drive check this round).
+            return (
+                final.groupBy("o_orderstatus")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    money_sum(dec("o_totalprice")).alias("total_price"),
+                )
+                .withColumn("n_versions", F.lit(n_versions).cast("long"))
+                .withColumn("n_conflicts", F.lit(n_conflicts).cast("long"))
+                .localCheckpoint()
             )
-            .withColumn("n_versions", F.lit(n_versions).cast("long"))
-            .withColumn("n_conflicts", F.lit(n_conflicts).cast("long"))
-        )
 
 
 _register_queries()
@@ -922,6 +929,10 @@ def _register_streaming_sink_query() -> None:
                     F.sum(dec("value")).cast("double").alias("total_value"),
                 )
                 .withColumn("n_versions", F.lit(n_versions).cast("long"))
+                # materialize before the lock releases — a concurrent
+                # session rmtree-rebuilds this root (see
+                # acid_serializable_rewrite)
+                .localCheckpoint()
             )
         return out
 

@@ -811,6 +811,11 @@ def _idempotent_sink_run_locked(
         sunk.withColumn("_rn", F.row_number().over(latest))
         .filter(F.col("_rn") == 1)
         .select("event_type", "n_events", "total_value")
+        # materialize before the caller's lock releases: a concurrent
+        # session's reset=True run rmtree's this sink the moment it
+        # takes the lock, and a lazy return would read deleted files
+        # (caught by the two-session concurrent drive)
+        .localCheckpoint()
     )
 
 
