@@ -782,3 +782,173 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, left_sym string, right_sym string, merged string, "
         "pair_count long, corpus_symbols_after long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (multi-vector / MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+MAXSIM_NQ = 3        # query docs: doc_id < N
+MAXSIM_QTOK = 8      # query-side token budget
+MAXSIM_DTOK = 16     # doc-side token budget
+MAXSIM_DIM = 16      # hash-projection dimensions
+MAXSIM_TOP = 5
+
+_MS_VEC = """list_transform(range(0, {dim}),
+    i -> (CAST(concat('0x', substr(md5({tok} || ':' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2001 - 1000) / 1000.0)""".format(
+    dim=MAXSIM_DIM, tok="{tok}"
+)
+
+_MAXSIM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ts
+    FROM documents
+),
+dt AS (
+    SELECT doc_id, u.t AS tok
+    FROM (SELECT doc_id, ts[1:{MAXSIM_DTOK}] AS ts FROM toks),
+         unnest(ts) AS u(t)
+),
+qt AS (
+    SELECT doc_id AS query_id, u.t AS tok
+    FROM (SELECT doc_id, ts[1:{MAXSIM_QTOK}] AS ts FROM toks WHERE doc_id < {MAXSIM_NQ}),
+         unnest(ts) AS u(t)
+),
+dv AS (
+    SELECT doc_id, tok,
+           {_MS_VEC.format(tok="tok")} AS v
+    FROM dt
+),
+qv AS (
+    SELECT query_id, tok,
+           {_MS_VEC.format(tok="tok")} AS v
+    FROM qt
+),
+dn AS (
+    SELECT doc_id, tok,
+           list_transform(v, x -> x / sqrt(list_reduce(
+               list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+    FROM dv
+),
+qn AS (
+    SELECT query_id, tok,
+           list_transform(v, x -> x / sqrt(list_reduce(
+               list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+    FROM qv
+),
+sims AS (
+    SELECT q.query_id, d.doc_id, q.tok AS qtok,
+           MAX(round(list_reduce(list_transform(list_zip(q.nv, d.nv),
+                                                p -> p[1] * p[2]),
+                                 (a, b) -> a + b), 9)) AS best
+    FROM qn q, dn d
+    WHERE d.doc_id <> q.query_id
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT query_id, doc_id,
+           CAST(SUM(CAST(best AS DECIMAL(28, 9))) AS DOUBLE) AS maxsim
+    FROM sims GROUP BY 1, 2
+)
+SELECT query_id, doc_id AS cand_id, maxsim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {MAXSIM_TOP}
+ORDER BY query_id, maxsim DESC, cand_id
+"""
+
+
+@register(
+    "maxsim_late_interaction",
+    oracle=_MAXSIM_ORACLE,
+    tags=("retrieval", "colbert", "maxsim", "multi-vector"),
+)
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT scoring shape): a query
+    is a BAG of token vectors, a document is a bag of token vectors,
+    and score(q, d) = Σ over query tokens of the MAX cosine against
+    any document token — the fine-grained matcher that beats single-
+    vector retrieval on term-level relevance. Token vectors here are
+    deterministic hash projections (the `quality_classifier_score`
+    stand-in convention: swapping in real learned embeddings changes
+    the vector SOURCE, not one line of the plan), token bags are the
+    first {MAXSIM_DTOK}/{MAXSIM_QTOK} distinct tokens per side
+    (lexicographic — engine-portable), cosines are rounded to 9 dp and
+    the per-(query, doc) sum runs over DECIMAL.
+
+    Plan: doc token vectors explode once (bounded {MAXSIM_DTOK}/doc);
+    the {MAXSIM_NQ}×{MAXSIM_QTOK}-row query side broadcasts; max-per-
+    (q, d, qtok) then sum-per-(q, d) are two partial-agg exchanges
+    whose keys are candidate-scale. At 100 TB the candidate set comes
+    from the ANN index (`knn_lsh_partitioned`) and MaxSim reranks only
+    that pool — the scoring stage here is exactly that reranker run
+    corpus-wide so the oracle can replay it end to end."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK).alias(
+            "ts"
+        ),
+    )
+
+    def hash_vec(tok_col):
+        comps = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", tok_col, F.lit(str(i)))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).cast("double")
+            / 1000.0
+            for i in range(MAXSIM_DIM)
+        ]
+        return F.array(*comps)
+
+    def normalize(v):
+        n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(v, lambda x: x / n)
+
+    dt = toks.select("doc_id", F.explode("ts").alias("tok")).withColumn(
+        "nv", normalize(hash_vec(F.col("tok")))
+    )
+    qt = (
+        toks.filter(F.col("doc_id") < MAXSIM_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qtok"),
+        )
+        .withColumn("qnv", normalize(hash_vec(F.col("qtok"))))
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qnv"), F.col("nv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        9,
+    )
+    sims = (
+        dt.join(F.broadcast(qt), dt.doc_id != qt.query_id)
+        .select("query_id", "doc_id", "qtok", sim.alias("s"))
+        .groupBy("query_id", "doc_id", "qtok")
+        .agg(F.max("s").alias("best"))
+    )
+    scored = sims.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("best").cast("decimal(28,9)")).cast("double").alias("maxsim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAXSIM_TOP)
+        .select("query_id", F.col("doc_id").alias("cand_id"), "maxsim")
+        .orderBy("query_id", F.desc("maxsim"), "cand_id")
+    )
