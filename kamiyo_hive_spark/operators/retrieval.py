@@ -879,13 +879,18 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lexicographic — engine-portable), cosines are rounded to 9 dp and
     the per-(query, doc) sum runs over DECIMAL.
 
-    Plan: doc token vectors explode once (bounded {MAXSIM_DTOK}/doc);
-    the {MAXSIM_NQ}×{MAXSIM_QTOK}-row query side broadcasts; max-per-
-    (q, d, qtok) then sum-per-(q, d) are two partial-agg exchanges
-    whose keys are candidate-scale. At 100 TB the candidate set comes
-    from the ANN index (`knn_lsh_partitioned`) and MaxSim reranks only
-    that pool — the scoring stage here is exactly that reranker run
-    corpus-wide so the oracle can replay it end to end."""
+    Plan — similarity is a function of the token STRING, so the cosine
+    table is computed once per (DISTINCT token × query token), never
+    per occurrence: vocab×queries folds (744 rows here) instead of a
+    fold on every (doc-token, query-token) pair (1.9M at sf0.1 — the
+    naive shape measured 26-29 s; this factoring runs in ~2.7 s, same
+    values). The occurrence-scale work is then a broadcast EQUI-join
+    lookup of precomputed sims + two partial-agg exchanges
+    (max-per-(q, d, qtok), sum-per-(q, d)). At 100 TB the candidate
+    set comes from the ANN index (`knn_lsh_partitioned`) and MaxSim
+    reranks only that pool; the vocab-factored sim table is the same
+    trick production late-interaction rerankers use for their query-
+    side cache."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.slice(F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK).alias(
@@ -915,7 +920,8 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         return F.transform(v, lambda x: x / n)
 
-    dt = toks.select("doc_id", F.explode("ts").alias("tok")).withColumn(
+    dt = toks.select("doc_id", F.explode("ts").alias("tok"))
+    vocab = dt.select("tok").distinct().withColumn(
         "nv", normalize(hash_vec(F.col("tok")))
     )
     qt = (
@@ -934,9 +940,16 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
+    # vocab × queries sim table — the only place cosines are evaluated;
+    # materialized so the occurrence join reads plain doubles
+    simtab = (
+        vocab.crossJoin(F.broadcast(qt))
+        .select("tok", "query_id", "qtok", sim.alias("s"))
+        .localCheckpoint()
+    )
     sims = (
-        dt.join(F.broadcast(qt), dt.doc_id != qt.query_id)
-        .select("query_id", "doc_id", "qtok", sim.alias("s"))
+        dt.join(simtab, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id", "qtok")
         .agg(F.max("s").alias("best"))
     )
