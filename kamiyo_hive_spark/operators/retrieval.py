@@ -959,9 +959,15 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MAXSIM_TOP)
         .select("query_id", F.col("doc_id").alias("cand_id"), "maxsim")
         .orderBy("query_id", F.desc("maxsim"), "cand_id")
     )
+    # candidate-scale intermediates under an input-sized width (A/B
+    # best-of-3 ×2 at sf0.1: 2.50/2.73 → 2.32/2.55 s)
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "documents"):
+        return out.localCheckpoint()
