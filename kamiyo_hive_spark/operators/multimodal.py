@@ -1096,3 +1096,139 @@ def webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return shards.mapInPandas(run, schema=WDS_SCHEMA).orderBy("shard")
+
+
+ADPCM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("min_sample", T.LongType()),
+        T.StructField("max_sample", T.LongType()),
+    ]
+)
+
+ADPCM_BLOCK_ALIGN = 36  # 4-byte header + 32 nibble bytes = 65 samples
+
+
+def _adpcm_oracle() -> str:
+    from kamiyo_hive_spark.functions.adpcm import INDEX_TABLE, STEP_TABLE
+
+    steps = "[" + ", ".join(str(v) for v in STEP_TABLE) + "]"
+    idxs = "[" + ", ".join(str(v) for v in INDEX_TABLE) + "]"
+    return f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, (doc_id // 3) % 3 + 2 AS nb
+        FROM documents WHERE doc_id < 180 AND doc_id % 3 = 0
+    ),
+    blocks AS (
+        SELECT d.doc_id, d.nb, b.range AS blk,
+               ((d.doc_id * 31 + b.range * 17) % 4001) - 2000 AS p0,
+               (d.doc_id + 3 * b.range) % 89 AS i0
+        FROM docs d CROSS JOIN range(0, 4) b
+        WHERE b.range < d.nb
+    ),
+    steps AS (
+        SELECT doc_id, nb, blk, 0 AS k,
+               p0 AS pred, i0 AS idx,
+               CAST(p0 AS BIGINT) AS run_sum, p0 AS run_min, p0 AS run_max
+        FROM blocks
+        UNION ALL
+        SELECT doc_id, nb, blk, k + 1,
+               GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS np,
+               GREATEST(0, LEAST(88,
+                   idx + list_extract({idxs}, (nib % 8) + 1))),
+               run_sum + GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+               LEAST(run_min, GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END))),
+               GREATEST(run_max, GREATEST(-32768, LEAST(32767,
+                   pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)))
+        FROM (
+            SELECT s.*,
+                   (s.doc_id + 7 * s.blk + 11 * s.k) % 16 AS nib,
+                   list_extract({steps}, s.idx + 1) AS step
+            FROM steps s WHERE s.k < 64
+        ) t,
+        LATERAL (
+            SELECT (step // 8)
+                   + CASE WHEN (nib % 8) >= 4 THEN step ELSE 0 END
+                   + CASE WHEN (nib % 8) % 4 >= 2 THEN step // 2 ELSE 0 END
+                   + CASE WHEN (nib % 8) % 2 = 1 THEN step // 4 ELSE 0 END
+                   AS diff
+        ) dd
+    ),
+    fin AS (SELECT * FROM steps WHERE k = 64)
+    SELECT doc_id,
+           CAST(any_value(nb) AS BIGINT) AS n_blocks,
+           CAST(any_value(nb) * 65 AS BIGINT) AS n_samples,
+           CAST(SUM(run_sum) AS BIGINT) AS sum_samples,
+           CAST(MIN(run_min) AS BIGINT) AS min_sample,
+           CAST(MAX(run_max) AS BIGINT) AS max_sample
+    FROM fin
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_adpcm_decode",
+    oracle=_adpcm_oracle(),
+    tags=("multimodal", "audio", "adpcm", "real-decode", "mapInPandas"),
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decoded for real: IMA ADPCM (WAV format tag
+    0x11), the classic 4-bit-per-sample codec whose decoder is a pure
+    integer state machine — step/index table walks with clamping, per
+    the IMA spec. Each audio doc synthesizes a spec-shaped multi-block
+    ADPCM WAV (fmt/fact/data chunks, per-block predictor+index headers,
+    low-nibble-first packing) from closed-form nibbles; the Spark side
+    parses the REAL bytes and runs the machine, and the DuckDB oracle
+    replays the SAME state machine as a 64-deep RECURSIVE CTE over the
+    step tables — every decoded sample is an exact integer, so the
+    sums/extrema hash-match only if container parsing, nibble order,
+    the diff formula, and both clamps agree step for step. PCM or any
+    other format tag raises (the PCM path is `multimodal_real_decode`).
+
+    Scale shape: per-row mapInPandas over Arrow batches, no shuffle;
+    blocks are independently decodable (each carries its own state
+    header), which is what makes ADPCM seekable/parallel at scale."""
+    from kamiyo_hive_spark.functions.adpcm import decode_adpcm_wav, encode_adpcm_wav
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 180) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in ADPCM_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nb = (doc_id // 3) % 3 + 2
+                blocks = []
+                for blk in range(nb):
+                    p0 = ((doc_id * 31 + blk * 17) % 4001) - 2000
+                    i0 = (doc_id + 3 * blk) % 89
+                    nibs = [(doc_id + 7 * blk + 11 * k) % 16 for k in range(64)]
+                    blocks.append((p0, i0, nibs))
+                payload = encode_adpcm_wav(blocks, ADPCM_BLOCK_ALIGN)
+                d = decode_adpcm_wav(payload)
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        d["n_blocks"],
+                        d["n_samples"],
+                        d["sum_samples"],
+                        d["min_sample"],
+                        d["max_sample"],
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=ADPCM_SCHEMA)
