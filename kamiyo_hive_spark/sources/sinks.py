@@ -141,6 +141,25 @@ def fresh_staging(out: str, build) -> str:
     return out
 
 
+def fresh_staging_result(out: str, build, result) -> DataFrame:
+    """:func:`fresh_staging` plus compute-under-lock: build into a temp
+    dir, swap, then materialize ``result(out)`` with localCheckpoint
+    BEFORE the lock releases. A lazy frame over a fresh_staging root is
+    a race: two concurrent rebuilds before the frame's collect delete
+    the displaced generation it planned against (the single retained
+    generation only survives ONE subsequent swap). Same discipline as
+    the txlog live-write queries."""
+    with _staging_lock(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            build(tmp)
+            _swap_into_place(tmp, out)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return result(out).localCheckpoint()
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Bulk-insert sink: atomic-overwrite partitioned parquet append
     target. (Delta/Iceberg MERGE is the transactional upgrade; their
@@ -170,14 +189,15 @@ def bulk_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
-    fresh_staging(out, lambda tmp: write_partitioned(recent, tmp, ["o_orderstatus"]))
-    reread = spark.read.parquet(out)
-    return (
-        reread.groupBy("o_orderstatus")
+    return fresh_staging_result(
+        out,
+        lambda tmp: write_partitioned(recent, tmp, ["o_orderstatus"]),
+        lambda root: spark.read.parquet(root)
+        .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
             money_sum(dec("o_totalprice")).alias("total_price"),
-        )
+        ),
     )
 
 
@@ -273,14 +293,15 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    fresh_staging(out, build)
-    reread = spark.read.parquet(out)
-    return (
-        reread.groupBy("o_orderstatus")
+    return fresh_staging_result(
+        out,
+        build,
+        lambda root: spark.read.parquet(root)
+        .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
             money_sum(dec("o_totalprice")).alias("total_price"),
-        )
+        ),
     )
 
 

@@ -159,6 +159,14 @@ def bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     staged = _bloom_dir(spark, sf_dir)
     years = bloom_candidate_years(staged, SKIP_CUSTKEY)
+    if not years:
+        # Key absent from every Bloom and no false positive: the point
+        # lookup's legitimate answer is empty. spark.read.parquet(*[])
+        # would raise, so build the empty result with the output schema
+        # directly — a general planner helper must handle zero files.
+        return spark.createDataFrame(
+            [], "o_year bigint, n_orders bigint, total_price double"
+        )
     paths = [os.path.join(staged, f"o_year={y}") for y in years]
     o = spark.read.parquet(*paths).filter(F.col("o_custkey") == SKIP_CUSTKEY)
     return (

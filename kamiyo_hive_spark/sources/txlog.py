@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -402,11 +403,19 @@ class TxLog:
         spec (or none) cannot be pruned on this key and is kept for the
         row-level filter — never a false negative, exactly the
         per-file-spec semantics partition evolution requires. Pure
-        path/metadata work: no data file is opened."""
+        path/metadata work: no data file is opened.
+
+        Spec membership tests WHOLE path components (``part.partition(
+        '=')[0] == spec``), not substrings: a file laid out as
+        ``o_year=1997/...`` is NOT "written under" spec ``year`` even
+        though ``"year="`` occurs inside the component — a substring
+        test would silently drop other-spec files on a suffix-named
+        key, violating the never-a-false-negative contract."""
         keep = []
         for f in self.snapshot_files():
-            if f"{spec}=" in f:
-                if f"{spec}={value}/" in f:
+            parts = f.split(os.sep)
+            if any(p.partition("=")[0] == spec for p in parts):
+                if f"{spec}={value}" in parts:
                     keep.append(f)
             else:
                 keep.append(f)
@@ -662,13 +671,26 @@ _register_queries()
 # ---------------------------------------------------------------------------
 
 
-def vacuum(log: TxLog, retain_versions: int = 2) -> int:
+def vacuum(log: TxLog, retain_versions: int = 2,
+           retain_seconds: float = 3600.0) -> int:
     """Delete data files referenced by NO retained snapshot — the GC
     that pairs with optimistic commits (crashed writers leak staged
     files nothing references; rewrites strand the replaced files once
     their versions age out of the retention window). Keeps the last
     ``retain_versions`` snapshots time-travelable; returns the number
     of files deleted.
+
+    Unreferenced files MODIFIED within ``retain_seconds`` are kept: a
+    concurrent writer stages data files BEFORE its commit publishes
+    the snapshot that references them, so "unreferenced right now" can
+    mean "about to be referenced". Without the age guard, vacuuming
+    during that window deletes the staged files and the writer's
+    subsequent commit publishes a snapshot pointing at nothing —
+    silent corruption. (Delta's VACUUM guards the same race with a
+    modification-time retention window.) Do not run vacuum with a
+    threshold shorter than the longest possible stage-to-commit gap
+    of any live writer; ``retain_seconds=0`` restores the unguarded
+    behavior for single-writer tests.
 
     Scale posture: pure metadata work — the referenced set is the union
     of the retained manifests, never a data scan. (On an object store
@@ -681,12 +703,18 @@ def vacuum(log: TxLog, retain_versions: int = 2) -> int:
     for v in range(keep_from, latest + 1):
         referenced.update(log.snapshot_files(v))
     deleted = 0
+    cutoff = time.time() - retain_seconds
     data_root = os.path.join(log.root, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for f in files:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, log.root)
             if rel not in referenced:
+                try:
+                    if os.stat(full).st_mtime > cutoff:
+                        continue  # possibly staged by an in-flight writer
+                except FileNotFoundError:
+                    continue  # another vacuum won the race; nothing to do
                 os.unlink(full)
                 deleted += 1
     return deleted
@@ -773,8 +801,10 @@ def _register_maintenance_queries() -> None:
             if v != N_SMALL_APPENDS:
                 raise RuntimeError(f"optimize landed at v{v}, expected {N_SMALL_APPENDS}")
             # retention window = the optimized snapshot only: every
-            # fragment file must be collectable
-            n_deleted = vacuum(log, retain_versions=1)
+            # fragment file must be collectable. retain_seconds=0 is
+            # safe HERE because the build runs single-writer under the
+            # staging lock — no concurrent writer can be mid-stage.
+            n_deleted = vacuum(log, retain_versions=1, retain_seconds=0.0)
             if n_deleted < N_SMALL_APPENDS:
                 raise RuntimeError(f"vacuum removed {n_deleted} files, expected >= {N_SMALL_APPENDS}")
             open(os.path.join(tmp, "_SUCCESS"), "w").close()

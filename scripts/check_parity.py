@@ -33,6 +33,14 @@ def main(names):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
+        # Same persist hygiene as bench.py: builders that persist()
+        # multi-consumer intermediates leave blocks cached after the
+        # action; over a long parity loop the orphans squeeze unified
+        # memory. Unpersist whatever each query added.
+        def persistent_rdds():
+            return dict(spark.sparkContext._jsc.getPersistentRDDs())
+
+        keep = set(persistent_rdds())
         for name in names:
             try:
                 spec = reg[name]
@@ -43,6 +51,10 @@ def main(names):
             except Exception as ex:
                 failed.append(name)
                 print(f"FAIL {name}: {ex}")
+            finally:
+                for rdd_id, jrdd in persistent_rdds().items():
+                    if rdd_id not in keep:
+                        jrdd.unpersist(False)
     finally:
         con.close()
         spark.stop()

@@ -65,6 +65,28 @@ def test_bloom_result_matches_full_scan(spark, sf_dir):
     assert got == want
 
 
+def test_bloom_empty_candidate_set_returns_empty_frame(spark, sf_dir, monkeypatch):
+    """A key absent from every Bloom (no false positive) must return
+    the legitimate empty result with the query's schema — not crash on
+    spark.read.parquet() with zero paths."""
+    import kamiyo_hive_spark.sources.skipping as sk
+
+    staged = _bloom_dir(spark, sf_dir)
+    absent = None
+    for k in range(10_000_000, 10_000_400):
+        if not bloom_candidate_years(staged, k):
+            absent = k
+            break
+    assert absent is not None, "no bloom-negative key found in probe range"
+    monkeypatch.setattr(sk, "SKIP_CUSTKEY", absent)
+    out = sk.bloom_skip_scan(spark, sf_dir)
+    assert out.columns == ["o_year", "n_orders", "total_price"]
+    assert [str(f.dataType) for f in out.schema.fields] == [
+        "LongType()", "LongType()", "DoubleType()",
+    ]
+    assert out.count() == 0
+
+
 def test_probe_recipe_matches_spark(spark):
     """The Python planner probe and the distributed builder probe must
     be the same function of the key."""

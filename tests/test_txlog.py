@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 import multiprocessing as mp
 import os
+import time
 
 import pytest
 
@@ -185,14 +186,55 @@ def test_vacuum_keeps_retained_versions_and_gcs_the_rest(tmp_path):
     log.commit("append", [b], read_version=0)                 # v1
     log.commit("rewrite", adds=[c], removes=[a], read_version=1)  # v2
     # retain v1..v2: a is still referenced by v1; only the orphan goes
-    assert vacuum(log, retain_versions=2) == 1
+    assert vacuum(log, retain_versions=2, retain_seconds=0.0) == 1
     assert not os.path.exists(os.path.join(root, orphan))
     assert os.path.exists(os.path.join(root, a))
     assert log.snapshot_files(1) == sorted([a, b])  # time travel intact
     # retain only v2: a ages out
-    assert vacuum(log, retain_versions=1) == 1
+    assert vacuum(log, retain_versions=1, retain_seconds=0.0) == 1
     assert not os.path.exists(os.path.join(root, a))
     assert log.snapshot_files() == sorted([b, c])
+
+
+def test_vacuum_age_guard_spares_inflight_staged_files(tmp_path):
+    """A writer stages data files BEFORE its commit references them;
+    vacuum's modification-time guard must keep recent unreferenced
+    files or that commit would publish dangling pointers."""
+    from kamiyo_hive_spark.sources.txlog import vacuum
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    committed = _touch(root, "data/a/p.parquet")
+    log.commit("append", [committed])                         # v0
+    staged = _touch(root, "data/inflight/p.parquet")          # not yet committed
+    old_orphan = _touch(root, "data/crashed/p.parquet")
+    past = time.time() - 7200
+    os.utime(os.path.join(root, old_orphan), (past, past))
+    # default window (1h): fresh staged file survives, old orphan goes
+    assert vacuum(log, retain_versions=1) == 1
+    assert os.path.exists(os.path.join(root, staged))
+    assert not os.path.exists(os.path.join(root, old_orphan))
+    # the in-flight writer can still publish its commit safely
+    log.commit("append", [staged], read_version=0)            # v1
+    assert log.snapshot_files() == sorted([committed, staged])
+
+
+def test_pruned_files_spec_name_is_not_a_substring_match(tmp_path):
+    """Files written under 'o_year' must NOT be treated as written
+    under spec 'year' (suffix collision): pruning on 'year' must keep
+    them for the row-level filter — never a false negative."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    y = _touch(root, "data/year=1997/p.parquet")
+    oy = _touch(root, "data/o_year=1998/p.parquet")
+    plain = _touch(root, "data/plain/p.parquet")
+    log.commit("append", [y, oy, plain])
+    pruned = log.pruned_files("year", "1997")
+    # y matches the predicate partition; oy is OTHER-spec (kept); plain kept
+    assert sorted(pruned) == sorted([y, oy, plain])
+    pruned_miss = log.pruned_files("year", "1996")
+    # y is provably excluded; oy and plain still kept
+    assert sorted(pruned_miss) == sorted([oy, plain])
 
 
 def test_optimize_compacts_through_the_protocol(spark, sf_dir, tmp_path):
@@ -213,7 +255,7 @@ def test_optimize_compacts_through_the_protocol(spark, sf_dir, tmp_path):
     files = log.snapshot_files()
     assert len(files) == 2 < n_files_before
     assert log.read(spark).count() == before          # pure re-layout
-    vacuum(log, retain_versions=1)
+    vacuum(log, retain_versions=1, retain_seconds=0.0)
     assert log.read(spark).count() == before          # still readable
     # optimize on an already-compact table is a no-op (no new version)
     assert optimize(log, spark, target_files=2) == 6
