@@ -885,12 +885,20 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold on every (doc-token, query-token) pair (1.9M at sf0.1 — the
     naive shape measured 26-29 s; this factoring runs in ~2.7 s, same
     values). The occurrence-scale work is then a broadcast EQUI-join
-    lookup of precomputed sims + two partial-agg exchanges
-    (max-per-(q, d, qtok), sum-per-(q, d)). At 100 TB the candidate
-    set comes from the ANN index (`knn_lsh_partitioned`) and MaxSim
-    reranks only that pool; the vocab-factored sim table is the same
-    trick production late-interaction rerankers use for their query-
-    side cache."""
+    lookup of precomputed sims + ONE partial-agg exchange: query
+    tokens are identified by POSITION (posexplode of the per-query
+    distinct slice, so qpos↔qtok is bijective within a query) and the
+    per-(q, d, qtok) MAX pivots into {MAXSIM_QTOK} conditional-max
+    buffers keyed by (q, d) — the map side combines straight down to
+    one row per candidate pair, and the Σ-over-query-tokens is a
+    zero-exchange decimal fold across those buffers (decimal addition
+    is exact, so buffer order can't perturb the hash). r4 shape was
+    two exchanges (max-per-(q, d, qtok), then sum-per-(q, d)); fusing
+    them halved the shuffled cells and dropped a whole stage. At
+    100 TB the candidate set comes from the ANN index
+    (`knn_lsh_partitioned`) and MaxSim reranks only that pool; the
+    vocab-factored sim table is the same trick production
+    late-interaction rerankers use for their query-side cache."""
     toks = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.slice(F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK).alias(
@@ -928,7 +936,7 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("doc_id") < MAXSIM_NQ)
         .select(
             F.col("doc_id").alias("query_id"),
-            F.explode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qtok"),
+            F.posexplode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qpos", "qtok"),
         )
         .withColumn("qnv", normalize(hash_vec(F.col("qtok"))))
     )
@@ -940,21 +948,82 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
-    # vocab × queries sim table — the only place cosines are evaluated;
-    # materialized so the occurrence join reads plain doubles
-    simtab = (
+    # vocab × queries sim table, pivoted to ONE dense sims map per
+    # distinct token: key j = query_id * QTOK + qpos identifies the
+    # query token (qpos↔qtok is bijective inside a query), value = the
+    # 9dp-rounded cosine. The map is vocab-scale (tiny next to the
+    # corpus) and broadcast EXPLICITLY — the sims lookup must never
+    # shuffle the occurrence relation. vtok rename: vocab derives from
+    # dt, so joining on the same attribute would resolve to a
+    # trivially-true predicate (the derived-frame self-join trap).
+    # (A "compile the 744 cosines to literal codegen arithmetic"
+    # variant was A/B'd and ran 2× SLOWER: the ~2000-node expression
+    # tree pays seconds of analyzer/janino time — the known
+    # mega-expression trap. The HOF folds here are vocab-scale and
+    # cheap.)
+    nq_slots = MAXSIM_NQ * MAXSIM_QTOK
+    simmap = (
         vocab.crossJoin(F.broadcast(qt))
-        .select("tok", "query_id", "qtok", sim.alias("s"))
-        .localCheckpoint()
+        .groupBy(F.col("tok").alias("vtok"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("query_id") * MAXSIM_QTOK + F.col("qpos")).alias(
+                            "j"
+                        ),
+                        sim.alias("s"),
+                    )
+                )
+            ).alias("sims")
+        )
     )
-    sims = (
-        dt.join(simtab, "tok")
+    # One fused corpus aggregation: per doc, nq_slots conditional MAX
+    # buffers (one per query token of every query) collapse the whole
+    # occurrence relation to |docs| rows map-side — the ONLY corpus
+    # exchange in the query. A slot missing from the map (query
+    # shorter than the budget) looks up NULL, max stays NULL, and the
+    # decimal fold skips it exactly as SUM skips absent groups.
+    per_doc = (
+        dt.join(F.broadcast(simmap), dt["tok"] == simmap["vtok"])
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.element_at("sims", F.lit(j))).alias(f"s{j}")
+                for j in range(nq_slots)
+            ]
+        )
+    )
+
+    def qscore(q: int) -> Column:
+        total = None
+        for p in range(MAXSIM_QTOK):
+            term = F.coalesce(
+                F.col(f"s{q * MAXSIM_QTOK + p}").cast("decimal(28,9)"),
+                F.lit(0).cast("decimal(28,9)"),
+            )
+            total = term if total is None else total + term
+        return total.cast("double")
+
+    # Unpivot the per-query sums to (query_id, doc_id, maxsim) rows —
+    # MAXSIM_NQ-wide stack over an already-|docs|-sized frame.
+    scored = (
+        per_doc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).cast("long").alias("query_id"),
+                            qscore(q).alias("maxsim"),
+                        )
+                        for q in range(MAXSIM_NQ)
+                    ]
+                )
+            ).alias("qs"),
+        )
+        .select(F.col("qs.query_id"), "doc_id", F.col("qs.maxsim"))
         .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id", "qtok")
-        .agg(F.max("s").alias("best"))
-    )
-    scored = sims.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("best").cast("decimal(28,9)")).cast("double").alias("maxsim")
     )
     from pyspark.sql import Window
 
