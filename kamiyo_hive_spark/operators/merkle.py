@@ -195,23 +195,14 @@ def merkle_root_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merkle_root(c, "c_custkey", "c_name")
 
 
-def merkle_root_poseidon(
+def _poseidon_fold_parts(
     leaves: DataFrame, id_col: str, value_col: str, block_bits: int = 12
-) -> DataFrame:
-    """Poseidon-hashed Merkle commitment (SURVEY U5 + A15): the same
-    two-stage aligned-block fold as `merkle_root`, but with the
-    reference's ZK-friendly hash — leaf = poseidon(id, sha256(value)
-    mod p), parent = poseidon(left, right), and PER-LEVEL zero-subtree
-    padding hashes z_{l+1} = poseidon(z_l, z_l) exactly as
-    `packages/hive-sdk/src/swarmteams/merkle.ts:62-79` precomputes them
-    (the sha256 variant uses a flat zero constant instead).
-
-    Poseidon has no JVM builtin, so both the leaf hashing and the fold
-    run in the Arrow-batched block kernels; the (C, M) parameter tables
-    and the permutation math are captured BY VALUE (executors never
-    import this package). Field elements travel between the two stages
-    as 0x-free hex strings.
-    """
+) -> dict:
+    """Shared plumbing for the Poseidon commitment family: the indexed
+    leaf relation, the executor-side aligned-block fold, and the pure-
+    Python fold/hash closures — returned as parts so the root query
+    composes them distributed while the self-audit reuses the SAME
+    closures over bounded samples (no full-leaf collect anywhere)."""
     from kamiyo_hive_spark.functions.poseidon import (
         N_ROUNDS_P,
         P,
@@ -279,6 +270,40 @@ def merkle_root_poseidon(
         level.groupBy(F.expr(f"idx div {2 ** kb}").alias("_blk"))
         .applyInPandas(fold_block, "idx long, h string")
     )
+    return {
+        "level": level,
+        "blocks": blocks,
+        "n": n,
+        "depth": depth,
+        "kb": kb,
+        "pair_hash": pair_hash,
+        "fold_levels": fold_levels,
+        "prime": prime,
+    }
+
+
+def merkle_root_poseidon(
+    leaves: DataFrame, id_col: str, value_col: str, block_bits: int = 12
+) -> DataFrame:
+    """Poseidon-hashed Merkle commitment (SURVEY U5 + A15): the same
+    two-stage aligned-block fold as `merkle_root`, but with the
+    reference's ZK-friendly hash — leaf = poseidon(id, sha256(value)
+    mod p), parent = poseidon(left, right), and PER-LEVEL zero-subtree
+    padding hashes z_{l+1} = poseidon(z_l, z_l) exactly as
+    `packages/hive-sdk/src/swarmteams/merkle.ts:62-79` precomputes them
+    (the sha256 variant uses a flat zero constant instead).
+
+    Poseidon has no JVM builtin, so both the leaf hashing and the fold
+    run in the Arrow-batched block kernels; the (C, M) parameter tables
+    and the permutation math are captured BY VALUE (executors never
+    import this package). Field elements travel between the two stages
+    as 0x-free hex strings.
+    """
+    parts = _poseidon_fold_parts(leaves, id_col, value_col, block_bits)
+    blocks, n, depth, kb = (
+        parts["blocks"], parts["n"], parts["depth"], parts["kb"],
+    )
+    fold_levels = parts["fold_levels"]
 
     rest = depth - kb
     if rest > 0:
@@ -297,6 +322,67 @@ def merkle_root_poseidon(
         F.lit(n).cast("long").alias("n_leaves"),
         F.lit(depth).cast("long").alias("depth"),
     )
+
+
+def bounded_poseidon_audit(
+    leaves: DataFrame, id_col: str, value_col: str, block_bits: int = 12
+) -> dict:
+    """Self-audit of the distributed Poseidon commitment WITHOUT a
+    full-leaf collect (VERDICT r4 finding 3: the old audit collected
+    every leaf — ~1M rows at the reference's 2^20 design point). Two
+    bounded probes instead:
+
+    1. **Sampled block replay**: collect block 0's leaves (≤ 2^kb
+       rows, a CONSTANT) and refold them through the pure-Python
+       reference hash — pins leaf hashing + in-block topology.
+    2. **Upper-ladder replay**: collect the block-root list
+       (n / 2^kb rows, metadata-scale) and fold the remaining levels
+       driver-side — pins the padding ladder and fold topology above
+       the blocks, against the fully distributed root.
+
+    Driver traffic is 2^kb + n/2^kb + 1 rows (≈4.4k at 2^20 leaves vs
+    the old 1M); `n_driver_rows` is returned so tests can pin the
+    bound."""
+    parts = _poseidon_fold_parts(leaves, id_col, value_col, block_bits)
+    kb, depth, n = parts["kb"], parts["depth"], parts["n"]
+    fold_levels, prime = parts["fold_levels"], parts["prime"]
+    pair_hash = parts["pair_hash"]
+
+    import hashlib
+
+    # Probe 1: block 0 through the pure-Python reference fold.
+    blk0 = (
+        parts["level"].filter(F.col("idx") < 2 ** kb).orderBy("idx").collect()
+    )
+    hs = [
+        pair_hash(
+            int(r["_id"]),
+            int.from_bytes(hashlib.sha256(str(r["_v"]).encode()).digest(), "big")
+            % prime,
+        )
+        for r in blk0
+    ]
+    py_block0 = fold_levels(hs, kb, 0)
+
+    # Probe 2: distributed block roots, upper ladder refolded driver-side.
+    block_rows = sorted(
+        parts["blocks"].collect(), key=lambda r: int(r["idx"])
+    )
+    dist_block0 = int(block_rows[0]["h"], 16)
+    upper = [int(r["h"], 16) for r in block_rows]
+    py_root = fold_levels(upper, depth - kb, kb) if depth > kb else upper[0]
+
+    spark_row = merkle_root_poseidon(leaves, id_col, value_col, block_bits).collect()[0]
+    spark_root = int(spark_row["root"], 16)
+    return {
+        "n_leaves": int(spark_row["n_leaves"]),
+        "depth": int(spark_row["depth"]),
+        "spark_root": spark_root,
+        "block0_matches": py_block0 == dist_block0,
+        "root_matches": py_root == spark_root,
+        "n_driver_rows": len(blk0) + len(block_rows) + 1,
+        "driver_row_bound": 2 ** kb + max(1, -(-n // 2 ** kb)) + 1,
+    }
 
 
 @register(
@@ -318,37 +404,32 @@ def merkle_poseidon_commitment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the parity note).
 
     DuckDB has no 254-bit modular arithmetic, so — like the sketch
-    flagships — the query SELF-AUDITS: it computes the root through the
-    distributed block fold AND through the single-threaded reference
-    fold (`sequential_merkle_root`, pure Python over the collected
-    sorted leaves — audit-only; the collect is bounded by the
-    correctness scale factor) and emits booleans the oracle pins to
-    TRUE. A divergence in the fold topology, the padding ladder, or the
-    permutation itself is a driver-visible hash mismatch.
-    `tests/test_poseidon.py` additionally pins generated constants and
-    property-tests the permutation."""
-    from kamiyo_hive_spark.functions.poseidon import (
-        P,
-        field_from_bytes,
-        poseidon_hash,
-        sequential_merkle_root,
-    )
+    flagships — the query SELF-AUDITS via `bounded_poseidon_audit`:
+    block 0's leaves replay through the pure-Python reference fold
+    (pins leaf hashing + in-block topology on a ≤2^kb sample) and the
+    metadata-scale block-root ladder refolds driver-side against the
+    fully distributed root (pins padding + upper topology). NO
+    full-leaf collect (VERDICT r4 finding 3: the old audit collected
+    every leaf — ~1M rows at the reference's 2^20 design point;
+    driver traffic is now 2^kb + n/2^kb + 1 rows, asserted in
+    tests/test_merkle.py). A divergence in the fold topology, the
+    padding ladder, or the permutation itself is a driver-visible
+    hash mismatch. `tests/test_poseidon.py` additionally pins
+    generated constants and property-tests the permutation;
+    `sequential_merkle_root` remains the full third implementation
+    there (test-side, where a full collect is appropriate)."""
+    from kamiyo_hive_spark.functions.poseidon import P
 
     c = table(spark, sf_dir, "customer")
-    spark_row = merkle_root_poseidon(c, "c_custkey", "c_name").collect()[0]
-    leaves = [
-        poseidon_hash([int(r["c_custkey"]), field_from_bytes(str(r["c_name"]).encode())])
-        for r in c.select("c_custkey", "c_name").orderBy("c_custkey").collect()
-    ]
-    ref_root = sequential_merkle_root(leaves, int(spark_row["depth"]))
-    spark_root = int(spark_row["root"], 16)
+    audit = bounded_poseidon_audit(c, "c_custkey", "c_name")
+    assert audit["n_driver_rows"] <= audit["driver_row_bound"], audit
     return spark.createDataFrame(
         [
             (
-                int(spark_row["n_leaves"]),
-                int(spark_row["depth"]),
-                bool(0 <= spark_root < P),
-                bool(spark_root == ref_root),
+                audit["n_leaves"],
+                audit["depth"],
+                bool(0 <= audit["spark_root"] < P),
+                bool(audit["block0_matches"] and audit["root_matches"]),
             )
         ],
         "n_leaves long, depth long, root_in_field boolean, matches_reference boolean",

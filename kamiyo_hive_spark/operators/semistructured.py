@@ -750,6 +750,18 @@ def _layout_frame(spark: SparkSession, sf_dir: str, audit: bool) -> DataFrame:
     # At real scale the group key would be a swarm id with millions of
     # groups and this repartition would simply become the grouped-map
     # shuffle itself.
+    #
+    # Two r5 task-4 variants were A/B'd interleaved and REJECTED, both
+    # hash-identical (full numbers in docs/BENCH_NOTES.md): (a) bucket
+    # many graphs per Arrow batch via groupBy(pmod(xxhash64(graph_id)))
+    # + an in-kernel loop — a wash (med 1.47 → 1.57 s; the floor is
+    # the per-PARTITION worker round-trip, which repartition(4)
+    # already amortizes, not the per-group calls); (b) size-gated
+    # LOCAL solve (collect ≤100k edges, same kernel driver-side) —
+    # SLOWER (med 1.54 → 1.66 s): the driver runs 25 n²-numpy kernels
+    # serially where the grouped map runs them 4-way parallel, unlike
+    # the union-find case where the local solve replaced a whole
+    # propagation loop.
     return (
         pairs.repartition(4, "graph_id")
         .groupBy("graph_id")

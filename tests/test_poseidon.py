@@ -85,6 +85,45 @@ def test_registered_commitment_audit(spark, sf_dir):
     assert row["n_leaves"] > 0
 
 
+def test_bounded_audit_no_full_leaf_collect(spark, sf_dir):
+    """The registered commitment's audit must collect O(2^kb + n/2^kb)
+    rows, never the leaf set (VERDICT r4 finding 3) — exercised with a
+    small block size so the multi-block upper ladder really runs."""
+    from kamiyo_hive_spark.operators.merkle import bounded_poseidon_audit
+
+    c = table(spark, sf_dir, "customer")
+    n = c.count()
+    audit = bounded_poseidon_audit(c, "c_custkey", "c_name", block_bits=4)
+    assert audit["block0_matches"] and audit["root_matches"]
+    assert audit["n_leaves"] == n
+    assert audit["n_driver_rows"] <= audit["driver_row_bound"]
+    # the bound itself must be sub-linear in n once n >> 2^kb
+    assert audit["n_driver_rows"] < n, (audit["n_driver_rows"], n)
+
+
+def test_bounded_audit_detects_tampered_ladder(spark, sf_dir):
+    """A wrong padding ladder must flip the audit booleans: fold with
+    mismatched block sizes so the distributed root and the replayed
+    ladder disagree."""
+    from kamiyo_hive_spark.operators import merkle as M
+
+    c = table(spark, sf_dir, "customer")
+    good = M.bounded_poseidon_audit(c, "c_custkey", "c_name", block_bits=8)
+    assert good["root_matches"]
+    # tamper: compare the distributed root against an upper fold run
+    # one level short — must NOT match
+    parts = M._poseidon_fold_parts(c, "c_custkey", "c_name", block_bits=8)
+    upper = sorted(
+        (int(r["idx"]), int(r["h"], 16)) for r in parts["blocks"].collect()
+    )
+    hs = [h for _, h in upper]
+    if parts["depth"] - parts["kb"] > 1:
+        short = parts["fold_levels"](hs, parts["depth"] - parts["kb"] - 1,
+                                     parts["kb"])
+        # folding one level short can't reproduce the committed root
+        assert short != good["spark_root"]
+
+
 def test_poseidon_proof_roundtrip(spark, sf_dir):
     from kamiyo_hive_spark.operators.merkle import (
         merkle_proof_poseidon,
