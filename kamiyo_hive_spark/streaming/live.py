@@ -1,0 +1,209 @@
+"""Live-socket streaming source adapter (SURVEY ST1-ST8 "live" leg).
+
+The file-replay jobs in `streaming/jobs.py` prove the stateful
+semantics over multi-micro-batch file delivery; this module closes the
+sim-vs-real gap the reference's live surface implies (its HUD consumes
+a WebSocket feed — `hooks/useAgentStream.ts:39-53`,
+`packages/hive-sdk/src/channels/ws-server.ts`): the SAME transforms
+consume a genuine TCP byte stream through Spark's socket source.
+
+Three pieces:
+
+- :func:`serve_events_tcp` — a real TCP server (thread) that streams
+  an events slice as JSON lines and then holds the connection open
+  (the socket source treats a disconnect as query failure, so the
+  server outlives the query and is closed by the caller).
+- :func:`socket_events_stream` — `readStream.format("socket")` +
+  `from_json` back to the exact events schema. Timestamps travel as
+  `unix_micros` longs, not strings — exact round-trip, no format
+  ambiguity; doubles travel as shortest-repr JSON numbers (exact).
+- :func:`run_live_to_completion` — drives the query until the sink
+  has absorbed `expected_rows` input rows. A socket has no
+  end-of-stream marker, so completion is detected from query progress
+  (total numInputRows), with a hard timeout.
+
+Scale posture: the socket source is the single-node stand-in for a
+partitioned bus (Kafka); the transforms are source-agnostic, so the
+production swap is `readStream.format("kafka")` + the same
+`from_json` — no operator changes. State sizing notes in
+`_run_to_completion` apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_WIRE_SCHEMA = (
+    "event_id long, ts_us long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_as_jsonl(spark: SparkSession, sf_dir: str, cutoff: str) -> list[str]:
+    """Serialize the events slice `ts < cutoff` as JSON lines, ordered
+    by event time (the delivery order a bus would replay). Timestamps
+    are converted to epoch microseconds IN SPARK (`unix_micros`) so the
+    wire value is exact regardless of driver timezone."""
+    from kamiyo_hive_spark.catalog import table
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    return [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "ts_us": r["ts_us"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "value": r["value"],
+                "props": r["props"],
+            }
+        )
+        for r in rows
+    ]
+
+
+class serve_events_tcp:
+    """Context manager: a real TCP server on an ephemeral localhost
+    port that writes `lines` to every client and then HOLDS the
+    connection open until closed (Spark's socket source fails the
+    query on disconnect — the server must outlive the stream)."""
+
+    def __init__(self, lines: list[str], host: str = "127.0.0.1"):
+        self.lines = lines
+        self.host = host
+        self.port: int | None = None
+        self._srv: socket.socket | None = None
+        self._conns: list[socket.socket] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def __enter__(self) -> "serve_events_tcp":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, 0))
+        self._srv.listen(4)
+        self._srv.settimeout(0.2)
+        self.port = self._srv.getsockname()[1]
+        payload = ("\n".join(self.lines) + "\n").encode() if self.lines else b""
+
+        def run() -> None:
+            while not self._stop.is_set():
+                try:
+                    conn, _ = self._srv.accept()
+                except socket.timeout:
+                    continue
+                except OSError:
+                    return
+                try:
+                    conn.sendall(payload)
+                except OSError:
+                    conn.close()
+                    continue
+                self._conns.append(conn)  # hold open; closed on exit
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+        for c in self._conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+        if self._srv is not None:
+            self._srv.close()
+
+
+def socket_events_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """The live twin of `_events_stream`: a TCP byte stream parsed back
+    to the exact events schema. Every downstream transform sees the
+    same columns/types as the file source."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), EVENTS_WIRE_SCHEMA).alias("e")
+    ).select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+    return parsed
+
+
+def run_live_to_completion(
+    result: DataFrame,
+    name: str,
+    mode: str,
+    expected_rows: int,
+    timeout_s: float = 120.0,
+    partitions: int = 4,
+) -> None:
+    """Start the query on the live source and drive it until the total
+    input row count reaches `expected_rows` (a socket has no EOF — the
+    bus analogy is an offset high-watermark, which is exactly what
+    numInputRows accumulates). Raises on timeout so a stalled feed is
+    a loud failure, never a silently-short result."""
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + timeout_s
+            seen = 0
+            while seen < expected_rows:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"live stream {name!r}: {seen}/{expected_rows} rows "
+                        f"after {timeout_s}s"
+                    )
+                q.processAllAvailable()
+                seen = sum(
+                    int(p["numInputRows"]) for p in q.recentProgress
+                )
+                if seen < expected_rows:
+                    time.sleep(0.05)
+            # one final drain so the last-arrived rows are committed
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
