@@ -76,6 +76,7 @@ def load_registry() -> dict[str, QuerySpec]:
             corpus,
             dedup,
             joins,
+            llm_http,
             llm_pipeline,
             merkle,
             multimodal,
@@ -100,6 +101,7 @@ def load_registry() -> dict[str, QuerySpec]:
         from kamiyo_hive_spark.sources import (  # noqa: F401
             layout,
             maintenance,
+            restds,
             sinks,
             skipping,
             txlog,
