@@ -29,23 +29,7 @@ from __future__ import annotations
 import json
 import threading
 import urllib.parse
-import urllib.request
-from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    EqualTo,
-    GreaterThanOrEqual,
-    InputPartition,
-    LessThan,
-)
-
-ORDERS_API_SCHEMA = (
-    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
-    "o_totalprice double, o_orderdate timestamp"
-)
 
 
 class OrdersApiServer:
@@ -143,76 +127,113 @@ class OrdersApiServer:
             self._thread.join(timeout=2)
 
 
-def _attr_name(filter_obj) -> str:
-    """Filter.attribute is a column path (tuple of name parts)."""
-    attr = filter_obj.attribute
-    if isinstance(attr, str):
-        return attr
-    return ".".join(attr)
+def _build_orders_rest_datasource():
+    """The connector classes are defined NESTED so cloudpickle ships
+    them BY VALUE: `spark.dataSource.register` pickles the DataSource
+    class to executor workers, and a module-level class pickles by
+    reference — which fails under the external harness, where
+    `kamiyo_hive_spark` is on the DRIVER's sys.path only (caught live:
+    a /tmp-cwd driver simulation failed worker-side with
+    ModuleNotFoundError before this restructure; same constraint as
+    llm_pipeline._infer_kit). Methods use only stdlib imports, resolved
+    inside the method bodies."""
 
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
 
-class _OrdersRestReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.base_url = options["base_url"]
-        self.page_size = int(options.get("page_size", "5000"))
-        self.params: dict[str, str] = {}
+    def attr_name(filter_obj) -> str:
+        # Filter.attribute is a column path (tuple of name parts)
+        attr = filter_obj.attribute
+        if isinstance(attr, str):
+            return attr
+        return ".".join(attr)
 
-    # -- pushdown ---------------------------------------------------
-    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        for f in filters:
-            name = _attr_name(f)
-            if isinstance(f, EqualTo) and name == "o_orderstatus":
-                self.params["status_eq"] = str(f.value)
-            elif isinstance(f, GreaterThanOrEqual) and name == "o_totalprice":
-                self.params["price_ge"] = repr(float(f.value))
-            elif isinstance(f, LessThan) and name == "o_totalprice":
-                self.params["price_lt"] = repr(float(f.value))
-            else:
-                # unsupported: hand back to Spark, which re-applies it
-                # above the scan — pushdown must never change results
-                yield f
+    class _OrdersRestReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.base_url = options["base_url"]
+            self.page_size = int(options.get("page_size", "5000"))
+            self.params: dict[str, str] = {}
 
-    # -- planning ---------------------------------------------------
-    def partitions(self):
-        qs = urllib.parse.urlencode(self.params)
-        url = f"{self.base_url}/orders/count" + (f"?{qs}" if qs else "")
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            n = json.loads(resp.read())["n"]
-        starts = range(0, max(n, 1), self.page_size)
-        return [InputPartition((off, self.page_size)) for off in starts]
+        # -- pushdown -----------------------------------------------
+        def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+            for f in filters:
+                name = attr_name(f)
+                if isinstance(f, EqualTo) and name == "o_orderstatus":
+                    self.params["status_eq"] = str(f.value)
+                elif isinstance(f, GreaterThanOrEqual) and name == "o_totalprice":
+                    self.params["price_ge"] = repr(float(f.value))
+                elif isinstance(f, LessThan) and name == "o_totalprice":
+                    self.params["price_lt"] = repr(float(f.value))
+                else:
+                    # unsupported: hand back to Spark, which re-applies
+                    # it above the scan — pushdown must never change
+                    # results
+                    yield f
 
-    # -- execution (runs on executors; self is pickled) -------------
-    def read(self, partition):
-        off, lim = partition.value
-        q = dict(self.params)
-        q["offset"] = str(off)
-        q["limit"] = str(lim)
-        url = f"{self.base_url}/orders?" + urllib.parse.urlencode(q)
-        with urllib.request.urlopen(url, timeout=60) as resp:
-            rows = json.loads(resp.read())
-        for k, c, st, price, ts_us in rows:
-            yield (
-                int(k),
-                int(c),
-                st,
-                float(price),
-                datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc),
+        # -- planning -----------------------------------------------
+        def partitions(self):
+            import json as _json
+            import urllib.parse as _up
+            import urllib.request as _rq
+
+            qs = _up.urlencode(self.params)
+            url = f"{self.base_url}/orders/count" + (f"?{qs}" if qs else "")
+            with _rq.urlopen(url, timeout=30) as resp:
+                n = _json.loads(resp.read())["n"]
+            starts = range(0, max(n, 1), self.page_size)
+            return [InputPartition((off, self.page_size)) for off in starts]
+
+        # -- execution (runs on executors; self is pickled) ---------
+        def read(self, partition):
+            import json as _json
+            import urllib.parse as _up
+            import urllib.request as _rq
+            from datetime import datetime as _dt
+            from datetime import timezone as _tz
+
+            off, lim = partition.value
+            q = dict(self.params)
+            q["offset"] = str(off)
+            q["limit"] = str(lim)
+            url = f"{self.base_url}/orders?" + _up.urlencode(q)
+            with _rq.urlopen(url, timeout=60) as resp:
+                rows = _json.loads(resp.read())
+            for k, c, st, price, ts_us in rows:
+                yield (
+                    int(k),
+                    int(c),
+                    st,
+                    float(price),
+                    _dt.fromtimestamp(ts_us / 1e6, tz=_tz.utc),
+                )
+
+    class OrdersRestDataSource(DataSource):
+        """`spark.read.format("rest_orders").option("base_url", ...)` —
+        the registered-name DSv2 entry point."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "rest_orders"
+
+        def schema(self) -> str:
+            return (
+                "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                "o_totalprice double, o_orderdate timestamp"
             )
 
+        def reader(self, schema) -> _OrdersRestReader:
+            return _OrdersRestReader(self.options)
 
-class OrdersRestDataSource(DataSource):
-    """`spark.read.format("rest_orders").option("base_url", ...)` —
-    the registered-name DSv2 entry point."""
+    return OrdersRestDataSource
 
-    @classmethod
-    def name(cls) -> str:
-        return "rest_orders"
 
-    def schema(self) -> str:
-        return ORDERS_API_SCHEMA
-
-    def reader(self, schema) -> _OrdersRestReader:
-        return _OrdersRestReader(self.options)
+OrdersRestDataSource = _build_orders_rest_datasource()
 
 
 # ---------------------------------------------------------------------------
