@@ -102,6 +102,8 @@ def load_registry() -> dict[str, QuerySpec]:
             layout,
             maintenance,
             restds,
+            reststream,
+            restwrite,
             sinks,
             skipping,
             txlog,

@@ -294,6 +294,10 @@ def orders_api_rows(spark: SparkSession, sf_dir: str) -> list[tuple]:
     ORDER BY o_year
     """,
     tags=("S4", "dsv2", "rest", "pushdown", "remote-source"),
+    # bench=False: the measured time is the in-process HTTP stub's
+    # serve/JSON throughput (server seeding collects the whole table),
+    # not engine plan quality — same policy as the proof/audit variants
+    bench=False,
 )
 def rest_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 end-to-end through the DSv2 connector: Spark plans a scan of
