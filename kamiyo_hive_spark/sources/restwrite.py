@@ -65,6 +65,8 @@ class IngestApiServer:
         self.commits = 0
         self.aborts = 0
         self.stage_calls = 0
+        self.batch_ids: set[int] = set()
+        self.replayed_batches = 0
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -120,6 +122,27 @@ class IngestApiServer:
                         for s in req["stages"]:
                             server.staged.pop(s, None)
                         server.aborts += 1
+                    self._reply(200, {"ok": True})
+                elif self.path == "/commit_batch":
+                    # streaming epoch commit: IDEMPOTENT on batch_id —
+                    # a replayed micro-batch (restart re-runs the last
+                    # uncommitted epoch) discards its re-staged rows
+                    # instead of double-publishing: exactly-once
+                    with server._lock:
+                        ids = req["stages"]
+                        bid = int(req["batch_id"])
+                        if any(s not in server.staged for s in ids):
+                            self._reply(409, {"error": "unknown stage"})
+                            return
+                        if bid in server.batch_ids:
+                            for s in ids:
+                                server.staged.pop(s)
+                            server.replayed_batches += 1
+                        else:
+                            server.batch_ids.add(bid)
+                            for s in ids:
+                                server.published.extend(server.staged.pop(s))
+                            server.commits += 1
                     self._reply(200, {"ok": True})
                 else:
                     self._reply(404, {})
@@ -209,9 +232,47 @@ def _build_ingest_rest_datasource():
                 {"stages": [m.stage_id for m in messages if m is not None]},
             )
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class _IngestRestStreamWriter(DataSourceStreamWriter):
+        """Per-micro-batch 2PC: tasks stage, the driver commits the
+        epoch with its batchId — the service publishes idempotently on
+        batch_id, so a replayed epoch (restart re-runs the last
+        uncommitted micro-batch) can never double-publish. The same
+        exactly-once contract as the txlog streaming sink
+        (sources/txlog.py TxLogBatchSink), expressed through the DSv2
+        streaming writer protocol instead of foreachBatch."""
+
+        def __init__(self, options: dict):
+            self.base_url = options["base_url"]
+
+        _post = _IngestRestWriter._post
+
+        def write(self, iterator):
+            rows = [list(r) for r in iterator]
+            sid = self._post("/stage", {"rows": rows})["stage_id"]
+            return StageCommit(stage_id=sid, n_rows=len(rows))
+
+        def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
+            self._post(
+                "/commit_batch",
+                {
+                    "stages": [m.stage_id for m in messages],
+                    "batch_id": int(batchId),
+                },
+            )
+
+        def abort(self, messages, batchId):  # noqa: N803
+            self._post(
+                "/abort",
+                {"stages": [m.stage_id for m in messages if m is not None]},
+            )
+
     class IngestRestDataSource(DataSource):
         """`df.write.format("rest_ingest").option("base_url", ...)` —
-        rows travel as JSON arrays (doubles in shortest repr: exact)."""
+        rows travel as JSON arrays (doubles in shortest repr: exact).
+        Also usable as a streaming sink: `df.writeStream.format(
+        "rest_ingest")` stages per task and commits per epoch."""
 
         @classmethod
         def name(cls) -> str:
@@ -219,6 +280,9 @@ def _build_ingest_rest_datasource():
 
         def writer(self, schema, overwrite: bool) -> _IngestRestWriter:
             return _IngestRestWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+            return _IngestRestStreamWriter(self.options)
 
     return IngestRestDataSource
 
@@ -281,3 +345,80 @@ def rest_writeback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, int(n), float(t)) for p, n, t in published],
         "o_orderpriority string, n_orders bigint, total_price double",
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "streaming_rest_sink_exactly_once",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("S3", "ST5", "dsv2", "streaming", "sink", "exactly-once"),
+    # bench=False: wire/stub-bound (see rest_pushdown_scan)
+    bench=False,
+)
+def streaming_rest_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSv2 STREAMING sink end-to-end: the events stream (4 real
+    micro-batches) is published to the remote ingest API through the
+    per-epoch stage→commit protocol — each epoch commits under its
+    batchId, which the service publishes idempotently, so restarts
+    can't double-write (tests/test_restwrite.py replays an epoch and
+    pins zero duplicate rows). The oracle recomputes the aggregate
+    from the raw table: a dropped epoch, a double-published batch, or
+    a lossy wire type is a hash mismatch."""
+    from kamiyo_hive_spark.streaming.jobs import _events_stream
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    import tempfile
+
+    with IngestApiServer() as srv:
+        spark.dataSource.register(IngestRestDataSource)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                stream.writeStream.format("rest_ingest")
+                .option("base_url", srv.base_url)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="rest_sink_ckpt_"),
+                )
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import urllib.request
+
+        with urllib.request.urlopen(srv.base_url + "/published", timeout=30) as r:
+            published = json.loads(r.read())["rows"]
+    rows = spark.createDataFrame(
+        [(int(e), int(t), int(u), et, float(v)) for e, t, u, et, v in published],
+        "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double",
+    )
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            money_sum(dec("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

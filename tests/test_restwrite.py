@@ -81,6 +81,42 @@ def test_overwrite_truncates_at_commit_not_at_write(spark):
         )
 
 
+def test_stream_epoch_replay_is_idempotent(spark, sf_dir):
+    """Exactly-once under micro-batch replay: run the streaming sink
+    once (N epochs), then replay epoch 0's commit with freshly staged
+    rows — the service must discard the re-staged rows, publish
+    nothing new, and count the replay."""
+    from kamiyo_hive_spark.sources.restwrite import (
+        streaming_rest_sink_exactly_once,
+    )
+
+    out = streaming_rest_sink_exactly_once(spark, sf_dir)
+    n_total = sum(r["n_events"] for r in out.collect())
+    from kamiyo_hive_spark.catalog import table
+
+    assert n_total == table(spark, sf_dir, "events").count()
+
+    # protocol-level replay against a fresh server
+    with IngestApiServer() as srv:
+        def post(path, obj):
+            req = urllib.request.Request(
+                srv.base_url + path,
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        s1 = post("/stage", {"rows": [[1, "a"]]})["stage_id"]
+        post("/commit_batch", {"stages": [s1], "batch_id": 0})
+        s2 = post("/stage", {"rows": [[1, "a"]]})["stage_id"]  # replayed epoch
+        post("/commit_batch", {"stages": [s2], "batch_id": 0})
+        got = _published(srv)
+        assert got["rows"] == [[1, "a"]]  # once, not twice
+        assert srv.replayed_batches == 1
+        assert srv.staged == {}  # replayed stage discarded, not leaked
+
+
 def test_unknown_stage_commit_rejected(spark):
     """The service's own guard: committing a stage id it never saw is a
     409 and publishes nothing — the writer can't invent stages."""
