@@ -130,3 +130,19 @@ def decode_adpcm_wav(data: bytes) -> dict:
         "min_sample": vmin,
         "max_sample": vmax,
     }
+
+
+# Executor shipping: closures built by the registered queries capture
+# this module's functions; module-level functions normally pickle BY
+# REFERENCE, which breaks on executor workers where kamiyo_hive_spark
+# is not importable (the external harness puts the repo on the
+# DRIVER's sys.path only — a neutral-cwd drive reproduced the worker
+# ModuleNotFoundError). Registering the module for by-value pickling
+# makes cloudpickle serialize the whole (pure-function + constant
+# table) module into the task, the same effect as the nested-kit
+# pattern in jpeg/avi/mp4 without restructuring.
+import sys as _sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
