@@ -281,3 +281,209 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id long, n_vecs long, centroid_checksum long, "
         "min_member long, max_member long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codebook training (per-subspace Lloyd)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims each)
+PQ_K = 16  # centroids per subspace (one nibble per code)
+PQ_ITERS = 2  # assign -> recompute rounds
+
+_PQ_DIST = """list_reduce(list_transform(list_zip(q.qsub, c.cv),
+                                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           (a, b) -> a + b)"""
+
+_PQ_ROUND = (
+    "SELECT d.sub, d.cid, d.pos, CASE WHEN d.s < 0 "
+    "THEN -((2 * (-d.s) + n.n) // (2 * n.n)) "
+    "ELSE (2 * d.s + n.n) // (2 * n.n) END AS cval, d.s"
+)
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, qsub): each quantized embedding split into PQ_M
+    contiguous integer sub-vectors (the PQ decomposition)."""
+    sub_dim = 64 // PQ_M
+    q = _quantized(spark, sf_dir)
+    return q.select(
+        "vec_id",
+        "qv",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice(F.col("qv"), F.col("sub") * sub_dim + 1, sub_dim).alias("qsub"),
+    )
+
+
+def _pq_assign(q: DataFrame, cents: dict[tuple[int, int], list[int]]) -> DataFrame:
+    """One PQ assignment round: per (vector, subspace), the nearest of
+    that subspace's PQ_K centroids (exact integer distance, lowest-cid
+    tie-break). The M*K centroid relation is driver metadata broadcast
+    to every task; the argmin partial-aggregates before the exchange."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        [(s, c, v) for (s, c), v in sorted(cents.items())],
+        "sub int, cid long, cv array<long>",
+    )
+    return (
+        q.join(F.broadcast(cdf), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "qsub",
+            "cid",
+            _sqdist(F.col("qsub"), F.col("cv")).alias("dist"),
+        )
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("cid"))).alias("best"),
+            F.first("qsub").alias("qsub"),
+        )
+        .select("vec_id", "sub", "qsub", F.col("best.cid").alias("cid"))
+    )
+
+
+def _pq_recompute(assigned: DataFrame) -> tuple[dict, dict]:
+    """New per-subspace centroids + per-cell stats, one job: posexplode
+    fans each sub-vector to (sub, cid, pos) cells; partial aggregation
+    caps the exchange at M*K*sub_dim cells (8*16*8 = 1024 longs of
+    driver metadata at ANY corpus size)."""
+    rows = (
+        assigned.select("sub", "cid", "vec_id", F.posexplode("qsub").alias("pos", "val"))
+        .groupBy("sub", "cid", "pos")
+        .agg(
+            F.sum("val").alias("s"),
+            F.count("*").alias("n"),
+            F.min("vec_id").alias("mn"),
+            F.max("vec_id").alias("mx"),
+        )
+        .collect()
+    )
+    by_key: dict[tuple[int, int], dict[int, int]] = {}
+    stats: dict[tuple[int, int], dict[str, int]] = {}
+    for r in rows:
+        by_key.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["s"]
+        stats[(r["sub"], r["cid"])] = {"n": r["n"], "mn": r["mn"], "mx": r["mx"]}
+    for key, dims in by_key.items():
+        stats[key]["checksum"] = sum(dims.values())
+    cents = {
+        key: [_round_mean(dims[p], stats[key]["n"]) for p in sorted(dims)]
+        for key, dims in by_key.items()
+    }
+    return cents, stats
+
+
+@register(
+    "pq_train_codebooks",
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, s.sub AS sub,
+               list_slice(qv, s.sub * 8 + 1, s.sub * 8 + 8) AS qsub
+        FROM qv CROSS JOIN (SELECT unnest(range({PQ_M})) AS sub) s
+    ),
+    cents0 AS (SELECT sub, vec_id AS cid, qsub AS cv FROM q WHERE vec_id < {PQ_K}),
+    assigned0 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT q.vec_id, q.sub, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id, q.sub
+                                      ORDER BY {_PQ_DIST}, c.cid) AS rn
+            FROM q JOIN cents0 c ON c.sub = q.sub)
+        WHERE rn = 1
+    ),
+    u AS (
+        SELECT vec_id, sub, unnest(qsub) AS val,
+               generate_subscripts(qsub, 1) AS pos
+        FROM q
+    ),
+    dims1 AS (
+        SELECT a.sub, a.cid, u.pos, SUM(u.val) AS s
+        FROM assigned0 a
+        JOIN u ON u.vec_id = a.vec_id AND u.sub = a.sub
+        GROUP BY 1, 2, 3
+    ),
+    n1 AS (SELECT sub, cid, COUNT(*) AS n FROM assigned0 GROUP BY 1, 2),
+    cv1 AS ({_PQ_ROUND} FROM dims1 d
+            JOIN n1 n ON n.sub = d.sub AND n.cid = d.cid),
+    cents1 AS (
+        SELECT sub, cid, list(cval ORDER BY pos) AS cv FROM cv1 GROUP BY 1, 2
+    ),
+    assigned1 AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT q.vec_id, q.sub, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id, q.sub
+                                      ORDER BY {_PQ_DIST}, c.cid) AS rn
+            FROM q JOIN cents1 c ON c.sub = q.sub)
+        WHERE rn = 1
+    ),
+    dims2 AS (
+        SELECT a.sub, a.cid, u.pos, SUM(u.val) AS s
+        FROM assigned1 a
+        JOIN u ON u.vec_id = a.vec_id AND u.sub = a.sub
+        GROUP BY 1, 2, 3
+    ),
+    n2 AS (SELECT sub, cid, COUNT(*) AS n FROM assigned1 GROUP BY 1, 2),
+    m2 AS (SELECT sub, cid, MIN(vec_id) AS mn, MAX(vec_id) AS mx
+           FROM assigned1 GROUP BY 1, 2)
+    SELECT CAST(d.sub AS BIGINT) AS sub_id,
+           CAST(d.cid AS BIGINT) AS cluster_id,
+           CAST(any_value(n.n) AS BIGINT) AS n_vecs,
+           CAST(SUM(d.s) AS BIGINT) AS centroid_checksum,
+           CAST(any_value(m.mn) AS BIGINT) AS min_member,
+           CAST(any_value(m.mx) AS BIGINT) AS max_member
+    FROM dims2 d
+    JOIN n2 n ON n.sub = d.sub AND n.cid = d.cid
+    JOIN m2 m ON m.sub = d.sub AND m.cid = d.cid
+    GROUP BY d.sub, d.cid
+    ORDER BY sub_id, cluster_id
+    """,
+    tags=("clustering", "pq", "ann", "iterative", "embedding", "training-pipeline"),
+)
+def pq_train_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook TRAINING — the step `knn_pq_adc`
+    consumes precomputed: each 64-dim embedding splits into PQ_M=8
+    contiguous 8-dim sub-vectors, and every subspace trains its own
+    PQ_K=16-centroid Lloyd quantizer (2 assign->recompute rounds,
+    deterministic seeds vec_id < K). Reported per (subspace, centroid):
+    size, member-id span, exact integer centroid-sum checksum.
+
+    Same fixed-point discipline as `kmeans_lloyd_clusters` (module
+    docstring): micro-unit integer grid, half-away-from-zero integer
+    mean snap, plain long-sum distances, lowest-cid tie-break — so the
+    oracle replays BOTH rounds of all 8 subspaces bit-for-bit.
+
+    Scale shape: the PQ decomposition is ONE explode (M rows per
+    vector, map-side); each round is ONE job — a broadcast join
+    against the M*K=128-row centroid relation (driver metadata by
+    construction, like every parameter-server PQ trainer) whose argmin
+    and posexplode recompute both partial-aggregate before their
+    exchanges, so per-round shuffle volume is bounded by M*K*8 cells
+    regardless of corpus size. Two rounds = two jobs; the final report
+    IS the collected centroid metadata, no extra pass."""
+    q = _pq_subvectors(spark, sf_dir)
+    sub_dim = 64 // PQ_M
+    cents = {
+        (r["sub"], r["vec_id"]): list(r["qsub"])
+        for r in q.filter(F.col("vec_id") < PQ_K).collect()
+    }
+    assert all(len(v) == sub_dim for v in cents.values())
+    stats: dict = {}
+    for _ in range(PQ_ITERS):
+        cents, stats = _pq_recompute(_pq_assign(q, cents))
+    rows = [
+        (sub, cid, s["n"], s["checksum"], s["mn"], s["mx"])
+        for (sub, cid), s in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sub_id long, cluster_id long, n_vecs long, centroid_checksum long, "
+        "min_member long, max_member long",
+    )

@@ -1506,3 +1506,136 @@ def bloom_prefilter(
                 yield out
 
     return hist.mapInPandas(might_contain, "fingerprint string")
+
+
+@register(
+    "span_dedup_cutlist",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 32 THEN
+                   list_transform(range(1, len(t) - 30, 16),
+                       i -> {'p': i,
+                             'h': md5(array_to_string(list_slice(t, i, i + 31), ' '))})
+               ELSE [] END) AS s
+        FROM toks
+    ),
+    flat AS (
+        SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS span_hash FROM occ
+    ),
+    cut AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY span_hash
+                                      ORDER BY doc_id, p) AS rn
+            FROM flat)
+        WHERE rn > 1
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN max(p + 31) OVER w_prev IS NULL
+                      OR p > max(p + 31) OVER w_prev + 1
+                    THEN 1 ELSE 0 END AS nf
+        FROM cut
+        WINDOW w_prev AS (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc_id, p,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY p) AS island_id
+        FROM isl
+    ),
+    per AS (
+        SELECT doc_id, island_id, MIN(p) AS start_p,
+               MAX(p + 31) AS end_p, COUNT(*) AS n_spans
+        FROM isl2 GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cut_ranges,
+           CAST(SUM(end_p - start_p + 1) AS BIGINT) AS tokens_cut,
+           CAST(SUM(n_spans) AS BIGINT) AS n_dup_spans,
+           CAST(MIN(start_p) AS BIGINT) AS first_cut_start
+    FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "span-dedup", "cutlist", "substring", "training-pipeline"),
+)
+def span_dedup_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CUT LIST for repeated-substring removal — the stage
+    AFTER `span_dedup_candidates`: Lee et al. 2022 keep ONE occurrence
+    of every long duplicated substring and cut the rest, so this query
+    turns duplicated span occurrences into maximal per-doc token ranges
+    to delete.
+
+    Keep rule (declarative, so both engines replay it): an occurrence
+    is cut iff an earlier occurrence of the SAME span hash exists,
+    "earlier" = lexicographically smaller (doc_id, position) —
+    `row_number() OVER (PARTITION BY span_hash)` > 1. Cut occurrences
+    then merge into maximal ranges per document with the classic
+    island scheme: a running `max(end) OVER (... 1 PRECEDING)` window
+    marks range starts (stride-16 spans of length 32 overlap, so
+    consecutive duplicated spans coalesce), and the prefix sum of
+    start flags is the range id.
+
+    Scale shape: one explode (stride keeps it at ~n/16 rows per doc),
+    one span_hash-hash-partitioned window (the same exchange the
+    candidate index needs anyway), then a doc_id-partitioned window +
+    aggregation that share ONE doc_id exchange. No self-join: the
+    cut-list derives from rank-within-hash, so cost tracks corpus
+    redundancy, never pairs. At 100 TB this output IS the deletion
+    manifest a rewrite job applies shard-by-shard."""
+    from pyspark.sql import Window
+
+    d = parallel_table(spark, sf_dir, "documents", "doc_id")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    spans_arr = F.when(
+        n >= 32,
+        F.transform(
+            F.sequence(F.lit(1), n - 31, F.lit(16)),
+            lambda p: F.struct(
+                p.alias("p"),
+                F.md5(
+                    F.encode(F.concat_ws(" ", F.slice(toks, p, 32)), "UTF-8")
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,h:string>>"))
+    flat = d.select("doc_id", F.explode(spans_arr).alias("s")).select(
+        "doc_id",
+        F.col("s.p").cast("long").alias("p"),
+        F.col("s.h").alias("span_hash"),
+    )
+    w_h = Window.partitionBy("span_hash").orderBy("doc_id", "p")
+    cut = (
+        flat.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "p")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    prev_end = F.max(F.col("p") + 31).over(w_prev)
+    islands = cut.withColumn(
+        "nf",
+        F.when(prev_end.isNull() | (F.col("p") > prev_end + 1), 1).otherwise(0),
+    ).withColumn("island_id", F.sum("nf").over(w_doc))
+    per = islands.groupBy("doc_id", "island_id").agg(
+        F.min("p").alias("start_p"),
+        F.max(F.col("p") + 31).alias("end_p"),
+        F.count("*").alias("n_spans"),
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cut_ranges"),
+            F.sum(F.col("end_p") - F.col("start_p") + 1)
+            .cast("long")
+            .alias("tokens_cut"),
+            F.sum("n_spans").cast("long").alias("n_dup_spans"),
+            F.min("start_p").cast("long").alias("first_cut_start"),
+        )
+        .orderBy("doc_id")
+    )

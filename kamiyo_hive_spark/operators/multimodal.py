@@ -1232,3 +1232,379 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema=ADPCM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (dHash over real BMP roundtrip + LSH bands)
+# ---------------------------------------------------------------------------
+
+PHASH_W = 9  # pixels per row -> 8 gradient comparisons
+PHASH_H = 7  # rows -> 56-bit hash (keeps the top byte clear of the sign bit)
+PHASH_N_DOCS = 360  # 120 groups x 3 variants
+PHASH_BANDS = 4  # LSH bands of 14 bits each
+PHASH_HAM_T = 4  # Hamming acceptance threshold
+
+
+def _phash_kit():
+    """Dependency-free 24-bit BMP writer/parser + dHash, nested so the
+    mapInPandas closure pickles them BY VALUE (executor workers cannot
+    import this package under the external harness)."""
+    import hashlib
+    import struct
+
+    def pixel(doc_id: int, x: int, y: int) -> int:
+        """Deterministic synthetic grayscale: a pseudorandom per-GROUP
+        base pattern (portable md5, the same recipe DuckDB replays)
+        plus a tiny per-VARIANT perturbation — variants of one group
+        are near-duplicate images, distinct groups are unrelated."""
+        g, v = doc_id // 3, doc_id % 3
+        base = int(hashlib.md5(f"{g}:{x}:{y}".encode()).hexdigest()[:2], 16)
+        return (base + (v * (x + y)) % 3) % 256
+
+    def encode_bmp(rows: list[list[int]]) -> bytes:
+        """Real bottom-up 24-bit BMP with 4-byte row padding (w=9 ->
+        27 data bytes + 1 pad byte per row, so padding is exercised)."""
+        h, w = len(rows), len(rows[0])
+        pad = (-3 * w) % 4
+        body = b"".join(
+            b"".join(bytes((p, p, p)) for p in rows[y]) + b"\x00" * pad
+            for y in range(h - 1, -1, -1)
+        )
+        off = 14 + 40
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        return hdr + info + body
+
+    def decode_bmp(data: bytes) -> list[list[int]]:
+        magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+        if hsz != 40 or bpp != 24 or h <= 0:
+            raise ValueError(f"unsupported BMP variant (hsz={hsz}, bpp={bpp}, h={h})")
+        pad = (-3 * w) % 4
+        stride = 3 * w + pad
+        rows = []
+        for y in range(h - 1, -1, -1):
+            base = off + y * stride
+            row = []
+            for x in range(w):
+                b, g_, r = data[base + 3 * x : base + 3 * x + 3]
+                if not (b == g_ == r):
+                    raise ValueError("expected grayscale pixel")
+                row.append(b)
+            rows.append(row)
+        return rows
+
+    def dhash(rows: list[list[int]]) -> int:
+        """Difference hash: bit (y*8+x) set iff p(x+1,y) > p(x,y)."""
+        hval = 0
+        for y in range(PHASH_H):
+            for x in range(PHASH_W - 1):
+                if rows[y][x + 1] > rows[y][x]:
+                    hval |= 1 << (y * 8 + x)
+        return hval
+
+    return pixel, encode_bmp, decode_bmp, dhash
+
+
+def _phash_pixel_sql(x: int, y: int) -> str:
+    """Closed-form DuckDB twin of the kit's pixel(doc_id, x, y)."""
+    return (
+        f"((CAST(concat('0x', substr(md5(concat(CAST(doc_id // 3 AS VARCHAR), "
+        f"':{x}:{y}')), 1, 2)) AS BIGINT) + ((doc_id % 3) * {x + y}) % 3) % 256)"
+    )
+
+
+def _phash_oracle() -> str:
+    pix_cols = ",\n               ".join(
+        f"{_phash_pixel_sql(x, y)} AS p_{x}_{y}"
+        for y in range(PHASH_H)
+        for x in range(PHASH_W)
+    )
+    bit_terms = "\n             + ".join(
+        f"(CASE WHEN p_{x + 1}_{y} > p_{x}_{y} THEN CAST(1 AS BIGINT) << {y * 8 + x} ELSE 0 END)"
+        for y in range(PHASH_H)
+        for x in range(PHASH_W - 1)
+    )
+    return f"""
+    WITH pix AS (
+        SELECT doc_id,
+               {pix_cols}
+        FROM documents WHERE doc_id < {PHASH_N_DOCS}
+    ),
+    hashes AS (
+        SELECT doc_id,
+               ({bit_terms}) AS phash
+        FROM pix
+    ),
+    bands AS (
+        SELECT doc_id, phash, b.band,
+               (phash >> (14 * b.band)) & 16383 AS bval
+        FROM hashes CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.phash AS ha, b.phash AS hb
+        FROM bands a
+        JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                    AND b.doc_id > a.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+@register(
+    "image_phash_neardup",
+    oracle=_phash_oracle(),
+    tags=("multimodal", "dedup", "perceptual-hash", "lsh", "training-pipeline"),
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the image twin of MinHash text
+    dedup that web-scale image corpora run before training: decode
+    every image, compute a 56-bit difference hash (dHash: one bit per
+    horizontal gradient sign), band the hash for LSH candidate
+    generation, and keep candidate pairs within Hamming distance
+    {PHASH_HAM_T}.
+
+    The decode is REAL end-to-end: a deterministic grayscale image is
+    synthesized per document (pseudorandom per-group pattern + tiny
+    per-variant perturbation, so each 3-doc group is a near-duplicate
+    cluster), encoded as an actual bottom-up padded 24-bit BMP, parsed
+    back by the dependency-free BMP reader, and hashed FROM THE DECODED
+    PIXELS — a bug anywhere in header math, row padding, or channel
+    order breaks the driver-visible hash. The oracle recomputes every
+    pixel and all 56 gradient bits in closed form.
+
+    Scale shape: hashing is a zero-shuffle mapInPandas scan; candidate
+    generation is a band-bucket equi-join (4 bands x 14 bits), so pair
+    work tracks collisions, never N² — the identical posture as
+    `minhash_lsh_neardup`. At the test scale the band join recalls all
+    360 intra-group pairs with zero cross-group noise (simulated
+    exhaustively before registration)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PHASH_N_DOCS)
+        .select("doc_id")
+    )
+    pixel_, encode_bmp_, decode_bmp_, dhash_ = _phash_kit()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows = [
+                    [pixel_(doc_id, x, y) for x in range(PHASH_W)]
+                    for y in range(PHASH_H)
+                ]
+                decoded = decode_bmp_(encode_bmp_(rows))
+                out["doc_id"].append(doc_id)
+                out["phash"].append(dhash_(decoded))
+            yield pd.DataFrame(out)
+
+    hashes = docs.mapInPandas(run, schema=PHASH_SCHEMA)
+    bands_a = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ha"),
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band_a"),
+    ).withColumn("bval_a", F.expr("shiftright(ha, 14 * band_a) & 16383"))
+    bands_b = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("hb"),
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("band_b"),
+    ).withColumn("bval_b", F.expr("shiftright(hb, 14 * band_b) & 16383"))
+    cand = (
+        bands_a.join(
+            bands_b,
+            (F.col("band_b") == F.col("band_a"))
+            & (F.col("bval_b") == F.col("bval_a"))
+            & (F.col("doc_b") > F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= PHASH_HAM_T)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio frame features (energy + zero-crossing rate over real WAV roundtrip)
+# ---------------------------------------------------------------------------
+
+AFEAT_N_DOCS = 240
+AFEAT_FRAME = 64  # samples per analysis frame
+AFEAT_RATE = 16000
+
+
+def _afeat_kit():
+    """Dependency-free 16-bit PCM WAV writer/parser, nested for
+    by-value pickling into the mapInPandas closure."""
+    import struct
+
+    def synth(doc_id: int, n: int) -> list[int]:
+        """Deterministic integer sawtooth: s_i = ((i*f + ph) % 200) - 100."""
+        f = (doc_id % 7) + 3
+        ph = doc_id % 13
+        return [((i * f + ph) % 200) - 100 for i in range(n)]
+
+    def encode_wav(rate: int, samples: list[int]) -> bytes:
+        body = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    def decode_wav(data: bytes) -> tuple[int, list[int]]:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, rate, samples = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", data, pos + 4)
+            if cid == b"fmt ":
+                tag, ch, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", data, pos + 8
+                )
+                if tag != 1 or ch != 1 or bits != 16:
+                    raise ValueError("unsupported WAV format")
+            elif cid == b"data":
+                samples = [
+                    struct.unpack_from("<h", data, pos + 8 + 2 * k)[0]
+                    for k in range(clen // 2)
+                ]
+            pos += 8 + clen + (clen & 1)
+        if rate is None or samples is None:
+            raise ValueError("missing fmt/data chunk")
+        return rate, samples
+
+    return synth, encode_wav, decode_wav
+
+
+AFEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("total_zcr", T.LongType()),
+        T.StructField("max_frame_energy", T.LongType()),
+    ]
+)
+
+
+@register(
+    "audio_frame_features",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id,
+               (doc_id % 7) + 3 AS f,
+               doc_id % 13 AS ph,
+               n_chars % 400 + 120 AS n
+        FROM documents WHERE doc_id < {AFEAT_N_DOCS}
+    ),
+    samples AS (
+        SELECT doc_id, f, ph, n,
+               unnest(range(CAST(n AS BIGINT))) AS i
+        FROM params
+    ),
+    framed AS (
+        SELECT doc_id, i // {AFEAT_FRAME} AS frame, i,
+               ((i * f + ph) % 200) - 100 AS s
+        FROM samples
+        WHERE i < (n // {AFEAT_FRAME}) * {AFEAT_FRAME}
+    ),
+    lagged AS (
+        SELECT doc_id, frame, s,
+               lag(s) OVER (PARTITION BY doc_id, frame ORDER BY i) AS sp
+        FROM framed
+    ),
+    per_frame AS (
+        SELECT doc_id, frame,
+               SUM(s * s) AS energy,
+               SUM(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS zcr
+        FROM lagged GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(zcr) AS BIGINT) AS total_zcr,
+           CAST(MAX(energy) AS BIGINT) AS max_frame_energy
+    FROM per_frame GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "audio", "feature-extract", "training-pipeline"),
+)
+def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction — the framing/energy/zero-crossing pass
+    every speech-data pipeline runs before VAD or quality filtering:
+    decode each clip, split into {AFEAT_FRAME}-sample frames (tail
+    truncated), and report per-document frame count, total/max frame
+    energy, and total in-frame zero crossings.
+
+    The audio path is REAL: a deterministic integer sawtooth is
+    synthesized per document, encoded as an actual RIFF/WAVE 16-bit PCM
+    mono file (fmt + data chunk walk, even-byte chunk padding), parsed
+    back by the dependency-free reader, and the features are computed
+    FROM THE DECODED int16 samples — endianness, chunk-length, or
+    sign-extension bugs all break the driver-visible hash. The oracle
+    rebuilds every sample in closed form (pure integer arithmetic, so
+    no float discipline is even needed).
+
+    Scale shape: zero-shuffle mapInPandas over the clip table — the
+    per-row decode is embarrassingly parallel and the output is one
+    fixed-width row per clip, the same posture as the other real-codec
+    queries. A 100 TB audio corpus runs this exact plan with the
+    sawtooth synthesizer swapped for object-store bytes."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < AFEAT_N_DOCS)
+        .select("doc_id", "n_chars")
+    )
+    synth_, encode_wav_, decode_wav_ = _afeat_kit()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AFEAT_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n = int(doc_id), int(n_chars) % 400 + 120
+                payload = encode_wav_(AFEAT_RATE, synth_(doc_id, n))
+                rate, s = decode_wav_(payload)
+                if rate != AFEAT_RATE:
+                    raise ValueError("sample-rate roundtrip mismatch")
+                n_frames = len(s) // AFEAT_FRAME
+                energies, zcrs = [], []
+                for fr in range(n_frames):
+                    w = s[fr * AFEAT_FRAME : (fr + 1) * AFEAT_FRAME]
+                    energies.append(sum(v * v for v in w))
+                    zcrs.append(
+                        sum(1 for a, b in zip(w, w[1:]) if a * b < 0)
+                    )
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        n_frames,
+                        sum(energies),
+                        sum(zcrs),
+                        max(energies),
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=AFEAT_SCHEMA)
