@@ -210,3 +210,25 @@ def test_span_cutlist_never_cuts_first_occurrence(spark, sf_dir):
     expected_cuts = dup_stats["expected_cuts"] or 0
     out = span_dedup_cutlist(spark, sf_dir).agg(F.sum("n_dup_spans")).collect()[0][0]
     assert (out or 0) == expected_cuts
+
+
+def test_pq_literal_and_broadcast_paths_agree(spark, sf_dir):
+    """The gated literal-argmin assignment and the broadcast-join
+    fallback must produce identical codebooks (same argmin, same
+    lowest-cid tie-break)."""
+    import kamiyo_hive_spark.operators.clustering as cl
+
+    def rows():
+        return sorted(
+            tuple(r) for r in pq_train_codebooks(spark, sf_dir).collect()
+        )
+
+    saved = cl.LITERAL_ARGMIN_MAX_CELLS
+    try:
+        cl.LITERAL_ARGMIN_MAX_CELLS = 4096
+        literal = rows()
+        cl.LITERAL_ARGMIN_MAX_CELLS = 0
+        broadcast = rows()
+    finally:
+        cl.LITERAL_ARGMIN_MAX_CELLS = saved
+    assert literal == broadcast
