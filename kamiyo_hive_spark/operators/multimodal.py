@@ -1316,7 +1316,9 @@ def _phash_pixel_sql(x: int, y: int) -> str:
     )
 
 
-def _phash_oracle() -> str:
+def _phash_hash_ctes() -> str:
+    """The pix -> hashes CTE pair, shared by the standalone near-dup
+    oracle and the multimodal curation capstone's."""
     pix_cols = ",\n               ".join(
         f"{_phash_pixel_sql(x, y)} AS p_{x}_{y}"
         for y in range(PHASH_H)
@@ -1327,8 +1329,7 @@ def _phash_oracle() -> str:
         for y in range(PHASH_H)
         for x in range(PHASH_W - 1)
     )
-    return f"""
-    WITH pix AS (
+    return f"""pix AS (
         SELECT doc_id,
                {pix_cols}
         FROM documents WHERE doc_id < {PHASH_N_DOCS}
@@ -1337,7 +1338,12 @@ def _phash_oracle() -> str:
         SELECT doc_id,
                ({bit_terms}) AS phash
         FROM pix
-    ),
+    )"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH {_phash_hash_ctes()},
     bands AS (
         SELECT doc_id, phash, b.band,
                (phash >> (14 * b.band)) & 16383 AS bval
@@ -1608,3 +1614,130 @@ def audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema=AFEAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image resize (integer box-filter downsample over real BMP roundtrip)
+# ---------------------------------------------------------------------------
+
+RESIZE_N_DOCS = 180
+RESIZE_W, RESIZE_H = 16, 12  # source dims
+RESIZE_K = 4  # box filter: 4x4 blocks -> 4x3 output
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("resized_checksum", T.LongType()),
+        T.StructField("min_px", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+    ]
+)
+
+
+@register(
+    "image_resize_stats",
+    oracle=f"""
+    WITH g AS (SELECT doc_id FROM documents WHERE doc_id < {RESIZE_N_DOCS}),
+    xy AS (
+        SELECT doc_id, xs.x AS x, ys.y AS y
+        FROM g
+        CROSS JOIN (SELECT unnest(range({RESIZE_W})) AS x) xs
+        CROSS JOIN (SELECT unnest(range({RESIZE_H})) AS y) ys
+    ),
+    pix AS (
+        SELECT doc_id, x, y,
+               CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                   ':', CAST(x AS VARCHAR), ':', CAST(y AS VARCHAR))), 1, 2))
+                   AS BIGINT) AS p
+        FROM xy
+    ),
+    blocks AS (
+        SELECT doc_id, x // {RESIZE_K} AS bx, y // {RESIZE_K} AS by,
+               SUM(p) // {RESIZE_K * RESIZE_K} AS r
+        FROM pix GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST({RESIZE_W // RESIZE_K} AS BIGINT) AS out_w,
+           CAST({RESIZE_H // RESIZE_K} AS BIGINT) AS out_h,
+           CAST(SUM(r) AS BIGINT) AS resized_checksum,
+           CAST(MIN(r) AS BIGINT) AS min_px,
+           CAST(MAX(r) AS BIGINT) AS max_px
+    FROM blocks GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "resize", "image", "training-pipeline"),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE — the decode→downsample→re-encode pass every
+    vision-data pipeline runs to normalize resolution before training:
+    each {RESIZE_W}×{RESIZE_H} grayscale image is decoded from a real
+    BMP payload and reduced {RESIZE_K}× per axis with an exact integer
+    box filter (per-block pixel sum // {RESIZE_K * RESIZE_K} — no float
+    enters the kernel, so the DuckDB oracle replays every output pixel
+    via a group-by over the same closed-form pixel field).
+
+    The image path is REAL: pseudorandom pixels (portable md5, doc-
+    keyed) are encoded as an actual bottom-up padded 24-bit BMP
+    ({RESIZE_W}*3 = 48 bytes/row, pad 0 — the width exercises the
+    no-padding branch, the phash op exercises padding), parsed back by
+    the same dependency-free reader the perceptual-hash op uses, and
+    the box filter runs ON THE DECODED grid. Reported per image:
+    output dims, resized-pixel checksum, min/max resized pixel.
+
+    Scale shape: zero-shuffle mapInPandas, one fixed-width row per
+    image — swap the synthesizer for object-store bytes and this is
+    the resize stage of a 100 TB vision corpus, embarrassingly
+    parallel at any scale."""
+    import hashlib
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < RESIZE_N_DOCS)
+        .select("doc_id")
+    )
+    _, encode_bmp_, decode_bmp_, _ = _phash_kit()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rows = [
+                    [
+                        int(
+                            hashlib.md5(f"{doc_id}:{x}:{y}".encode()).hexdigest()[:2],
+                            16,
+                        )
+                        for x in range(RESIZE_W)
+                    ]
+                    for y in range(RESIZE_H)
+                ]
+                grid = decode_bmp_(encode_bmp_(rows))
+                k = RESIZE_K
+                resized = [
+                    sum(
+                        grid[by * k + dy][bx * k + dx]
+                        for dy in range(k)
+                        for dx in range(k)
+                    )
+                    // (k * k)
+                    for by in range(RESIZE_H // k)
+                    for bx in range(RESIZE_W // k)
+                ]
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        RESIZE_W // k,
+                        RESIZE_H // k,
+                        sum(resized),
+                        min(resized),
+                        max(resized),
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -243,3 +243,170 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def _cutlist_ctes() -> str:
+    """Per-doc tokens-cut CTE chain (the span_dedup_cutlist pipeline up
+    to its per-doc rollup), inlined for the multimodal capstone."""
+    return """toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    s_occ AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 32 THEN
+                   list_transform(range(1, len(t) - 30, 16),
+                       i -> {'p': i,
+                             'h': md5(array_to_string(list_slice(t, i, i + 31), ' '))})
+               ELSE [] END) AS s
+        FROM toks
+    ),
+    s_flat AS (
+        SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS span_hash FROM s_occ
+    ),
+    s_cut AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY span_hash
+                                      ORDER BY doc_id, p) AS rn
+            FROM s_flat)
+        WHERE rn > 1
+    ),
+    s_isl AS (
+        SELECT doc_id, p,
+               CASE WHEN max(p + 31) OVER w_prev IS NULL
+                      OR p > max(p + 31) OVER w_prev + 1
+                    THEN 1 ELSE 0 END AS nf
+        FROM s_cut
+        WINDOW w_prev AS (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    s_isl2 AS (
+        SELECT doc_id, p,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY p) AS island_id
+        FROM s_isl
+    ),
+    s_per AS (
+        SELECT doc_id, island_id, MIN(p) AS start_p, MAX(p + 31) AS end_p
+        FROM s_isl2 GROUP BY 1, 2
+    ),
+    cuts AS (
+        SELECT doc_id, SUM(end_p - start_p + 1) AS tokens_cut
+        FROM s_per GROUP BY 1
+    )"""
+
+
+def _multimodal_prep_oracle() -> str:
+    from kamiyo_hive_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAM_T,
+        PHASH_N_DOCS,
+        _phash_hash_ctes,
+    )
+
+    return f"""
+    WITH {_phash_hash_ctes()},
+    bands AS (
+        SELECT doc_id, phash, b.band,
+               (phash >> (14 * b.band)) & 16383 AS bval
+        FROM hashes CROSS JOIN (SELECT unnest(range({PHASH_BANDS})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.phash AS ha, b.phash AS hb
+        FROM bands a
+        JOIN bands b ON b.band = a.band AND b.bval = a.bval
+                    AND b.doc_id > a.doc_id
+    ),
+    drops AS (
+        SELECT DISTINCT doc_b AS doc_id FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_T}
+    ),
+    {_cutlist_ctes()},
+    slice AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id < {PHASH_N_DOCS}
+    )
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_slice,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN coalesce(c.tokens_cut, 0)
+                    ELSE 0 END) AS BIGINT) AS tokens_cut_kept,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN s.n_chars ELSE 0 END)
+               AS BIGINT) AS chars_kept
+    FROM slice s
+    LEFT JOIN drops d ON d.doc_id = s.doc_id
+    LEFT JOIN cuts c ON c.doc_id = s.doc_id
+    GROUP BY s.lang ORDER BY s.lang
+    """
+
+
+@register(
+    "multimodal_corpus_prep",
+    oracle=_multimodal_prep_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "curation", "training-pipeline"),
+)
+def multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation capstone — chains this round's operators the
+    way a vision-text corpus prep actually runs them: (1) perceptual-
+    hash image near-dup pairs (real BMP decode -> dHash -> LSH bands ->
+    Hamming filter) become a KEEP SET (drop every pair's higher doc_id;
+    the lowest-id member of each near-dup clique survives), then (2)
+    the surviving documents' repeated-substring CUT LISTS are accounted
+    per language: docs kept/dropped, tokens scheduled for span removal
+    among the kept, and kept character volume.
+
+    Whole-composition oracle: DuckDB replays BOTH stages end-to-end
+    (all 56 dHash gradient bits per image AND the rank-within-hash +
+    island-merge cut lists), so a drift anywhere in either family or in
+    the composition's join/keep logic is a driver-visible hash break —
+    the same idiom as `curated_pretrain_pipeline`.
+
+    Scale shape: composes the members' own postures — band-collision
+    pair join (never N²), rank-within-hash cut lists (no self-join),
+    one anti-join against the pair-derived drop set (drop set is
+    near-dup-density-sized, broadcastable), one recipe-sized lang
+    rollup."""
+    from kamiyo_hive_spark.operators.dedup import span_dedup_cutlist
+    from kamiyo_hive_spark.operators.multimodal import (
+        PHASH_N_DOCS,
+        image_phash_neardup,
+    )
+
+    pairs = image_phash_neardup(spark, sf_dir)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    cuts = span_dedup_cutlist(spark, sf_dir).select("doc_id", "tokens_cut")
+    doc_slice = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < PHASH_N_DOCS)
+        .select("doc_id", "lang", "n_chars")
+    )
+    dropped = F.col("drop_id").isNotNull()
+    joined = (
+        doc_slice.join(
+            F.broadcast(drops.select(F.col("doc_id").alias("drop_id"))),
+            F.col("drop_id") == F.col("doc_id"),
+            "left",
+        )
+        .join(F.broadcast(cuts), "doc_id", "left")
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_slice"),
+            F.sum(F.when(~dropped, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(~dropped, F.coalesce(F.col("tokens_cut"), F.lit(0))).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_cut_kept"),
+            F.sum(F.when(~dropped, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -232,3 +232,49 @@ def test_pq_literal_and_broadcast_paths_agree(spark, sf_dir):
     finally:
         cl.LITERAL_ARGMIN_MAX_CELLS = saved
     assert literal == broadcast
+
+
+# ---------------------------------------------------------------------------
+# Image resize + multimodal capstone
+# ---------------------------------------------------------------------------
+
+
+def test_resize_box_filter_is_exact_integer():
+    from kamiyo_hive_spark.operators.multimodal import RESIZE_K
+
+    # a block of identical pixels must resize to exactly that value
+    block = [[7] * RESIZE_K for _ in range(RESIZE_K)]
+    total = sum(sum(r) for r in block)
+    assert total // (RESIZE_K * RESIZE_K) == 7
+    # floor semantics: 15 ones in a 16-block -> 0
+    assert (RESIZE_K * RESIZE_K - 1) // (RESIZE_K * RESIZE_K) == 0
+
+
+def test_resize_stats_bounds(spark, sf_dir):
+    from kamiyo_hive_spark.operators.multimodal import image_resize_stats
+
+    out = image_resize_stats(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert (r["out_w"], r["out_h"]) == (4, 3)
+        n = r["out_w"] * r["out_h"]
+        assert r["min_px"] * n <= r["resized_checksum"] <= r["max_px"] * n
+        assert 0 <= r["min_px"] <= r["max_px"] <= 255
+
+
+def test_multimodal_prep_conservation(spark, sf_dir):
+    """kept + dropped == slice size per language, and the dropped total
+    equals the distinct doc_b set of the phash pair stage."""
+    from kamiyo_hive_spark.operators.multimodal import image_phash_neardup
+    from kamiyo_hive_spark.operators.pipelines import multimodal_corpus_prep
+
+    out = multimodal_corpus_prep(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs_slice"]
+        assert r["chars_kept"] >= 0
+    n_dropped_total = sum(r["n_dropped"] for r in out)
+    n_drop_set = (
+        image_phash_neardup(spark, sf_dir).select("doc_b").distinct().count()
+    )
+    assert n_dropped_total == n_drop_set
