@@ -367,9 +367,11 @@ def multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: composes the members' own postures — band-collision
     pair join (never N²), rank-within-hash cut lists (no self-join),
-    one anti-join against the pair-derived drop set (drop set is
-    near-dup-density-sized, broadcastable), one recipe-sized lang
-    rollup."""
+    one left join against the pair-derived drop set and one against the
+    per-doc cut list (both unhinted: AQE broadcasts at test scale but a
+    web-scale drop set is a double-digit fraction of the corpus, so the
+    fallback to a shuffled join is the correct 100 TB plan), one
+    recipe-sized lang rollup."""
     from kamiyo_hive_spark.operators.dedup import span_dedup_cutlist
     from kamiyo_hive_spark.operators.multimodal import (
         PHASH_N_DOCS,
@@ -385,14 +387,16 @@ def multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
     )
     dropped = F.col("drop_id").isNotNull()
-    joined = (
-        doc_slice.join(
-            F.broadcast(drops.select(F.col("doc_id").alias("drop_id"))),
-            F.col("drop_id") == F.col("doc_id"),
-            "left",
-        )
-        .join(F.broadcast(cuts), "doc_id", "left")
-    )
+    # No broadcast hints on purpose: at web scale the drop set is a
+    # double-digit percentage of the corpus and the cut list is
+    # corpus-sized — neither is broadcastable. AQE picks broadcast at
+    # test scale (both sides are under the threshold) and falls back to
+    # shuffled joins at 100 TB, which is exactly the right behavior.
+    joined = doc_slice.join(
+        drops.select(F.col("doc_id").alias("drop_id")),
+        F.col("drop_id") == F.col("doc_id"),
+        "left",
+    ).join(cuts, "doc_id", "left")
     return (
         joined.groupBy("lang")
         .agg(
