@@ -18,6 +18,10 @@ Usage:
   python scripts/scale_run.py build          # stage .scratch/sf1.0
   python scripts/scale_run.py run [N]       # top-N by bench_out.json
   python scripts/scale_run.py run q1 q2 ...  # explicit queries
+
+SPARK_GRAFT_SCALE_COPIES (default 10) sets the tile count: 10 stages
+.scratch/sf1.0, 100 stages .scratch/sf10.0 (a ~1.7 GB, 60M-lineitem
+two-decade scale-up for the "would it survive 100x" question).
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ import time
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 # (table, [key columns shifted by copy * stride]); stride = 10^ceil.
 TILED: dict[str, list[str]] = {
     "customer": ["c_custkey"],
@@ -45,7 +49,8 @@ TILED: dict[str, list[str]] = {
 }
 DIMS = ["region", "nation"]
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(_ROOT, ".scratch", "sf1.0")
+OUT_SF = f"sf{COPIES / 10:g}"  # 10 copies -> sf1.0, 100 -> sf10
+OUT = os.path.join(_ROOT, ".scratch", OUT_SF)
 
 
 def _stride(n_max: int) -> int:
@@ -117,36 +122,50 @@ def run(names: list[str]) -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
     spark.range(10).write.format("noop").mode("overwrite").save()
     rows = []
+    out_path = os.path.join(_ROOT, ".scratch", f"scale_run_{OUT_SF}.json")
+
+    def _flush() -> None:
+        # incremental dump: a mid-sweep failure (e.g. a shuffle spill
+        # outgrowing this VM's disk at the 100x tile) keeps every
+        # completed datapoint
+        with open(out_path, "w") as fh:
+            json.dump(rows, fh, indent=1)
+
     for name in names:
         spec = reg[name]
         t = {}
-        for label, sf_dir in [("sf0.1", SRC), ("sf1.0", OUT)]:
-            jvm_gc()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                spec.builder(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            t[label] = best
-        ratio = t["sf1.0"] / t["sf0.1"]
-        rows.append((name, t["sf0.1"], t["sf1.0"], ratio))
+        try:
+            for label, sf_dir in [("sf0.1", SRC), (OUT_SF, OUT)]:
+                jvm_gc()
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    spec.builder(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                t[label] = best
+        except Exception as e:  # noqa: BLE001 — record and move on
+            rows.append({"query": name, "error": str(e).split("\n")[0][:300]})
+            _flush()
+            print(f"{name:36s} ERROR: {rows[-1]['error'][:120]}", flush=True)
+            continue
+        ratio = t[OUT_SF] / t["sf0.1"]
+        rows.append(
+            {
+                "query": name,
+                "sf0.1_s": round(t["sf0.1"], 4),
+                f"{OUT_SF}_s": round(t[OUT_SF], 4),
+                "ratio": round(ratio, 3),
+            }
+        )
+        _flush()
         print(
-            f"{name:36s} sf0.1={t['sf0.1']:7.3f}s sf1.0={t['sf1.0']:7.3f}s "
+            f"{name:36s} sf0.1={t['sf0.1']:7.3f}s {OUT_SF}={t[OUT_SF]:7.3f}s "
             f"ratio={ratio:5.2f}x",
             flush=True,
         )
     spark.stop()
-    with open(os.path.join(_ROOT, ".scratch", "scale_run.json"), "w") as fh:
-        json.dump(
-            [
-                {"query": n, "sf0.1_s": round(a, 4), "sf1.0_s": round(b, 4), "ratio": round(r, 3)}
-                for n, a, b, r in rows
-            ],
-            fh,
-            indent=1,
-        )
 
 
 def main() -> int:
