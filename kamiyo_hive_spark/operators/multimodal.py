@@ -1741,3 +1741,283 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation (energy gate + island merge over real WAV)
+# ---------------------------------------------------------------------------
+
+VAD_N_DOCS = 300
+VAD_FRAME = 64
+VAD_RATE = 8000
+
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("active_frames", T.LongType()),
+        T.StructField("longest_segment", T.LongType()),
+        T.StructField("active_energy", T.LongType()),
+    ]
+)
+
+
+@register(
+    "audio_vad_segments",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id,
+               (doc_id % 7) + 3 AS f,
+               doc_id % 13 AS ph,
+               n_chars % 512 + 192 AS n
+        FROM documents WHERE doc_id < {VAD_N_DOCS}
+    ),
+    samples AS (
+        SELECT doc_id, f, ph, n,
+               unnest(range(CAST(n AS BIGINT))) AS i
+        FROM params
+    ),
+    framed AS (
+        SELECT doc_id, i // {VAD_FRAME} AS frame,
+               CASE WHEN ((i // {VAD_FRAME}) * 3 + doc_id) % 7 < 4
+                    THEN ((i * f + ph) % 200) - 100 ELSE 0 END AS s
+        FROM samples
+        WHERE i < (n // {VAD_FRAME}) * {VAD_FRAME}
+    ),
+    frame_stats AS (
+        SELECT doc_id, frame, SUM(s * s) AS energy
+        FROM framed GROUP BY 1, 2
+    ),
+    active AS (
+        SELECT doc_id, frame, energy FROM frame_stats WHERE energy > 0
+    ),
+    isl AS (
+        SELECT doc_id, frame, energy,
+               CASE WHEN lag(frame) OVER w IS NULL
+                      OR frame > lag(frame) OVER w + 1
+                    THEN 1 ELSE 0 END AS nf
+        FROM active
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame)
+    ),
+    isl2 AS (
+        SELECT doc_id, frame, energy,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY frame) AS seg
+        FROM isl
+    ),
+    segs AS (
+        SELECT doc_id, seg, COUNT(*) AS seg_len, SUM(energy) AS seg_energy
+        FROM isl2 GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_frames
+        FROM frame_stats GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_frames AS BIGINT) AS n_frames,
+           CAST(COUNT(s.seg) AS BIGINT) AS n_segments,
+           CAST(coalesce(SUM(s.seg_len), 0) AS BIGINT) AS active_frames,
+           CAST(coalesce(MAX(s.seg_len), 0) AS BIGINT) AS longest_segment,
+           CAST(coalesce(SUM(s.seg_energy), 0) AS BIGINT) AS active_energy
+    FROM totals t LEFT JOIN segs s ON s.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_frames ORDER BY t.doc_id
+    """,
+    tags=("multimodal", "audio", "vad", "segmentation", "training-pipeline"),
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation — the silence-trim/VAD pass a speech
+    corpus runs before transcription or TTS training: decode each clip,
+    gate {VAD_FRAME}-sample frames on energy (> 0), and merge
+    consecutive voiced frames into segments; reported per clip as
+    frame/segment counts, longest voiced run, and total voiced energy.
+
+    The clip is REAL audio bytes end-to-end: a deterministically GATED
+    integer sawtooth (every frame whose (3·frame + doc_id) mod 7 >= 4
+    is silenced at synthesis) is encoded as RIFF/WAVE 16-bit PCM,
+    parsed back by the chunk walker, and the energy gate runs ON THE
+    DECODED samples — so the oracle's closed-form replay of the gate
+    pattern AND the voiced-sample energies pins decode exactness, not
+    just plumbing. Active frames always carry nonzero energy (the
+    sawtooth's 64-sample window can't be all-zero for f >= 3), so the
+    energy gate and the synthesis gate agree by construction.
+
+    Scale shape: per-row mapInPandas decode (zero shuffle) — the
+    segmentation is per-clip local state, never a window over the
+    corpus. A 100 TB speech lake runs this exact plan off object-store
+    bytes."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < VAD_N_DOCS)
+        .select("doc_id", "n_chars")
+    )
+    _, encode_wav_, decode_wav_ = _afeat_kit()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VAD_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n = int(doc_id), int(n_chars) % 512 + 192
+                f, ph = (doc_id % 7) + 3, doc_id % 13
+                wave = [
+                    ((i * f + ph) % 200) - 100
+                    if ((i // VAD_FRAME) * 3 + doc_id) % 7 < 4
+                    else 0
+                    for i in range(n)
+                ]
+                rate, s = decode_wav_(encode_wav_(VAD_RATE, wave))
+                if rate != VAD_RATE:
+                    raise ValueError("sample-rate roundtrip mismatch")
+                n_frames = len(s) // VAD_FRAME
+                energies = [
+                    sum(v * v for v in s[k * VAD_FRAME : (k + 1) * VAD_FRAME])
+                    for k in range(n_frames)
+                ]
+                segs: list[tuple[int, int]] = []  # (length, energy)
+                for k, e in enumerate(energies):
+                    if e > 0:
+                        if segs and k > 0 and energies[k - 1] > 0:
+                            segs[-1] = (segs[-1][0] + 1, segs[-1][1] + e)
+                        else:
+                            segs.append((1, e))
+                for key, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        n_frames,
+                        len(segs),
+                        sum(l for l, _ in segs),
+                        max((l for l, _ in segs), default=0),
+                        sum(e for _, e in segs),
+                    ),
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=VAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Scene-change detection (frame-difference over real MJPEG/AVI decode)
+# ---------------------------------------------------------------------------
+
+SCENE_N_DOCS = 200
+SCENE_LEN = 3  # synthesized frames per scene
+SCENE_CUT_T = 16  # |mean-luma delta| above this = a cut
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("first_cut_frame", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "video_scene_cuts",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id, CAST(doc_id % 6 + 6 AS BIGINT) AS nf
+        FROM documents
+        WHERE doc_id < {SCENE_N_DOCS} AND doc_id % 3 = 1
+    ),
+    frames AS (
+        SELECT v.doc_id, v.nf, t.range AS i,
+               ((v.doc_id * 31 + (t.range // {SCENE_LEN}) * 77) % 251)
+                   + (t.range % {SCENE_LEN}) AS luma
+        FROM vids v CROSS JOIN range(0, 12) t
+        WHERE t.range < v.nf
+    ),
+    deltas AS (
+        SELECT doc_id, nf, i, luma,
+               abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY i))
+                   AS d
+        FROM frames
+    )
+    SELECT doc_id,
+           CAST(any_value(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN d > {SCENE_CUT_T} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+           CAST(coalesce(MIN(CASE WHEN d > {SCENE_CUT_T} THEN i END), -1)
+               AS BIGINT) AS first_cut_frame,
+           AVG(CAST(luma AS DOUBLE)) AS mean_luma
+    FROM deltas GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("multimodal", "video", "scene-detection", "mjpeg", "training-pipeline"),
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection — the shot-boundary pass a video curation
+    pipeline runs before clip extraction or caption alignment: decode
+    every frame, compare consecutive mean lumas, and flag a cut where
+    the jump exceeds {SCENE_CUT_T}. Reported per video: frame count,
+    cut count, first cut position, whole-video mean luma.
+
+    The video path is REAL end-to-end: each document synthesizes an
+    MJPEG-in-AVI container ({SCENE_LEN}-frame scenes whose luma steps
+    by 77 per scene and drifts by 1 within a scene), the RIFF/idx1
+    walker indexes it, and EVERY frame goes through the baseline-JPEG
+    decoder (stride 1 — unlike the stride-sampling twin, shot-boundary
+    detection genuinely needs all frames; that contrast is the point).
+    The oracle predicts every frame's decoded luma and every delta in
+    closed form, so container-walk, decode, and differencing bugs all
+    break the hash. Frames are compared on DECODED values, never on
+    synthesis parameters.
+
+    Scale shape: per-row mapInPandas, zero shuffle; per-clip state is
+    one previous-frame luma. At 100 TB this is the same plan over
+    object-store video bytes, with cut frames feeding the clip
+    extractor."""
+    from kamiyo_hive_spark.functions.avi import _avi_kit
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < SCENE_N_DOCS) & (F.col("doc_id") % 3 == 1))
+        .select("doc_id", "n_chars")
+    )
+    encode_avi, _, sample_, encode_jpeg = _avi_kit()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SCENE_SCHEMA.fields}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w, h = 16 * (n_chars % 2 + 1), 16
+                nf = doc_id % 6 + 6
+                frames = [
+                    encode_jpeg(
+                        w,
+                        h,
+                        lambda _b, i=i: (
+                            (doc_id * 31 + (i // SCENE_LEN) * 77) % 251
+                        )
+                        + (i % SCENE_LEN),
+                    )
+                    for i in range(nf)
+                ]
+                d = sample_(encode_avi(frames, w, h), stride=1)
+                lumas = [s["mean_luma"] for s in d["sampled"]]
+                if len(lumas) != nf:
+                    raise ValueError("frame walk lost frames")
+                cuts = [
+                    i
+                    for i in range(1, nf)
+                    if abs(lumas[i] - lumas[i - 1]) > SCENE_CUT_T
+                ]
+                for k, v in zip(
+                    out,
+                    (
+                        doc_id,
+                        nf,
+                        len(cuts),
+                        cuts[0] if cuts else -1,
+                        sum(lumas) / nf,
+                    ),
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=SCENE_SCHEMA)

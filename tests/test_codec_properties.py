@@ -156,3 +156,33 @@ def test_adpcm_non_ima_tag_refuses():
     struct.pack_into("<H", wav, fmt_at, 0x01)  # claim plain PCM
     with pytest.raises(NotImplementedError, match="format tag"):
         decode_adpcm_wav(bytes(wav))
+
+
+# ------------------------------------------------------- BMP / WAV kits
+
+from kamiyo_hive_spark.operators.multimodal import _afeat_kit, _phash_kit
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    data=st.data(),
+)
+def test_bmp_roundtrip_random_grids(w, h, data):
+    _, encode_bmp, decode_bmp, _ = _phash_kit()
+    rows = [
+        [data.draw(st.integers(0, 255)) for _ in range(w)] for _ in range(h)
+    ]
+    assert decode_bmp(encode_bmp(rows)) == rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=600),
+)
+def test_wav_roundtrip_random_samples(rate, samples):
+    _, encode_wav, decode_wav = _afeat_kit()
+    r, back = decode_wav(encode_wav(rate, samples))
+    assert r == rate and back == samples

@@ -278,3 +278,41 @@ def test_multimodal_prep_conservation(spark, sf_dir):
         image_phash_neardup(spark, sf_dir).select("doc_b").distinct().count()
     )
     assert n_dropped_total == n_drop_set
+
+
+# ---------------------------------------------------------------------------
+# VAD segmentation + scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_vad_segments_invariants(spark, sf_dir):
+    from kamiyo_hive_spark.operators.multimodal import audio_vad_segments
+
+    out = audio_vad_segments(spark, sf_dir).collect()
+    assert out
+    saw_silence = False
+    for r in out:
+        assert 0 <= r["active_frames"] <= r["n_frames"]
+        assert r["longest_segment"] <= r["active_frames"]
+        assert (r["n_segments"] == 0) == (r["active_frames"] == 0)
+        assert (r["active_energy"] > 0) == (r["active_frames"] > 0)
+        saw_silence |= r["active_frames"] < r["n_frames"]
+    assert saw_silence  # the gate really silences frames somewhere
+
+
+def test_scene_cuts_invariants(spark, sf_dir):
+    from kamiyo_hive_spark.operators.multimodal import video_scene_cuts
+
+    out = video_scene_cuts(spark, sf_dir).collect()
+    assert out
+    saw_cut = False
+    for r in out:
+        assert 6 <= r["n_frames"] <= 11
+        assert 0 <= r["n_cuts"] < r["n_frames"]
+        if r["n_cuts"] > 0:
+            assert 1 <= r["first_cut_frame"] < r["n_frames"]
+            saw_cut = True
+        else:
+            assert r["first_cut_frame"] == -1
+        assert 0.0 <= r["mean_luma"] <= 255.0
+    assert saw_cut
