@@ -621,3 +621,91 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_z"),
         )
     )
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS y
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT a.d, a.y,
+               COUNT(*) AS n_win,
+               CAST(SUM(b.y) AS BIGINT) AS s7
+        FROM daily a
+        JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+        GROUP BY a.d, a.y
+        HAVING COUNT(*) = 7
+    ),
+    det AS (
+        SELECT (d - DATE '1970-01-01') % 7 AS dow,
+               7 * y - s7 AS det_num
+        FROM win
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(det_num) AS BIGINT) AS detrended_sum,
+           round(SUM(det_num) / (7.0 * COUNT(*)), 9) AS seasonal_index
+    FROM det GROUP BY dow ORDER BY dow
+    """,
+    tags=("timeseries", "seasonal", "decomposition", "A8"),
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average half of
+    STL) over the event stream: daily counts, a centered 7-day trend,
+    and the weekly seasonal profile of the detrended series — the
+    dashboard query behind every "traffic by day-of-week, seasonality
+    removed" panel.
+
+    Exactness discipline: the centered mean never materializes as a
+    float — detrended = 7·y − Σ₇y stays in int64 (the standard
+    clear-denominators trick), per-weekday sums are exact, and the only
+    float is the final seasonal index (one round(…, 9) division on both
+    engines). Day-of-week is epoch-days mod 7, portable across engines
+    (no locale-dependent dayofweek()). Edge days without a full 7-day
+    window are excluded (HAVING n = 7), exactly as classical
+    decomposition defines the centered MA.
+
+    Scale shape: ONE corpus exchange (the daily rollup — partial aggs
+    collapse each task to ≤ |days| cells); the centered window is then
+    a range self-join on the CALENDAR-sized daily table, deliberately
+    NOT a partition-less ordered window (banned package-wide by the
+    scale guards): at any corpus size the post-rollup table is bounded
+    by elapsed days, so the range join is metadata work."""
+    from kamiyo_hive_spark.catalog import table as events_table
+
+    e = events_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("y")
+    )
+    a = daily.select(F.col("d").alias("ad"), F.col("y").alias("ay"))
+    b = daily.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    win = (
+        a.join(
+            b,
+            (F.col("bd") >= F.date_sub(F.col("ad"), 3))
+            & (F.col("bd") <= F.date_add(F.col("ad"), 3)),
+        )
+        .groupBy("ad", "ay")
+        .agg(F.count("*").alias("n_win"), F.sum("by").cast("long").alias("s7"))
+        .filter(F.col("n_win") == 7)
+    )
+    det = win.select(
+        (F.datediff(F.col("ad"), F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+        (7 * F.col("ay") - F.col("s7")).alias("det_num"),
+    )
+    return (
+        det.groupBy(F.col("dow").cast("long").alias("dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("det_num").cast("long").alias("detrended_sum"),
+            F.round(
+                F.sum("det_num") / (7.0 * F.count("*")), 9
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

@@ -316,3 +316,19 @@ def test_scene_cuts_invariants(spark, sf_dir):
             assert r["first_cut_frame"] == -1
         assert 0.0 <= r["mean_luma"] <= 255.0
     assert saw_cut
+
+
+def test_seasonal_decompose_profile(spark, sf_dir):
+    """Seasonal indices of the detrended series must (a) cover at most
+    7 weekdays and (b) the centered-MA construction forces the
+    detrended totals to nearly cancel across the week (each y
+    contributes +7 once and -1 to its 7 neighbors)."""
+    from kamiyo_hive_spark.operators.timeseries import seasonal_decompose_daily
+
+    out = seasonal_decompose_daily(spark, sf_dir).collect()
+    assert 1 <= len(out) <= 7
+    assert all(0 <= r["dow"] <= 6 for r in out)
+    total_days = sum(r["n_days"] for r in out)
+    grand = sum(r["detrended_sum"] for r in out)
+    # cancellation up to boundary effects: bound by 7*max_daily*6 edge days
+    assert abs(grand) < 7 * total_days * 50
