@@ -49,7 +49,7 @@ TILED: dict[str, list[str]] = {
 }
 DIMS = ["region", "nation"]
 SRC = "/root/testdata/sf0.1"
-OUT_SF = f"sf{COPIES / 10:g}"  # 10 copies -> sf1.0, 100 -> sf10
+OUT_SF = "sf1.0" if COPIES == 10 else f"sf{COPIES / 10:g}"  # 100 -> sf10
 OUT = os.path.join(_ROOT, ".scratch", OUT_SF)
 
 
