@@ -1508,52 +1508,60 @@ def bloom_prefilter(
     return hist.mapInPandas(might_contain, "fingerprint string")
 
 
-@register(
-    "span_dedup_cutlist",
-    oracle="""
-    WITH toks AS (
+def span_cutlist_ctes(p: str = "") -> str:
+    """The cut-list CTE chain (staged spans -> keep-first rank ->
+    island merge -> per-range rows), shared by this module's oracle and
+    the multimodal capstone's so the two replays can never drift.
+    `p` prefixes every CTE name for embedding next to other chains."""
+    return f"""{p}toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
         FROM documents
     ),
-    occ AS (
+    {p}occ AS (
         SELECT doc_id,
                unnest(CASE WHEN len(t) >= 32 THEN
                    list_transform(range(1, len(t) - 30, 16),
-                       i -> {'p': i,
-                             'h': md5(array_to_string(list_slice(t, i, i + 31), ' '))})
+                       i -> {{'p': i,
+                             'h': md5(array_to_string(list_slice(t, i, i + 31), ' '))}})
                ELSE [] END) AS s
-        FROM toks
+        FROM {p}toks
     ),
-    flat AS (
-        SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS span_hash FROM occ
+    {p}flat AS (
+        SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS span_hash FROM {p}occ
     ),
-    cut AS (
+    {p}cut AS (
         SELECT doc_id, p FROM (
             SELECT doc_id, p,
                    row_number() OVER (PARTITION BY span_hash
                                       ORDER BY doc_id, p) AS rn
-            FROM flat)
+            FROM {p}flat)
         WHERE rn > 1
     ),
-    isl AS (
+    {p}isl AS (
         SELECT doc_id, p,
                CASE WHEN max(p + 31) OVER w_prev IS NULL
                       OR p > max(p + 31) OVER w_prev + 1
                     THEN 1 ELSE 0 END AS nf
-        FROM cut
+        FROM {p}cut
         WINDOW w_prev AS (PARTITION BY doc_id ORDER BY p
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
-    isl2 AS (
+    {p}isl2 AS (
         SELECT doc_id, p,
                SUM(nf) OVER (PARTITION BY doc_id ORDER BY p) AS island_id
-        FROM isl
+        FROM {p}isl
     ),
-    per AS (
+    {p}per AS (
         SELECT doc_id, island_id, MIN(p) AS start_p,
                MAX(p + 31) AS end_p, COUNT(*) AS n_spans
-        FROM isl2 GROUP BY 1, 2
-    )
+        FROM {p}isl2 GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "span_dedup_cutlist",
+    oracle=f"""
+    WITH {span_cutlist_ctes()}
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_cut_ranges,
            CAST(SUM(end_p - start_p + 1) AS BIGINT) AS tokens_cut,

@@ -1421,7 +1421,12 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["phash"].append(dhash_(decoded))
             yield pd.DataFrame(out)
 
-    hashes = docs.mapInPandas(run, schema=PHASH_SCHEMA)
+    # The hash table feeds BOTH sides of the band self-join, and the two
+    # sides project different column names, so Catalyst cannot reuse the
+    # subtree — without a persist every document's BMP encode/decode/
+    # dHash Python stage runs twice (the minhash signature-table
+    # convention, dedup.py).
+    hashes = docs.mapInPandas(run, schema=PHASH_SCHEMA).persist()
     bands_a = hashes.select(
         F.col("doc_id").alias("doc_a"),
         F.col("phash").alias("ha"),

@@ -245,58 +245,8 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cutlist_ctes() -> str:
-    """Per-doc tokens-cut CTE chain (the span_dedup_cutlist pipeline up
-    to its per-doc rollup), inlined for the multimodal capstone."""
-    return """toks AS (
-        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
-        FROM documents
-    ),
-    s_occ AS (
-        SELECT doc_id,
-               unnest(CASE WHEN len(t) >= 32 THEN
-                   list_transform(range(1, len(t) - 30, 16),
-                       i -> {'p': i,
-                             'h': md5(array_to_string(list_slice(t, i, i + 31), ' '))})
-               ELSE [] END) AS s
-        FROM toks
-    ),
-    s_flat AS (
-        SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.h AS span_hash FROM s_occ
-    ),
-    s_cut AS (
-        SELECT doc_id, p FROM (
-            SELECT doc_id, p,
-                   row_number() OVER (PARTITION BY span_hash
-                                      ORDER BY doc_id, p) AS rn
-            FROM s_flat)
-        WHERE rn > 1
-    ),
-    s_isl AS (
-        SELECT doc_id, p,
-               CASE WHEN max(p + 31) OVER w_prev IS NULL
-                      OR p > max(p + 31) OVER w_prev + 1
-                    THEN 1 ELSE 0 END AS nf
-        FROM s_cut
-        WINDOW w_prev AS (PARTITION BY doc_id ORDER BY p
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ),
-    s_isl2 AS (
-        SELECT doc_id, p,
-               SUM(nf) OVER (PARTITION BY doc_id ORDER BY p) AS island_id
-        FROM s_isl
-    ),
-    s_per AS (
-        SELECT doc_id, island_id, MIN(p) AS start_p, MAX(p + 31) AS end_p
-        FROM s_isl2 GROUP BY 1, 2
-    ),
-    cuts AS (
-        SELECT doc_id, SUM(end_p - start_p + 1) AS tokens_cut
-        FROM s_per GROUP BY 1
-    )"""
-
-
 def _multimodal_prep_oracle() -> str:
+    from kamiyo_hive_spark.operators.dedup import span_cutlist_ctes
     from kamiyo_hive_spark.operators.multimodal import (
         PHASH_BANDS,
         PHASH_HAM_T,
@@ -322,7 +272,11 @@ def _multimodal_prep_oracle() -> str:
         SELECT DISTINCT doc_b AS doc_id FROM cand
         WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_T}
     ),
-    {_cutlist_ctes()},
+    {span_cutlist_ctes("s_")},
+    cuts AS (
+        SELECT doc_id, SUM(end_p - start_p + 1) AS tokens_cut
+        FROM s_per GROUP BY 1
+    ),
     slice AS (
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id < {PHASH_N_DOCS}

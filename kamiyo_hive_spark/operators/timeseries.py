@@ -674,9 +674,7 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT a partition-less ordered window (banned package-wide by the
     scale guards): at any corpus size the post-rollup table is bounded
     by elapsed days, so the range join is metadata work."""
-    from kamiyo_hive_spark.catalog import table as events_table
-
-    e = events_table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events")
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count("*").alias("y")
     )

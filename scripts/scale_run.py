@@ -20,7 +20,7 @@ Usage:
   python scripts/scale_run.py run q1 q2 ...  # explicit queries
 
 SPARK_GRAFT_SCALE_COPIES (default 10) sets the tile count: 10 stages
-.scratch/sf1.0, 100 stages .scratch/sf10.0 (a ~1.7 GB, 60M-lineitem
+.scratch/sf1.0, 100 stages .scratch/sf10 (a ~1.6 GB, 60M-lineitem
 two-decade scale-up for the "would it survive 100x" question).
 """
 
