@@ -103,12 +103,26 @@ def main() -> None:
         if only_set is not None and name not in only_set:
             continue
         jvm_gc()
-        best = float("inf")
+        # Adaptive reps (VERDICT r5 task 7): a query whose reps never
+        # converge (spread/min above threshold) gets up to `extra_reps`
+        # more attempts, so one bad scheduling window can't record a
+        # 2x outlier as the steady state (waiting_supplier_rank's 1.55s
+        # vs its 0.7-0.86s warm floor in r5). Cheap: only unstable
+        # queries pay, and only until two reps agree.
+        rep_times: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            rep_times.append(time.perf_counter() - t0)
+        extra_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "3"))
+        for _ in range(extra_reps):
+            best2 = sorted(rep_times)[:2]
+            if best2[0] < 0.15 or (best2[1] - best2[0]) / best2[0] <= 0.25:
+                break  # floor-scale or two agreeing reps: stable
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rep_times.append(time.perf_counter() - t0)
+        timings[name] = round(min(rep_times), 4)
         for rdd_id, jrdd in persistent_rdds().items():
             if rdd_id not in keep:
                 jrdd.unpersist(False)

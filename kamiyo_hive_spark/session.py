@@ -7,11 +7,31 @@ machine except the master URL, which is overridable.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def quiet_query_context_logs() -> None:
+    """Silence PySpark 4's Python-side exception loggers.
+
+    pyspark.errors.exceptions.base._log_exception mirrors EVERY
+    JVM-raised, Python-caught exception to stderr through the loggers
+    named ``DataFrameQueryContextLogger`` / ``SQLQueryContextLogger`` —
+    including exceptions the caller catches ON PURPOSE (the txlog
+    conflict probes, optimistic-commit retries, capability probes; see
+    docs/BENCH_NOTES.md "Benign ERROR lines"). The exception object
+    still propagates to the caller unchanged, so dropping the log
+    mirror loses nothing: bench.py's per-query ``err`` field and pytest
+    failures remain the real error signal, while bench/drive stderr
+    stops carrying scary JVM stack traces for survived probes."""
+    for name in ("DataFrameQueryContextLogger", "SQLQueryContextLogger"):
+        lg = logging.getLogger(name)
+        lg.setLevel(logging.CRITICAL + 1)
+        lg.propagate = False
 
 
 def get_spark(
@@ -78,4 +98,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quiet_query_context_logs()
+    # FileStreamSink.hasMetadata logs a WARN *with a full JVM stack
+    # trace* whenever a read probes a not-yet-existing path — a benign
+    # condition the callers handle. Raise just that logger to ERROR so
+    # bench/drive stderr stays readable; real failures still surface as
+    # exceptions to Python.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 core absent/renamed: cosmetic only, never fatal
     return spark

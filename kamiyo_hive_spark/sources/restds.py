@@ -195,6 +195,7 @@ def _build_orders_rest_datasource():
             import urllib.parse as _up
             import urllib.request as _rq
             from datetime import datetime as _dt
+            from datetime import timedelta as _td
             from datetime import timezone as _tz
 
             off, lim = partition.value
@@ -204,13 +205,16 @@ def _build_orders_rest_datasource():
             url = f"{self.base_url}/orders?" + _up.urlencode(q)
             with _rq.urlopen(url, timeout=60) as resp:
                 rows = _json.loads(resp.read())
+            # Exact integer micros → datetime: fromtimestamp(ts_us/1e6)
+            # double-rounds once |epoch seconds| exceeds ~2^33.
+            epoch = _dt(1970, 1, 1, tzinfo=_tz.utc)
             for k, c, st, price, ts_us in rows:
                 yield (
                     int(k),
                     int(c),
                     st,
                     float(price),
-                    _dt.fromtimestamp(ts_us / 1e6, tz=_tz.utc),
+                    epoch + _td(microseconds=int(ts_us)),
                 )
 
     class OrdersRestDataSource(DataSource):

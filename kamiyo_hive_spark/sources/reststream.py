@@ -205,16 +205,19 @@ def _build_event_log_stream_datasource():
         # -- executors: page fetch ----------------------------------
         def read(self, partition):
             from datetime import datetime as _dt
+            from datetime import timedelta as _td
             from datetime import timezone as _tz
 
             lo, hi = partition.value
             if hi <= lo:
                 return
             rows = self._get(f"/log/range?start={lo}&end={hi}")["rows"]
+            # Exact integer micros → datetime (no float double-rounding).
+            epoch = _dt(1970, 1, 1, tzinfo=_tz.utc)
             for eid, ts_us, uid, etype, value in rows:
                 yield (
                     int(eid),
-                    _dt.fromtimestamp(ts_us / 1e6, tz=_tz.utc),
+                    epoch + _td(microseconds=int(ts_us)),
                     int(uid),
                     etype,
                     float(value),

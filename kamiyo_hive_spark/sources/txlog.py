@@ -713,9 +713,9 @@ def vacuum(log: TxLog, retain_versions: int = 2,
                 try:
                     if os.stat(full).st_mtime > cutoff:
                         continue  # possibly staged by an in-flight writer
+                    os.unlink(full)
                 except FileNotFoundError:
                     continue  # another vacuum won the race; nothing to do
-                os.unlink(full)
                 deleted += 1
     return deleted
 

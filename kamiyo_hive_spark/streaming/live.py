@@ -188,7 +188,12 @@ def run_live_to_completion(
         )
         try:
             deadline = time.monotonic() + timeout_s
+            # Accumulate incrementally keyed by batchId: recentProgress is
+            # a ring buffer (spark.sql.streaming.numRecentProgressUpdates,
+            # default 100), so re-summing it would undercount once early
+            # row-bearing entries are evicted by no-data ticks.
             seen = 0
+            last_batch = -1
             while seen < expected_rows:
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -196,9 +201,11 @@ def run_live_to_completion(
                         f"after {timeout_s}s"
                     )
                 q.processAllAvailable()
-                seen = sum(
-                    int(p["numInputRows"]) for p in q.recentProgress
-                )
+                for p in q.recentProgress:
+                    bid = int(p["batchId"])
+                    if bid > last_batch:
+                        seen += int(p["numInputRows"])
+                        last_batch = bid
                 if seen < expected_rows:
                     time.sleep(0.05)
             # one final drain so the last-arrived rows are committed

@@ -27,6 +27,34 @@ from kamiyo_hive_spark.plans.registry import load_registry  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_H2H_REPS", "3"))
 
+# Frozen head-to-head panel (VERDICT r5 task 6): the queries whose
+# DuckDB oracles measured >=0.2 s in the r5 sweep, pinned so the
+# headline ratio is comparable round-over-round. The floating
+# >=0.25s/>=0.1s subsets churn with DuckDB-side variance at the cutoff
+# (r5 saw 1.35x-2.01x same day from membership alone); this list does
+# not move. Add new heavy queries by appending — never remove.
+PANEL = (
+    "bpe_train_merges",
+    "pq_train_codebooks",
+    "minhash_lsh_neardup",
+    "pagerank_fixed_point",
+    "maxsim_late_interaction",
+    "contrastive_pair_mining",
+    "heavy_hitters_cms",
+    "force_directed_layout",
+    "dsir_importance_scores",
+    "ngram_lm_quality",
+    "semantic_dedup_embeddings",
+    "benchmark_decontaminate",
+    "waiting_supplier_rank",
+    "semantic_dedup_sharded",
+    "dup_clusters_canonical",
+    "rrf_fusion",
+    "curated_pretrain_pipeline",
+    "kmeans_lloyd_clusters",
+    "doc_repetition_stats",
+)
+
 
 def main() -> int:
     with open(os.path.join(_ROOT, "bench_out.json")) as fh:
@@ -63,13 +91,33 @@ def main() -> int:
             }
         )
     con.close()
+    by_name = {r["query"]: r for r in rows}
+    panel_rows = [by_name[q] for q in PANEL if q in by_name]
     out_path = os.path.join(_ROOT, ".scratch", "headtohead.json")
     with open(out_path, "w") as fh:
-        json.dump({"sf_dir": SF_DIR, "rows": rows, "errors": errors}, fh, indent=1)
+        json.dump(
+            {
+                "sf_dir": SF_DIR,
+                "rows": rows,
+                "errors": errors,
+                "panel": list(PANEL),
+                "panel_spark_s": round(sum(r["spark_s"] for r in panel_rows), 4),
+                "panel_duckdb_s": round(sum(r["duckdb_s"] for r in panel_rows), 4),
+            },
+            fh,
+            indent=1,
+        )
     sp = sum(r["spark_s"] for r in rows)
     dk = sum(r["duckdb_s"] for r in rows)
     print(f"queries: {len(rows)}  oracle errors: {len(errors)}")
     print(f"aggregate: spark {sp:.1f}s  duckdb {dk:.1f}s  ratio {sp / dk:.2f}x")
+    if panel_rows:
+        psp = sum(r["spark_s"] for r in panel_rows)
+        pdk = sum(r["duckdb_s"] for r in panel_rows)
+        print(
+            f"FROZEN PANEL ({len(panel_rows)}/{len(PANEL)} queries): "
+            f"spark {psp:.1f}s duckdb {pdk:.1f}s ratio {psp / pdk:.2f}x"
+        )
     for floor in (0.1, 0.25):
         sub = [r for r in rows if r["duckdb_s"] >= floor]
         if not sub:
