@@ -1040,3 +1040,347 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with input_sized_shuffle(spark, sf_dir, "documents"):
         return out.localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
+# ANN-pool -> MaxSim rerank (the production late-interaction composition)
+# ---------------------------------------------------------------------------
+
+MAXSIM_POOL = 40  # ANN candidates per query fed to the reranker
+
+
+def _ms_hash_vec(tok_col):
+    """The maxsim hash-projection token vector (module-level twin of the
+    closure inside `maxsim_late_interaction`, same expression tree)."""
+    comps = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", tok_col, F.lit(str(i)))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0
+        for i in range(MAXSIM_DIM)
+    ]
+    return F.array(*comps)
+
+
+def _ms_normalize(v):
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / n)
+
+
+def _maxsim_ann_oracle() -> str:
+    """DuckDB replay of the FULL composition: SRP bucket bits + hamming-1
+    multiprobe + per-query cosine top-POOL (the `knn_lsh_cosine` oracle
+    generalized to MAXSIM_NQ queries), then MaxSim token scoring
+    restricted to each query's pool (the `maxsim_late_interaction`
+    oracle with `pool` replacing the all-docs candidate set)."""
+    from kamiyo_hive_spark.operators.similarity import _hyperplanes
+
+    rows = ",\n            ".join(
+        f"({j}, {plane!r})" for j, plane in enumerate(_hyperplanes())
+    )
+    return f"""
+WITH planes AS (
+    SELECT * FROM (VALUES
+        {rows}
+    ) p(j, plane)
+),
+e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+bits AS (
+    SELECT e.vec_id, p.j,
+           list_reduce(list_prepend(0.0,
+               list_transform(list_zip(e.v, p.plane), z -> z[1] * z[2])),
+               (a, x) -> a + x) >= 0 AS bit
+    FROM e CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+    FROM bits GROUP BY 1
+),
+qb AS (SELECT vec_id AS query_id, bucket AS qbucket
+       FROM buckets WHERE vec_id < {MAXSIM_NQ}),
+probes AS (
+    SELECT query_id, qbucket AS pb FROM qb
+    UNION
+    SELECT query_id, xor(qbucket, CAST(1 << j AS BIGINT)) FROM qb CROSS JOIN planes
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {MAXSIM_NQ}),
+cand AS (
+    SELECT p.query_id, e.vec_id, e.v, q.qv
+    FROM e
+    JOIN buckets b USING (vec_id)
+    JOIN probes p ON p.pb = b.bucket
+    JOIN q ON q.query_id = p.query_id
+    WHERE e.vec_id <> p.query_id
+),
+scored_pool AS (
+    SELECT query_id, vec_id,
+           round(
+             list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(v, qv), z -> z[1] * z[2])), (a, x) -> a + x)
+             / (sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x * x)), (a, x) -> a + x))
+                * sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(qv, x -> x * x)), (a, x) -> a + x))), 9)
+               AS cosine_sim
+    FROM cand
+),
+pool AS (
+    SELECT query_id, vec_id AS cand_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, vec_id) AS rn
+          FROM scored_pool)
+    WHERE rn <= {MAXSIM_POOL}
+),
+toks AS (
+    SELECT doc_id,
+           list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ts
+    FROM documents
+),
+dt AS (
+    SELECT p.query_id, t.doc_id, u.t AS tok
+    FROM pool p,
+         (SELECT doc_id, ts[1:{MAXSIM_DTOK}] AS ts FROM toks) t,
+         unnest(t.ts) AS u(t)
+    WHERE t.doc_id = p.cand_id
+),
+qt AS (
+    SELECT doc_id AS query_id, u.t AS tok
+    FROM (SELECT doc_id, ts[1:{MAXSIM_QTOK}] AS ts FROM toks
+          WHERE doc_id < {MAXSIM_NQ}),
+         unnest(ts) AS u(t)
+),
+dv AS (
+    SELECT query_id, doc_id, tok,
+           {_MS_VEC.format(tok="tok")} AS v
+    FROM dt
+),
+qv AS (
+    SELECT query_id, tok,
+           {_MS_VEC.format(tok="tok")} AS v
+    FROM qt
+),
+dn AS (
+    SELECT query_id, doc_id, tok,
+           list_transform(v, x -> x / sqrt(list_reduce(
+               list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+    FROM dv
+),
+qn AS (
+    SELECT query_id, tok,
+           list_transform(v, x -> x / sqrt(list_reduce(
+               list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
+    FROM qv
+),
+sims AS (
+    SELECT d.query_id, d.doc_id, q.tok AS qtok,
+           MAX(round(list_reduce(list_transform(list_zip(q.nv, d.nv),
+                                                p -> p[1] * p[2]),
+                                 (a, b) -> a + b), 9)) AS best
+    FROM qn q JOIN dn d ON d.query_id = q.query_id
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT query_id, doc_id,
+           CAST(SUM(CAST(best AS DECIMAL(28, 9))) AS DOUBLE) AS maxsim
+    FROM sims GROUP BY 1, 2
+)
+SELECT query_id, doc_id AS cand_id, maxsim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {MAXSIM_TOP}
+ORDER BY query_id, maxsim DESC, cand_id
+"""
+
+
+def maxsim_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate pool for the MAXSIM_NQ rerank queries: per query,
+    the top-MAXSIM_POOL exact cosines among the vectors in its SRP
+    bucket's hamming-1 multiprobe set, read off the bucket-PARTITIONED
+    index (`lsh_index_dir`) so the probe reaches the scan as
+    PartitionFilters. Returns (query_id, cand_id); exposed module-level
+    so tests can assert the pruning on the pool plan itself."""
+    from pyspark.sql import Window
+
+    from kamiyo_hive_spark.operators.similarity import (
+        _dot as _vdot,
+        _hyperplanes,
+        _norm as _vnorm,
+        lsh_index_dir,
+    )
+
+    planes = _hyperplanes()
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    qrows = sorted(
+        e.filter(F.col("vec_id") < MAXSIM_NQ).select("vec_id", emb.alias("q")).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    probe_pairs = []
+    queries = []
+    for r in qrows:
+        q = list(r["q"])
+        queries.append((int(r["vec_id"]), q))
+        b = 0
+        for j, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(q, plane)) >= 0:
+                b |= 1 << j
+        for pb in sorted({b} | {b ^ (1 << j) for j in range(len(planes))}):
+            probe_pairs.append((int(r["vec_id"]), pb))
+    all_buckets = sorted({pb for _, pb in probe_pairs})
+
+    idx = spark.read.parquet(lsh_index_dir(spark, sf_dir))
+    probes_df = spark.createDataFrame(probe_pairs, "query_id long, bucket long")
+    queries_df = spark.createDataFrame(queries, "query_id long, qv array<double>")
+    v = F.col("embedding").cast("array<double>")
+    pool_sim = F.round(
+        _vdot(v, F.col("qv")) / (_vnorm(v) * _vnorm(F.col("qv"))), 9
+    )
+    w_pool = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        idx.filter(F.col("bucket").isin(all_buckets))
+        .join(F.broadcast(probes_df), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries_df), "query_id")
+        .select("query_id", "vec_id", pool_sim.alias("cosine_sim"))
+        .withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= MAXSIM_POOL)
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+
+
+@register(
+    "maxsim_ann_rerank",
+    oracle=_maxsim_ann_oracle(),
+    tags=("retrieval", "colbert", "maxsim", "ann-lsh", "rerank", "composition"),
+)
+def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production late-interaction composition the
+    `maxsim_late_interaction` docstring promises: an ANN stage
+    (`lsh_index_dir`'s bucket-PARTITIONED SRP index, hamming-1
+    multiprobe, exact-cosine top-{MAXSIM_POOL}) supplies each query's
+    candidate pool, and MaxSim token scoring reranks ONLY that pool.
+    Standalone maxsim pays two corpus-scale passes by construction;
+    here the corpus never enters the rerank — its cost tracks
+    NQ x POOL, not |docs|.
+
+    Plan shape, stage by stage:
+    - ANN pool: the probe buckets are computed driver-side from the
+      deterministic hyperplanes (metadata: NQ vectors), reach the index
+      scan as PartitionFilters (~9/256 directories per query), and a
+      broadcast (query_id, bucket) map fans matching vectors out to
+      their probing queries; per-query top-POOL is a window over the
+      pool-scale candidate relation.
+    - Bridge: the pool ids (NQ x POOL rows, metadata) are collected and
+      pushed into the documents scan as an `isin` predicate — at 100 TB
+      this is the ANN-then-multiget shape every serving stack uses; the
+      token relation entering the rerank is pool-sized.
+    - Rerank: vocab-factored sims (the maxsim trick — cosines are a
+      function of the token STRING, computed once per distinct pool
+      token x query token, broadcast as one dense map), then ONE
+      partial-agg exchange keyed (query_id, doc_id) with QTOK
+      conditional-max buffers, decimal fold, per-query top-{MAXSIM_TOP}.
+
+    The oracle replays the ENTIRE composition in DuckDB — hyperplane
+    bits, multiprobe, pool ranking, token scoring — so the approximation
+    itself is hash-checked end to end (the `knn_lsh_cosine` +
+    `maxsim_late_interaction` oracles composed, literally)."""
+    from pyspark.sql import Window
+
+    pool_df = maxsim_ann_pool(spark, sf_dir)
+    # metadata-bounded collect (NQ x POOL ids): the pool feeds the
+    # documents scan as a pushed-down point-multiget, exactly the
+    # ANN-then-fetch shape a serving stack runs.
+    pool_rows = [(int(r["query_id"]), int(r["cand_id"])) for r in pool_df.collect()]
+    pool_pairs = spark.createDataFrame(pool_rows, "query_id long, cand_id long")
+    cand_ids = sorted({c for _, c in pool_rows})
+
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK).alias("ts"),
+    )
+    dt = (
+        toks.filter(F.col("doc_id").isin(cand_ids))
+        .join(F.broadcast(pool_pairs), toks["doc_id"] == pool_pairs["cand_id"])
+        .select("query_id", "doc_id", F.explode("ts").alias("tok"))
+    )
+    qt = (
+        toks.filter(F.col("doc_id") < MAXSIM_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qpos", "qtok"),
+        )
+        .withColumn("qnv", _ms_normalize(_ms_hash_vec(F.col("qtok"))))
+    )
+    vocab = dt.select("tok").distinct().withColumn(
+        "nv", _ms_normalize(_ms_hash_vec(F.col("tok")))
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qnv"), F.col("nv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        9,
+    )
+    simmap = (
+        vocab.crossJoin(F.broadcast(qt))
+        .groupBy(F.col("tok").alias("vtok"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("query_id") * MAXSIM_QTOK + F.col("qpos")).alias("j"),
+                        sim.alias("s"),
+                    )
+                )
+            ).alias("sims")
+        )
+    )
+    # QTOK conditional-max buffers per (query, candidate): the slot key
+    # is dynamic (query_id * QTOK + p) — each pair only aggregates its
+    # own query's slots, unlike standalone maxsim's all-queries pivot.
+    per_pair = (
+        dt.join(F.broadcast(simmap), dt["tok"] == simmap["vtok"])
+        .groupBy("query_id", "doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.element_at(
+                        "sims", F.col("query_id") * MAXSIM_QTOK + F.lit(p).cast("long")
+                    )
+                ).alias(f"s{p}")
+                for p in range(MAXSIM_QTOK)
+            ]
+        )
+    )
+    total = None
+    for p in range(MAXSIM_QTOK):
+        term = F.coalesce(
+            F.col(f"s{p}").cast("decimal(28,9)"), F.lit(0).cast("decimal(28,9)")
+        )
+        total = term if total is None else total + term
+    w_out = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    out = (
+        per_pair.select("query_id", "doc_id", total.cast("double").alias("maxsim"))
+        .withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= MAXSIM_TOP)
+        .select("query_id", F.col("doc_id").alias("cand_id"), "maxsim")
+        .orderBy("query_id", F.desc("maxsim"), "cand_id")
+    )
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "embeddings"):
+        return out.localCheckpoint()

@@ -36,6 +36,16 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+# SALT=1 prefixes every document-text token with a per-copy tag (copy 0
+# keeps the original text, so point-query constants still resolve).
+# Rationale: the plain tile duplicates every doc COPIES times VERBATIM,
+# so near-dup pair counts grow quadratically in the tile count by
+# construction — that measures redundancy blowup, not data scaling. The
+# salted tile keeps the redundant FRACTION constant (within-copy
+# near-dup structure preserved exactly, zero cross-copy collisions), so
+# dedup operators see 100x data with 100x true pairs — the honest
+# scaling question.
+SALT = os.environ.get("SPARK_GRAFT_SCALE_SALT") == "1"
 # (table, [key columns shifted by copy * stride]); stride = 10^ceil.
 TILED: dict[str, list[str]] = {
     "customer": ["c_custkey"],
@@ -50,6 +60,8 @@ TILED: dict[str, list[str]] = {
 DIMS = ["region", "nation"]
 SRC = "/root/testdata/sf0.1"
 OUT_SF = "sf1.0" if COPIES == 10 else f"sf{COPIES / 10:g}"  # 100 -> sf10
+if SALT:
+    OUT_SF += "s"
 OUT = os.path.join(_ROOT, ".scratch", OUT_SF)
 
 
@@ -85,17 +97,22 @@ def build() -> str:
         # every join fan-out is preserved.
         maxima = base.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
         strides = {k: _stride(int(maxima[k])) for k in keys}
-        copies = [
-            base.select(
-                *[
-                    (F.col(c) + F.lit(i * strides[c])).alias(c)
-                    if c in keys
-                    else F.col(c)
-                    for c in base.columns
-                ]
-            )
-            for i in range(COPIES)
-        ]
+        def _copy_cols(i: int) -> list:
+            cols = []
+            for c in base.columns:
+                if c in keys:
+                    cols.append((F.col(c) + F.lit(i * strides[c])).alias(c))
+                elif SALT and t == "documents" and c == "text" and i > 0:
+                    cols.append(
+                        F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}$1").alias(
+                            "text"
+                        )
+                    )
+                else:
+                    cols.append(F.col(c))
+            return cols
+
+        copies = [base.select(*_copy_cols(i)) for i in range(COPIES)]
         df = copies[0]
         for c in copies[1:]:
             df = df.unionByName(c)
