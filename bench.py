@@ -117,6 +117,8 @@ def main() -> None:
         extra_reps = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "3"))
         for _ in range(extra_reps):
             best2 = sorted(rep_times)[:2]
+            if len(best2) < 2:
+                break  # single-rep mode (smoke runs): nothing to compare
             if best2[0] < 0.15 or (best2[1] - best2[0]) / best2[0] <= 0.25:
                 break  # floor-scale or two agreeing reps: stable
             t0 = time.perf_counter()

@@ -20,11 +20,23 @@ instance over BN254 from PUBLIC specification only:
   rounds) -> MDS row-vector multiply; sponge state [0, inputs...],
   digest = state[0].
 
-PARITY NOTE (honest limitation): this container is offline and ships
-no circomlib constant tables, so byte-for-byte agreement with the
-exact constants the reference's circomlibjs build bundles cannot be
-verified here. The permutation accepts injected (C, M) tables two
-ways:
+PARITY NOTE: this container is offline and ships no circomlib constant
+tables, so EXHAUSTIVE byte-for-byte table diffing against the
+circomlibjs bundle (`poseidon_constants.json`, the exact blocking
+artifact) cannot be run here. What IS verified offline, at three
+independent anchor points (tests/test_poseidon.py):
+
+- the full t=5 digest poseidon([1,2,3,4]) equals the widely-published
+  circomlibjs golden vector EXACTLY (`test_circomlib_known_answer_t5`)
+  — two independent derivations (circomlib's bundled tables vs this
+  module's from-paper Grain generation) agreeing on a 254-bit value;
+- the first t=3 round constant and the first t=3 MDS entry pinned in
+  `test_generator_pins` are bit-identical to the corresponding entries
+  of circomlib's published t=3 tables.
+
+A ZK user deploying against `circuits/agent_reputation.circom` should
+still vendor the exact bundle before trusting roots; the permutation
+accepts injected (C, M) tables two ways:
 
 - programmatically, via the ``params`` argument of ``poseidon_hash``;
 - operationally, by pointing ``SPARK_GRAFT_POSEIDON_CONSTANTS`` at a

@@ -188,6 +188,62 @@ def streaming_window_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_window_agg_live_bus",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    tags=("ST1", "ST5", "streaming", "live-source", "bus"),
+)
+def streaming_window_agg_live_bus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 over a PARTITIONED, OUT-OF-ORDER live bus (VERDICT r5 task
+    5): three independent TCP servers each own one hash partition of
+    the event slice (a Kafka key-partitioner stand-in), every
+    partition's delivery is deterministically scrambled inside
+    5-minute event-time buckets — under the transform's 10-minute
+    watermark, so a correct watermark must absorb ALL of it — and the
+    SAME `window_agg_transform` consumes the unionByName of the three
+    socket streams. The oracle is the batch aggregation of the same
+    slice: one row lost to cross-partition races, disorder, or a
+    watermark bug is a driver-visible hash mismatch. The append-mode
+    REJECTION side of the watermark (a row later than the delay being
+    dropped) is exercised by tests/test_streaming_live.py's staged
+    two-phase feed — complete-mode end-state here, closed-window
+    eviction there. Production swap: `format("kafka")` with one source
+    per topic-partition and the identical transform."""
+    from kamiyo_hive_spark.streaming.live import (
+        events_as_jsonl,
+        partition_lines,
+        run_live_to_completion,
+        scramble_within,
+        serve_events_bus,
+        socket_events_union,
+    )
+
+    lines = events_as_jsonl(spark, sf_dir, "2024-01-08 00:00:00")
+    parts = [
+        scramble_within(p, span_us=5 * 60 * 1_000_000)
+        for p in partition_lines(lines, 3)
+    ]
+    with serve_events_bus(parts) as bus:
+        stream = socket_events_union(spark, bus.endpoints)
+        agg = window_agg_transform(stream)
+        run_live_to_completion(
+            agg,
+            "stream_window_agg_live_bus_out",
+            "complete",
+            expected_rows=len(lines),
+        )
+    return _window_agg_present(spark, "stream_window_agg_live_bus_out")
+
+
+@register(
     "streaming_dedup_keys",
     oracle="""
     SELECT DISTINCT user_id, event_type

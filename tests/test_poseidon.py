@@ -38,6 +38,23 @@ def test_generator_pins():
     assert m[0][0] == M3_00
 
 
+# Known-answer test (VERDICT r5 task 4): the widely-published circomlibjs
+# golden vector poseidon([1, 2, 3, 4]) — reproduced EXACTLY by our
+# Grain-LFSR generation + reference evaluation (t=5, 60 partial rounds).
+# Two independent derivations agreeing (circomlib's bundled constants
+# vs our from-paper generator) is the strongest parity evidence
+# available offline; exhaustive per-width table diffing needs the
+# circomlibjs `poseidon_constants.json` artifact, which this container
+# does not ship.
+CIRCOMLIB_KAT_1234 = (
+    18821383157269793795438455681495246036402687001665670618754263018637548127333
+)
+
+
+def test_circomlib_known_answer_t5():
+    assert poseidon_hash([1, 2, 3, 4]) == CIRCOMLIB_KAT_1234
+
+
 def test_permutation_properties():
     h = poseidon_hash([1, 2])
     assert 0 <= h < P

@@ -126,3 +126,158 @@ def test_stalled_feed_raises_not_truncates(spark, sf_dir):
                 expected_rows=50,
                 timeout_s=6.0,
             )
+
+
+def test_bus_out_of_order_multi_partition_matches_batch(spark, sf_dir):
+    """VERDICT r5 task 5, absorption side: 3 bus partitions, each with
+    deliberately scrambled delivery inside 5-minute event-time buckets
+    (under the transform's 10-minute watermark), unioned into the SAME
+    window aggregation — the end state must equal the batch answer."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.streaming.jobs import window_agg_transform
+    from kamiyo_hive_spark.streaming.live import (
+        partition_lines,
+        scramble_within,
+        serve_events_bus,
+        socket_events_union,
+    )
+
+    lines = events_as_jsonl(spark, sf_dir, CUTOFF)
+    parts = [
+        scramble_within(p, span_us=5 * 60 * 1_000_000)
+        for p in partition_lines(lines, 3)
+    ]
+    assert sum(len(p) for p in parts) == len(lines)
+    assert all(parts), "every bus partition must carry rows"
+
+    def ts_seq(p):
+        return [json.loads(ln)["ts_us"] for ln in p]
+
+    assert any(
+        ts_seq(p) != sorted(ts_seq(p)) for p in parts
+    ), "the scramble must actually deliver out of order"
+
+    with serve_events_bus(parts) as bus:
+        assert len(bus.endpoints) == 3
+        stream = socket_events_union(spark, bus.endpoints)
+        agg = window_agg_transform(stream)
+        run_live_to_completion(
+            agg, "t_live_bus_out", "complete", expected_rows=len(lines)
+        )
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("t_live_bus_out").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["v"])
+        for r in _batch_events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_watermark_rejects_late_row_from_live_wire(spark):
+    """VERDICT r5 task 5, rejection side — the first LIVE exercise of
+    watermark lateness: a staged two-phase feed advances the watermark
+    past a window's end, then delivers a row INTO that closed window
+    (beyond the 10-minute delay). The row must reach the wire (input
+    counters prove delivery) and be DROPPED by the watermark, so the
+    closed window's append-mode emission keeps its phase-1 count."""
+    import json
+    import time as _time
+    from datetime import datetime, timezone
+
+    from kamiyo_hive_spark.streaming.jobs import window_agg_transform
+
+    def us(s: str) -> int:
+        return int(
+            datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    def row(eid: int, ts: str) -> str:
+        return json.dumps(
+            {
+                "event_id": eid,
+                "ts_us": us(ts),
+                "user_id": 1,
+                "event_type": "purchase",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+
+    # phase 1: two rows in window A [00:00, 01:00), two in window B
+    # [01:00, 02:00) — max ts 01:40 puts the watermark at 01:30 > A.end
+    phase1 = [
+        row(1, "2024-01-01 00:05:00"),
+        row(2, "2024-01-01 00:10:00"),
+        row(3, "2024-01-01 01:30:00"),
+        row(4, "2024-01-01 01:40:00"),
+    ]
+    # phase 2: one LATE row into the closed window A (70+ minutes behind
+    # the watermark) plus one fresh row that keeps event time advancing
+    phase2 = [
+        row(5, "2024-01-01 00:20:00"),
+        row(6, "2024-01-01 02:30:00"),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with serve_events_tcp(phase1) as srv:
+            stream = socket_events_stream(spark, srv.host, srv.port)
+            agg = window_agg_transform(stream)
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("t_live_late_out")
+                .start()
+            )
+            try:
+
+                def drain_until(n_rows: int, timeout_s: float = 60.0) -> None:
+                    deadline = _time.monotonic() + timeout_s
+                    seen, last = 0, -1
+                    while seen < n_rows:
+                        if _time.monotonic() > deadline:
+                            raise TimeoutError(f"{seen}/{n_rows} rows")
+                        q.processAllAvailable()
+                        for p in q.recentProgress:
+                            bid = int(p["batchId"])
+                            if bid > last:
+                                seen += int(p["numInputRows"])
+                                last = bid
+                        if seen < n_rows:
+                            _time.sleep(0.05)
+                    q.processAllAvailable()
+
+                drain_until(len(phase1))
+                srv.send(phase2)
+                # both phase-2 rows must ARRIVE (delivery proven by the
+                # input counter) before we inspect the sink
+                drain_until(len(phase1) + len(phase2))
+            finally:
+                q.stop()
+        got = {
+            r["w"]["start"].strftime("%H:%M"): r["n_events"]
+            for r in spark.table("t_live_late_out").collect()
+        }
+        # window A emitted with its phase-1 count — the late wire row
+        # (event 5) was dropped by the watermark, not aggregated
+        assert got.get("00:00") == 2, got
+        # window B closed by phase 2's fresh row; window C never closes
+        assert got.get("01:00") == 2, got
+        assert "02:00" not in got, got
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
