@@ -32,7 +32,12 @@ independent anchor points (tests/test_poseidon.py):
   module's from-paper Grain generation) agreeing on a 254-bit value;
 - the first t=3 round constant and the first t=3 MDS entry pinned in
   `test_generator_pins` are bit-identical to the corresponding entries
-  of circomlib's published t=3 tables.
+  of circomlib's published t=3 tables;
+- the first round constants at t=2 and t=4 equal the head entries of
+  circomlib's published tables for those widths
+  (`test_circomlib_table_head_anchors`) — the generation agrees at
+  EVERY width checked, so parity at the remaining widths follows from
+  the same generator unless circomlib's bundle deviates mid-table.
 
 A ZK user deploying against `circuits/agent_reputation.circom` should
 still vendor the exact bundle before trusting roots; the permutation

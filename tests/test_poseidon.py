@@ -55,6 +55,19 @@ def test_circomlib_known_answer_t5():
     assert poseidon_hash([1, 2, 3, 4]) == CIRCOMLIB_KAT_1234
 
 
+# Table-head anchors: the FIRST round constant our Grain generation
+# emits at t=2 and t=4 equals the corresponding head entry of
+# circomlib's published constant tables (same provenance as the t=3
+# pins above — recognizable published values, not self-pins).
+C2_0 = 0x09C46E9EC68E9BD4FE1FAABA294CBA38A71AA177534CDD1B6C7DC0DBD0ABD7A7
+C4_0 = 0x19B849F69450B06848DA1D39BD5E4A4302BB86744EDC26238B0878E269ED23E5
+
+
+def test_circomlib_table_head_anchors():
+    assert poseidon_params(2)[0][0] == C2_0
+    assert poseidon_params(4)[0][0] == C4_0
+
+
 def test_permutation_properties():
     h = poseidon_hash([1, 2])
     assert 0 <= h < P
