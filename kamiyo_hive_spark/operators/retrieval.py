@@ -800,24 +800,36 @@ _MS_VEC = """list_transform(range(0, {dim}),
     dim=MAXSIM_DIM, tok="{tok}"
 )
 
-_MAXSIM_ORACLE = f"""
-WITH toks AS (
+# Shared MaxSim oracle fragments (the repo's shared-CTE convention:
+# the standalone oracle and the ANN-rerank oracle must replay the SAME
+# scoring text, differing ONLY in how `dt` — the candidate token
+# relation — is built and joined).
+_MS_TOKS_CTE = """toks AS (
     SELECT doc_id,
            list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ts
     FROM documents
-),
-dt AS (
-    SELECT doc_id, u.t AS tok
-    FROM (SELECT doc_id, ts[1:{MAXSIM_DTOK}] AS ts FROM toks),
-         unnest(ts) AS u(t)
-),
-qt AS (
+)"""
+
+_MS_FINAL_SELECT = f"""SELECT query_id, doc_id AS cand_id, maxsim
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {MAXSIM_TOP}
+ORDER BY query_id, maxsim DESC, cand_id"""
+
+
+def _ms_scoring_ctes(dt_keys: str, sims_join: str) -> str:
+    """MaxSim token-scoring CTE chain over a prepared `dt` (candidate
+    tokens, keyed by ``dt_keys``) and the query slice: hash-projection
+    vectors, L2 normalization, per-(query, doc, qtok) MAX cosine joined
+    per ``sims_join``, DECIMAL per-pair sum."""
+    return f"""qt AS (
     SELECT doc_id AS query_id, u.t AS tok
     FROM (SELECT doc_id, ts[1:{MAXSIM_QTOK}] AS ts FROM toks WHERE doc_id < {MAXSIM_NQ}),
          unnest(ts) AS u(t)
 ),
 dv AS (
-    SELECT doc_id, tok,
+    SELECT {dt_keys}, tok,
            {_MS_VEC.format(tok="tok")} AS v
     FROM dt
 ),
@@ -827,7 +839,7 @@ qv AS (
     FROM qt
 ),
 dn AS (
-    SELECT doc_id, tok,
+    SELECT {dt_keys}, tok,
            list_transform(v, x -> x / sqrt(list_reduce(
                list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
     FROM dv
@@ -843,21 +855,25 @@ sims AS (
            MAX(round(list_reduce(list_transform(list_zip(q.nv, d.nv),
                                                 p -> p[1] * p[2]),
                                  (a, b) -> a + b), 9)) AS best
-    FROM qn q, dn d
-    WHERE d.doc_id <> q.query_id
+    FROM qn q JOIN dn d ON {sims_join}
     GROUP BY 1, 2, 3
 ),
 scored AS (
     SELECT query_id, doc_id,
            CAST(SUM(CAST(best AS DECIMAL(28, 9))) AS DOUBLE) AS maxsim
     FROM sims GROUP BY 1, 2
-)
-SELECT query_id, doc_id AS cand_id, maxsim
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY maxsim DESC, doc_id) AS rn
-      FROM scored)
-WHERE rn <= {MAXSIM_TOP}
-ORDER BY query_id, maxsim DESC, cand_id
+)"""
+
+
+_MAXSIM_ORACLE = f"""
+WITH {_MS_TOKS_CTE},
+dt AS (
+    SELECT doc_id, u.t AS tok
+    FROM (SELECT doc_id, ts[1:{MAXSIM_DTOK}] AS ts FROM toks),
+         unnest(ts) AS u(t)
+),
+{_ms_scoring_ctes("doc_id", "d.doc_id <> q.query_id")}
+{_MS_FINAL_SELECT}
 """
 
 
@@ -906,31 +922,9 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    def hash_vec(tok_col):
-        comps = [
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", tok_col, F.lit(str(i)))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 2001
-                - 1000
-            ).cast("double")
-            / 1000.0
-            for i in range(MAXSIM_DIM)
-        ]
-        return F.array(*comps)
-
-    def normalize(v):
-        n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        return F.transform(v, lambda x: x / n)
-
     dt = toks.select("doc_id", F.explode("ts").alias("tok"))
     vocab = dt.select("tok").distinct().withColumn(
-        "nv", normalize(hash_vec(F.col("tok")))
+        "nv", _ms_normalize(_ms_hash_vec(F.col("tok")))
     )
     qt = (
         toks.filter(F.col("doc_id") < MAXSIM_NQ)
@@ -938,7 +932,7 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"),
             F.posexplode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qpos", "qtok"),
         )
-        .withColumn("qnv", normalize(hash_vec(F.col("qtok"))))
+        .withColumn("qnv", _ms_normalize(_ms_hash_vec(F.col("qtok"))))
     )
     sim = F.round(
         F.aggregate(
@@ -1050,8 +1044,9 @@ MAXSIM_POOL = 40  # ANN candidates per query fed to the reranker
 
 
 def _ms_hash_vec(tok_col):
-    """The maxsim hash-projection token vector (module-level twin of the
-    closure inside `maxsim_late_interaction`, same expression tree)."""
+    """The maxsim hash-projection token vector — ONE expression tree
+    shared by `maxsim_late_interaction` and the ANN rerank, so the
+    score-parity the tests enforce can never drift between them."""
     comps = [
         (
             F.conv(
@@ -1074,38 +1069,16 @@ def _ms_normalize(v):
 
 
 def _maxsim_ann_oracle() -> str:
-    """DuckDB replay of the FULL composition: SRP bucket bits + hamming-1
-    multiprobe + per-query cosine top-POOL (the `knn_lsh_cosine` oracle
-    generalized to MAXSIM_NQ queries), then MaxSim token scoring
-    restricted to each query's pool (the `maxsim_late_interaction`
-    oracle with `pool` replacing the all-docs candidate set)."""
-    from kamiyo_hive_spark.operators.similarity import _hyperplanes
+    """DuckDB replay of the FULL composition: the shared SRP CTE block
+    (`similarity.srp_cte_block` — the `knn_lsh_cosine` oracle's exact
+    text) generalized to MAXSIM_NQ queries for the pool, then the
+    shared MaxSim scoring chain (`_ms_scoring_ctes` — the
+    `maxsim_late_interaction` oracle's exact text) restricted to each
+    query's pool."""
+    from kamiyo_hive_spark.operators.similarity import srp_cte_block
 
-    rows = ",\n            ".join(
-        f"({j}, {plane!r})" for j, plane in enumerate(_hyperplanes())
-    )
     return f"""
-WITH planes AS (
-    SELECT * FROM (VALUES
-        {rows}
-    ) p(j, plane)
-),
-e AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-),
-bits AS (
-    SELECT e.vec_id, p.j,
-           list_reduce(list_prepend(0.0,
-               list_transform(list_zip(e.v, p.plane), z -> z[1] * z[2])),
-               (a, x) -> a + x) >= 0 AS bit
-    FROM e CROSS JOIN planes p
-),
-buckets AS (
-    SELECT vec_id,
-           CAST(SUM(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-    FROM bits GROUP BY 1
-),
+WITH {srp_cte_block()},
 qb AS (SELECT vec_id AS query_id, bucket AS qbucket
        FROM buckets WHERE vec_id < {MAXSIM_NQ}),
 probes AS (
@@ -1141,11 +1114,7 @@ pool AS (
           FROM scored_pool)
     WHERE rn <= {MAXSIM_POOL}
 ),
-toks AS (
-    SELECT doc_id,
-           list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS ts
-    FROM documents
-),
+{_MS_TOKS_CTE},
 dt AS (
     SELECT p.query_id, t.doc_id, u.t AS tok
     FROM pool p,
@@ -1153,53 +1122,8 @@ dt AS (
          unnest(t.ts) AS u(t)
     WHERE t.doc_id = p.cand_id
 ),
-qt AS (
-    SELECT doc_id AS query_id, u.t AS tok
-    FROM (SELECT doc_id, ts[1:{MAXSIM_QTOK}] AS ts FROM toks
-          WHERE doc_id < {MAXSIM_NQ}),
-         unnest(ts) AS u(t)
-),
-dv AS (
-    SELECT query_id, doc_id, tok,
-           {_MS_VEC.format(tok="tok")} AS v
-    FROM dt
-),
-qv AS (
-    SELECT query_id, tok,
-           {_MS_VEC.format(tok="tok")} AS v
-    FROM qt
-),
-dn AS (
-    SELECT query_id, doc_id, tok,
-           list_transform(v, x -> x / sqrt(list_reduce(
-               list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
-    FROM dv
-),
-qn AS (
-    SELECT query_id, tok,
-           list_transform(v, x -> x / sqrt(list_reduce(
-               list_transform(v, y -> y * y), (a, b) -> a + b))) AS nv
-    FROM qv
-),
-sims AS (
-    SELECT d.query_id, d.doc_id, q.tok AS qtok,
-           MAX(round(list_reduce(list_transform(list_zip(q.nv, d.nv),
-                                                p -> p[1] * p[2]),
-                                 (a, b) -> a + b), 9)) AS best
-    FROM qn q JOIN dn d ON d.query_id = q.query_id
-    GROUP BY 1, 2, 3
-),
-scored AS (
-    SELECT query_id, doc_id,
-           CAST(SUM(CAST(best AS DECIMAL(28, 9))) AS DOUBLE) AS maxsim
-    FROM sims GROUP BY 1, 2
-)
-SELECT query_id, doc_id AS cand_id, maxsim
-FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY maxsim DESC, doc_id) AS rn
-      FROM scored)
-WHERE rn <= {MAXSIM_TOP}
-ORDER BY query_id, maxsim DESC, cand_id
+{_ms_scoring_ctes("query_id, doc_id", "d.query_id = q.query_id")}
+{_MS_FINAL_SELECT}
 """
 
 
@@ -1217,6 +1141,7 @@ def maxsim_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hyperplanes,
         _norm as _vnorm,
         lsh_index_dir,
+        srp_probe_set,
     )
 
     planes = _hyperplanes()
@@ -1231,11 +1156,7 @@ def maxsim_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in qrows:
         q = list(r["q"])
         queries.append((int(r["vec_id"]), q))
-        b = 0
-        for j, plane in enumerate(planes):
-            if sum(x * y for x, y in zip(q, plane)) >= 0:
-                b |= 1 << j
-        for pb in sorted({b} | {b ^ (1 << j) for j in range(len(planes))}):
+        for pb in srp_probe_set(q, planes):
             probe_pairs.append((int(r["vec_id"]), pb))
     all_buckets = sorted({pb for _, pb in probe_pairs})
 

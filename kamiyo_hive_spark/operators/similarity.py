@@ -168,15 +168,26 @@ def srp_bucket(emb: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def srp_probe_set(q: list[float], planes: list[list[float]]) -> list[int]:
+    """Driver-side SRP bucket + hamming-1 multiprobe expansion for ONE
+    query vector — the single place the bit convention (>= 0 -> bit
+    set) lives outside the `srp_bucket` column expression. Every
+    probe-side consumer (`_query_probe`, the MaxSim rerank pool) must
+    route through here so the convention can never fork."""
+    b = 0
+    for j, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(q, plane)) >= 0:
+            b |= 1 << j
+    return sorted({b} | {b ^ (1 << j) for j in range(len(planes))})
+
+
 def _query_probe(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID
 ) -> tuple[Column, list[int]]:
     """Driver-side probe computation shared by both LSH variants:
-    collect the query vector (metadata-sized), fold its SRP bucket with
-    the SAME bit convention as `srp_bucket` (>= 0 -> bit set), and
-    expand the hamming-1 multiprobe set. Returns (query literal array,
-    sorted probe bucket ids)."""
-    planes = _hyperplanes()
+    collect the query vector (metadata-sized) and expand its multiprobe
+    set via `srp_probe_set`. Returns (query literal array, sorted probe
+    bucket ids)."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     q = (
@@ -185,12 +196,7 @@ def _query_probe(
         .collect()[0]["q"]
     )
     qlit = F.array(*[F.lit(float(v)) for v in q])
-    q_bucket = 0
-    for j, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(q, plane)) >= 0:
-            q_bucket |= 1 << j
-    probes = sorted({q_bucket} | {q_bucket ^ (1 << j) for j in range(len(planes))})
-    return qlit, probes
+    return qlit, srp_probe_set(list(q), _hyperplanes())
 
 
 def knn_lsh(
@@ -220,16 +226,17 @@ def knn_lsh(
     )
 
 
-def _knn_lsh_oracle() -> str:
-    """DuckDB oracle for the SRP-LSH probe: the deterministic
-    hyperplanes inline as literals, bucket bits and cosine folds
-    computed with the same left-to-right order as the Spark
-    expressions, multiprobe = hamming-1 neighborhood."""
+def srp_cte_block() -> str:
+    """Shared DuckDB CTE chain for the SRP layer — the deterministic
+    hyperplanes as literals, bucket bits folded with the same
+    left-to-right order as the Spark expressions, bucket ids summed to
+    BIGINT. One text, two consumers (`_knn_lsh_oracle` here and the
+    MaxSim rerank oracle in operators/retrieval.py) so the replayed
+    bit convention can never fork from itself."""
     rows = ",\n            ".join(
         f"({j}, {plane!r})" for j, plane in enumerate(_hyperplanes())
     )
-    return f"""
-    WITH planes AS (
+    return f"""planes AS (
         SELECT * FROM (VALUES
             {rows}
         ) p(j, plane)
@@ -249,7 +256,14 @@ def _knn_lsh_oracle() -> str:
         SELECT vec_id,
                CAST(SUM(CASE WHEN bit THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
         FROM bits GROUP BY 1
-    ),
+    )"""
+
+
+def _knn_lsh_oracle() -> str:
+    """DuckDB oracle for the SRP-LSH probe: the shared SRP CTE block,
+    then the single-query multiprobe + exact cosine top-k."""
+    return f"""
+    WITH {srp_cte_block()},
     qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = {QUERY_VEC_ID}),
     probes AS (
         SELECT qbucket AS pb FROM qb

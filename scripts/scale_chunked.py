@@ -47,6 +47,7 @@ def main() -> int:
     from kamiyo_hive_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures,
+        shingle_rows,
         verify_jaccard,
     )
     from kamiyo_hive_spark.session import get_spark
@@ -62,10 +63,17 @@ def main() -> int:
 
     report: dict = {"tile": tile, "chunks": G}
 
-    # --- stage 1: signatures + banding, candidates materialized once ---
+    # --- stage 1: signatures + banding, candidates materialized once;
+    # the shingle index is ALSO written once (dedup.py exposes `inv=`
+    # for exactly this sharing — without it every verify slice would
+    # re-tokenize the full corpus) ---
     docs = parallel_table(spark, sf_dir, "documents", "doc_id")
+    inv_dir = os.path.join(_ROOT, ".scratch", f"_chunk_inv_{tile}")
     t0 = time.perf_counter()
-    sigs = minhash_signatures(docs, portable=True).persist()
+    shutil.rmtree(inv_dir, ignore_errors=True)
+    shingle_rows(docs).write.mode("overwrite").parquet(inv_dir)
+    inv = spark.read.parquet(inv_dir)
+    sigs = minhash_signatures(docs, portable=True, inv=inv).persist()
     cands = minhash_lsh_candidates(sigs, portable=True)
     shutil.rmtree(cand_dir, ignore_errors=True)
     cands.write.mode("overwrite").parquet(cand_dir)
@@ -87,7 +95,7 @@ def main() -> int:
             F.pmod(F.xxhash64(F.col("doc_a")), F.lit(G)) == F.lit(g)
         )
         t0 = time.perf_counter()
-        out = verify_jaccard(docs, sl, 0.5)
+        out = verify_jaccard(docs, sl, 0.5, inv=inv)
         n = out.count()
         dt = time.perf_counter() - t0
         chunk_times.append(round(dt, 2))
@@ -105,6 +113,7 @@ def main() -> int:
         flush=True,
     )
     shutil.rmtree(cand_dir, ignore_errors=True)
+    shutil.rmtree(inv_dir, ignore_errors=True)
     spark.stop()
     return 0
 

@@ -103,8 +103,14 @@ def build() -> str:
                 if c in keys:
                     cols.append((F.col(c) + F.lit(i * strides[c])).alias(c))
                 elif SALT and t == "documents" and c == "text" and i > 0:
+                    # 'c{i}.' — the dot separator keeps copy tags
+                    # unambiguous for digit-leading tokens ('c1' + '0foo'
+                    # would equal 'c10' + 'foo'); this corpus has no
+                    # digit-leading tokens (verified), so tiles built
+                    # with the earlier 'c{i}' prefix are equally
+                    # collision-free — the separator future-proofs it.
                     cols.append(
-                        F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}$1").alias(
+                        F.regexp_replace(F.col("text"), r"(\S+)", f"c{i}.$1").alias(
                             "text"
                         )
                     )
