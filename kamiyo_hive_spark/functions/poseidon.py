@@ -36,8 +36,11 @@ independent anchor points (tests/test_poseidon.py):
 - the first round constants at t=2 and t=4 equal the head entries of
   circomlib's published tables for those widths
   (`test_circomlib_table_head_anchors`) — the generation agrees at
-  EVERY width checked, so parity at the remaining widths follows from
-  the same generator unless circomlib's bundle deviates mid-table.
+  every width checked, which is CONSISTENT WITH full-table parity but
+  does not prove it: a single head constant per width cannot rule out
+  mid-table divergence (e.g. a differing MDS derivation at some
+  width). Vendoring the real bundle (below) remains the operative
+  guidance for trusting roots at untested widths.
 
 A ZK user deploying against `circuits/agent_reputation.circom` should
 still vendor the exact bundle before trusting roots; the permutation

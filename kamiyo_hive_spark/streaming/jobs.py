@@ -206,17 +206,19 @@ def streaming_window_agg_live_bus(spark: SparkSession, sf_dir: str) -> DataFrame
     5): three independent TCP servers each own one hash partition of
     the event slice (a Kafka key-partitioner stand-in), every
     partition's delivery is deterministically scrambled inside
-    5-minute event-time buckets — under the transform's 10-minute
-    watermark, so a correct watermark must absorb ALL of it — and the
-    SAME `window_agg_transform` consumes the unionByName of the three
-    socket streams. The oracle is the batch aggregation of the same
-    slice: one row lost to cross-partition races, disorder, or a
-    watermark bug is a driver-visible hash mismatch. The append-mode
-    REJECTION side of the watermark (a row later than the delay being
-    dropped) is exercised by tests/test_streaming_live.py's staged
-    two-phase feed — complete-mode end-state here, closed-window
-    eviction there. Production swap: `format("kafka")` with one source
-    per topic-partition and the identical transform."""
+    5-minute event-time buckets (under the transform's 10-minute
+    watermark delay), and the SAME `window_agg_transform` consumes the
+    unionByName of the three socket streams. This runs in COMPLETE
+    mode, which neither evicts state nor drops late rows — so what the
+    oracle (the batch aggregation of the same slice) pins here is
+    union correctness + out-of-order aggregation end-state: one row
+    lost to cross-partition races or disorder is a driver-visible hash
+    mismatch. The WATERMARK claims are load-bearing in append mode,
+    in tests/test_streaming_live.py: absorption (scrambled
+    within-delay bus rows all present in each closed window's single
+    emission) and rejection (a staged later-than-delay row dropped).
+    Production swap: `format("kafka")` with one source per
+    topic-partition and the identical transform."""
     from kamiyo_hive_spark.streaming.live import (
         events_as_jsonl,
         partition_lines,

@@ -103,6 +103,11 @@ class serve_events_tcp:
         self.port: int | None = None
         self._srv: socket.socket | None = None
         self._conns: list[socket.socket] = []
+        # Guards _conns AND _backlog (ADVICE r6: send() used to iterate
+        # _conns while the accept thread appended without a lock, and a
+        # client connecting after send() never saw the staged lines).
+        self._lock = threading.Lock()
+        self._backlog: list[bytes] = []
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -123,12 +128,19 @@ class serve_events_tcp:
                     continue
                 except OSError:
                     return
-                try:
-                    conn.sendall(payload)
-                except OSError:
-                    conn.close()
-                    continue
-                self._conns.append(conn)  # hold open; closed on exit
+                # Replay initial payload + staged backlog and register
+                # atomically under the lock: a concurrent send() either
+                # runs before (its lines are in the backlog we replay)
+                # or after (it sees the registered conn) — exactly-once
+                # either way. Localhost + line-scale payloads keep the
+                # in-lock sendall short.
+                with self._lock:
+                    try:
+                        conn.sendall(payload + b"".join(self._backlog))
+                    except OSError:
+                        conn.close()
+                        continue
+                    self._conns.append(conn)  # hold open; closed on exit
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -138,7 +150,9 @@ class serve_events_tcp:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2)
-        for c in self._conns:
+        with self._lock:
+            conns = list(self._conns)
+        for c in conns:
             try:
                 c.close()
             except OSError:
@@ -147,20 +161,25 @@ class serve_events_tcp:
             self._srv.close()
 
     def send(self, lines: list[str], timeout_s: float = 10.0) -> None:
-        """Staged delivery: push more lines to every connected client.
+        """Staged delivery: push more lines to every connected client
+        AND stage them for clients that connect later (the backlog is
+        replayed on accept, so send() is robust to connect timing).
         This is the bus 'new offsets arrived' primitive — the late-data
         tests use it to land rows in a LATER micro-batch than the one
         that advanced the watermark."""
         if not lines:
             return
-        deadline = time.monotonic() + timeout_s
-        while not self._conns and time.monotonic() < deadline:
-            time.sleep(0.02)
-        if not self._conns:
-            raise RuntimeError("send(): no connected client")
         data = ("\n".join(lines) + "\n").encode()
-        for c in self._conns:
-            c.sendall(data)
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                if self._conns:
+                    self._backlog.append(data)
+                    for c in self._conns:
+                        c.sendall(data)
+                    return
+            time.sleep(0.02)
+        raise RuntimeError("send(): no connected client")
 
 
 def partition_lines(lines: list[str], n: int) -> list[list[str]]:

@@ -53,7 +53,34 @@ PANEL = (
     "curated_pretrain_pipeline",
     "kmeans_lloyd_clusters",
     "doc_repetition_stats",
+    # r7 append (VERDICT r6 task 6): the production serving shape, with
+    # a >=0.5s oracle. Append-only — never remove members.
+    "maxsim_ann_rerank",
 )
+
+
+def _duck_best(con, sql: str, reps: int) -> float:
+    """Best-of-reps DuckDB timing with the SAME stability rule as
+    bench.py's Spark side (ADVICE r6: the adaptive extra reps applied
+    only to Spark, biasing ratios in Spark's favor when a DuckDB rep
+    is unstable): if the two best reps disagree by >25% and the floor
+    isn't sub-0.15s, take up to 3 extra attempts until two agree."""
+    times: list[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.execute(f"SELECT count(*) FROM ({sql})").fetchone()
+        times.append(time.perf_counter() - t0)
+    extra = int(os.environ.get("SPARK_GRAFT_H2H_EXTRA_REPS", "3"))
+    for _ in range(extra):
+        best2 = sorted(times)[:2]
+        if len(best2) < 2:
+            break
+        if best2[0] < 0.15 or (best2[1] - best2[0]) / best2[0] <= 0.25:
+            break
+        t0 = time.perf_counter()
+        con.execute(f"SELECT count(*) FROM ({sql})").fetchone()
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main() -> int:
@@ -73,12 +100,8 @@ def main() -> int:
             continue
         if name not in spark_times:
             continue
-        best = float("inf")
         try:
-            for _ in range(REPS):
-                t0 = time.perf_counter()
-                con.execute(f"SELECT count(*) FROM ({spec.oracle})").fetchone()
-                best = min(best, time.perf_counter() - t0)
+            best = _duck_best(con, spec.oracle, REPS)
         except Exception as ex:  # noqa: BLE001
             errors.append((name, str(ex)[:100]))
             continue

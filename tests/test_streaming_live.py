@@ -281,3 +281,115 @@ def test_watermark_rejects_late_row_from_live_wire(spark):
         assert "02:00" not in got, got
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bus_append_mode_absorbs_within_watermark_disorder(spark):
+    """ADVICE r6: the registered bus query runs in complete mode, where
+    Spark neither evicts state nor drops late rows — so THIS test is
+    where the absorption claim is load-bearing. In APPEND mode a closed
+    window emits exactly once; a row delivered out of order inside the
+    watermark delay that was NOT absorbed would be missing from its
+    window's one emission. 3 scrambled bus partitions, then a flush row
+    per partition (the union's watermark is the MIN across sources)
+    closes windows A and B — their counts must equal the batch answer."""
+    import json
+    import time as _time
+    from datetime import datetime, timezone
+
+    from kamiyo_hive_spark.streaming.jobs import window_agg_transform
+    from kamiyo_hive_spark.streaming.live import (
+        partition_lines,
+        scramble_within,
+        serve_events_bus,
+        socket_events_union,
+    )
+
+    def us(s: str) -> int:
+        return int(
+            datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    def row(eid: int, ts: str) -> str:
+        return json.dumps(
+            {
+                "event_id": eid,
+                "ts_us": us(ts),
+                "user_id": eid % 5,
+                "event_type": "purchase",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+
+    # 12 rows in window A [00:00,01:00), 12 in window B [01:00,02:00),
+    # spread over 5-minute buckets so the scramble has room to disorder
+    phase1 = [
+        row(i, f"2024-01-01 00:{i * 4 + 1:02d}:00") for i in range(12)
+    ] + [
+        row(100 + i, f"2024-01-01 01:{i * 4 + 1:02d}:00") for i in range(12)
+    ]
+    parts = [
+        scramble_within(p, span_us=5 * 60 * 1_000_000)
+        for p in partition_lines(phase1, 3)
+    ]
+    assert all(parts), "every bus partition must carry rows"
+
+    def ts_seq(p):
+        return [json.loads(ln)["ts_us"] for ln in p]
+
+    assert any(ts_seq(p) != sorted(ts_seq(p)) for p in parts)
+
+    # one flush row per partition, far past B.end: min-across-sources
+    # watermark lands at 03:20 > 02:00, so A and B both emit
+    flush = [row(990 + i, "2024-01-01 03:30:00") for i in range(3)]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with serve_events_bus(parts) as bus:
+            stream = socket_events_union(spark, bus.endpoints)
+            agg = window_agg_transform(stream)
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("t_live_bus_append_out")
+                .start()
+            )
+            try:
+
+                def drain_until(n_rows: int, timeout_s: float = 60.0) -> None:
+                    deadline = _time.monotonic() + timeout_s
+                    seen, last = 0, -1
+                    while seen < n_rows:
+                        if _time.monotonic() > deadline:
+                            raise TimeoutError(f"{seen}/{n_rows} rows")
+                        q.processAllAvailable()
+                        for p in q.recentProgress:
+                            bid = int(p["batchId"])
+                            if bid > last:
+                                seen += int(p["numInputRows"])
+                                last = bid
+                        if seen < n_rows:
+                            _time.sleep(0.05)
+                    q.processAllAvailable()
+
+                drain_until(len(phase1))
+                for srv, fl in zip(bus.servers, flush):
+                    srv.send([fl])
+                drain_until(len(phase1) + len(flush))
+            finally:
+                q.stop()
+        got = {
+            r["w"]["start"].strftime("%H:%M"): r["n_events"]
+            for r in spark.table("t_live_bus_append_out").collect()
+        }
+        # every scrambled-but-within-watermark row was absorbed into
+        # its window's single append emission
+        assert got.get("00:00") == 12, got
+        assert got.get("01:00") == 12, got
+        # the flush window never closes
+        assert "03:00" not in got, got
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
