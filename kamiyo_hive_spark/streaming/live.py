@@ -275,6 +275,23 @@ def socket_events_stream(
     return parsed
 
 
+def accumulate_progress(
+    progresses: list[dict], seen: int, last_batch: int
+) -> tuple[int, int]:
+    """Fold a (possibly ring-buffer-truncated) `recentProgress` list
+    into a running (rows_seen, last_batch_id) pair. Each batchId is
+    counted exactly once even when earlier entries have been evicted
+    by no-data ticks (spark.sql.streaming.numRecentProgressUpdates is
+    a bounded ring, default 100) — the ADVICE-r6 fix: re-summing the
+    ring undercounts a slow feed once row-bearing entries age out."""
+    for p in progresses:
+        bid = int(p["batchId"])
+        if bid > last_batch:
+            seen += int(p["numInputRows"])
+            last_batch = bid
+    return seen, last_batch
+
+
 def run_live_to_completion(
     result: DataFrame,
     name: str,
@@ -300,10 +317,6 @@ def run_live_to_completion(
         )
         try:
             deadline = time.monotonic() + timeout_s
-            # Accumulate incrementally keyed by batchId: recentProgress is
-            # a ring buffer (spark.sql.streaming.numRecentProgressUpdates,
-            # default 100), so re-summing it would undercount once early
-            # row-bearing entries are evicted by no-data ticks.
             seen = 0
             last_batch = -1
             while seen < expected_rows:
@@ -313,11 +326,9 @@ def run_live_to_completion(
                         f"after {timeout_s}s"
                     )
                 q.processAllAvailable()
-                for p in q.recentProgress:
-                    bid = int(p["batchId"])
-                    if bid > last_batch:
-                        seen += int(p["numInputRows"])
-                        last_batch = bid
+                seen, last_batch = accumulate_progress(
+                    q.recentProgress, seen, last_batch
+                )
                 if seen < expected_rows:
                     time.sleep(0.05)
             # one final drain so the last-arrived rows are committed

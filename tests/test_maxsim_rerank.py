@@ -4,6 +4,10 @@ scores must carry EXACTLY the score standalone MaxSim assigns it."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from kamiyo_hive_spark.operators.retrieval import (
     MAXSIM_NQ,
     MAXSIM_POOL,
@@ -110,8 +114,22 @@ def test_rerank_scores_match_independent_recomputation(spark, sf_dir):
 
 def test_rerank_agrees_with_standalone_on_shared_pairs(spark):
     """Where the rerank's and standalone MaxSim's top-5 DO intersect
-    (sf0.01 — overlap verified non-zero there), scores are identical."""
-    sf = "/root/testdata/sf0.01"
+    (sf0.01 — overlap verified non-zero there), scores are identical.
+    Needs the sf0.01 fixture specifically (sf0.001 has too few docs for
+    a guaranteed overlap), so it skips where that tier is absent."""
+    sf = os.environ.get(
+        "SPARK_GRAFT_RERANK_SF_DIR",
+        os.path.join(
+            os.path.dirname(
+                os.environ.get(
+                    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+                ).rstrip("/")
+            ),
+            "sf0.01",
+        ),
+    )
+    if not os.path.isdir(sf):
+        pytest.skip(f"sf0.01 fixture tier not present at {sf}")
     rerank = maxsim_ann_rerank(spark, sf).collect()
     full = {
         (r.query_id, r.cand_id): r.maxsim

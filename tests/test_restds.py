@@ -117,3 +117,22 @@ def test_parallel_offset_pages_reassemble_exactly(spark, sf_dir):
     assert remote.count() == n
     sym = remote.exceptAll(src).count() + src.exceptAll(remote).count()
     assert sym == 0
+
+
+def test_timestamp_roundtrip_is_exact_beyond_float_precision(spark):
+    """ADVICE r6(b) regression: the reader reconstructs timestamps with
+    exact integer micros (epoch + timedelta), never float seconds.
+    2**53 + 1 microseconds (year 2255) is not representable as a double
+    after /1e6, so the old fromtimestamp(ts_us/1e6) path loses the
+    final microsecond — the exact path must round-trip it bit-for-bit."""
+    boundary_us = 2**53 + 1
+    assert float(boundary_us / 1e6) * 1e6 != boundary_us  # the hazard
+    rows = [(1, 7, "O", 100.0, boundary_us), (2, 8, "F", 50.0, 1_000_001)]
+    with OrdersApiServer(rows) as srv, _with_pushdown(spark, True):
+        got = (
+            _remote(spark, srv)
+            .select("o_orderkey", F.unix_micros("o_orderdate").alias("us"))
+            .collect()
+        )
+    by_key = {r.o_orderkey: r.us for r in got}
+    assert by_key == {1: boundary_us, 2: 1_000_001}

@@ -393,3 +393,31 @@ def test_bus_append_mode_absorbs_within_watermark_disorder(spark):
         assert "03:00" not in got, got
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_progress_accumulation_survives_ring_eviction():
+    """ADVICE r6(a) regression: recentProgress is a bounded ring, so a
+    slow feed with many no-data ticks evicts early row-bearing entries.
+    Accumulation keyed by batchId must count every batch exactly once
+    across truncated, overlapping reads of the ring."""
+    from kamiyo_hive_spark.streaming.live import accumulate_progress
+
+    def p(bid, rows):
+        return {"batchId": bid, "numInputRows": rows}
+
+    seen, last = accumulate_progress([p(0, 10), p(1, 5)], 0, -1)
+    assert (seen, last) == (15, 1)
+    # overlapping re-read: batches 0-1 must NOT double-count
+    seen, last = accumulate_progress([p(0, 10), p(1, 5), p(2, 7)], seen, last)
+    assert (seen, last) == (22, 2)
+    # ring evicted batches 0-2 (no-data ticks 3-6 in between): the
+    # running total keeps the evicted rows and adds only the new batch
+    seen, last = accumulate_progress(
+        [p(3, 0), p(4, 0), p(5, 0), p(6, 0), p(7, 9)], seen, last
+    )
+    assert (seen, last) == (31, 7)
+    # the old re-sum-the-ring logic would now read 9, not 31
+    resum = sum(
+        x["numInputRows"] for x in [p(3, 0), p(4, 0), p(5, 0), p(6, 0), p(7, 9)]
+    )
+    assert resum == 9

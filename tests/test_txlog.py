@@ -439,3 +439,34 @@ def test_additive_schema_evolution(spark, sf_dir, tmp_path):
             evolved.withColumn("o_totalprice", F.col("o_totalprice").cast("string")),
             merge_schema=True,
         )
+
+
+def test_vacuum_tolerates_concurrent_unlink_race(tmp_path, monkeypatch):
+    """ADVICE r6(c) regression: a second vacuum (or any GC) may unlink
+    an orphan between our stat and our unlink — the unlink must be
+    guarded by the same FileNotFoundError suppression as the stat, and
+    the raced file must not be counted as deleted by US."""
+    from kamiyo_hive_spark.sources import txlog as txlog_mod
+    from kamiyo_hive_spark.sources.txlog import vacuum
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    committed = _touch(root, "data/a/p.parquet")
+    log.commit("append", [committed])                         # v0
+    raced = _touch(root, "data/raced/p.parquet")              # orphan
+    mine = _touch(root, "data/mine/p.parquet")                # orphan
+
+    real_unlink = os.unlink
+
+    def racing_unlink(path, *a, **kw):
+        if path.endswith(os.path.join("raced", "p.parquet")):
+            real_unlink(path)  # the OTHER vacuum wins first...
+            # ...and our own unlink of the now-missing file raises
+        return real_unlink(path, *a, **kw)
+
+    monkeypatch.setattr(txlog_mod.os, "unlink", racing_unlink)
+    # must not raise, must count only the file WE deleted
+    assert vacuum(log, retain_versions=1, retain_seconds=0.0) == 1
+    assert not os.path.exists(os.path.join(root, raced))
+    assert not os.path.exists(os.path.join(root, mine))
+    assert os.path.exists(os.path.join(root, committed))
