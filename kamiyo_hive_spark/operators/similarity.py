@@ -1160,6 +1160,33 @@ def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+_IDX_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def lsh_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached DataFrame over the bucket-partitioned SRP index.
+
+    `spark.read.parquet` on a 256-directory layout pays file listing +
+    schema inference (~0.7 s measured at sf0.1) on EVERY call; a
+    catalog table would amortize that in sharedState's cached file
+    index. This module-level cache is the same idea for the staged
+    path-based index: the resolved relation (and its InMemoryFileIndex)
+    is reused across probes in a session. Keyed by the staged dir's
+    recorded source fingerprint, so a driver-side testdata regeneration
+    (which rebuilds the staging in place) invalidates stale entries."""
+    import os
+
+    d = lsh_index_dir(spark, sf_dir)
+    with open(os.path.join(d, "_SOURCE_FINGERPRINT")) as fh:
+        fp = fh.read()
+    key = (id(spark), d, fp)
+    df = _IDX_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(d)
+        _IDX_DF_CACHE[key] = df
+    return df
+
+
 @register(
     "knn_lsh_partitioned",
     oracle=_knn_lsh_oracle(),
@@ -1180,7 +1207,7 @@ def knn_lsh_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks its bucket sizes, not the corpus."""
     qlit, probes = _query_probe(spark, sf_dir)
 
-    idx = spark.read.parquet(lsh_index_dir(spark, sf_dir))
+    idx = lsh_index_df(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     sim = _dot(v, qlit) / (_norm(v) * _norm(qlit))
     return (
