@@ -263,11 +263,38 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, so a missed iteration, a float sneaking into the mean,
     or a tie broken by hash order hash-fails."""
     q = _quantized(spark, sf_dir)
-    # seeds: a bounded K-row collect (the centroid state is driver
-    # metadata for the whole loop)
+    # seeds: K rows of request-scale metadata — read driver-side off
+    # the parquet (row-group pruned) instead of paying a whole Spark
+    # job, and quantized with BigDecimal-equivalent HALF_UP semantics
+    # so the values are bit-identical to _quantized's F.round path
+    # (Python round() is banker's and would NOT match; Decimal(float)
+    # is exact, like java.math.BigDecimal(double)).
+    import os as _os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.dataset as _pads
+
+    seed_tbl = (
+        _pads.dataset(_os.path.join(sf_dir, "embeddings.parquet"))
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=_pads.field("vec_id") < KM_K,
+        )
+        .sort_by("vec_id")
+    )
     cents = {
-        r["vec_id"]: list(r["qv"])
-        for r in q.filter(F.col("vec_id") < KM_K).collect()
+        int(v): [
+            int(
+                Decimal(float(x) * KM_SCALE).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+            for x in emb
+        ]
+        for v, emb in zip(
+            seed_tbl.column("vec_id").to_pylist(),
+            seed_tbl.column("embedding").to_pylist(),
+        )
     }
     stats: dict = {}
     for _ in range(KM_ITERS):

@@ -322,40 +322,38 @@ def curated_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")),
     )
     w = Window.partitionBy("fingerprint")
-    deduped = (
-        fp.withColumn("keeper_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keeper_id"))
-        .select("doc_id", "lang", "text", "n_tok")
-        # deduped feeds BOTH the classifier explode and the survivor
-        # join; persist so the gate+dedup subtree (scan + window) runs
-        # once, not once per consumer. persist, not localCheckpoint: a
-        # checkpoint is an eager EXTRA job, while the lazy cache fills
-        # inside the one final job (VERDICT r2 task 3 — this query is
-        # now a single job end to end).
-        .persist()
-    )
+    deduped = fp.withColumn("keeper_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("keeper_id")
+    ).select("doc_id", "lang", "text", "n_tok")
 
+    # Classifier fused WITH the doc attributes: grouping the exploded
+    # token stream by (doc_id, lang, n_tok) — lang/n_tok are constant
+    # per doc, so the key cardinality is unchanged and map-side combine
+    # still collapses to per-doc rows — yields the quality verdict
+    # directly, removing the old deduped⋈scores join, its exchange of
+    # the survivor relation, and the persist that join forced (deduped
+    # now has exactly one consumer).
     wgt = F.pmod(_portable_hash(F.col("tok"), CPP_SEED), F.lit(2001)) - 1000
-    scores = (
-        deduped.select("doc_id", F.explode(_tokens()).alias("tok"))
-        .select("doc_id", wgt.alias("wgt"))
-        .groupBy("doc_id")
-        .agg(F.sum("wgt").alias("score_int"))
-    )
     quality = (
-        deduped.join(scores, "doc_id")
+        deduped.select("doc_id", "lang", "n_tok", F.explode(_tokens()).alias("tok"))
+        .select("doc_id", "lang", "n_tok", wgt.alias("wgt"))
+        .groupBy("doc_id", "lang", "n_tok")
+        .agg(F.sum("wgt").alias("score_int"))
         .filter(F.col("score_int") > 0)
         .select("doc_id", "lang", "n_tok")
     )
 
     from kamiyo_hive_spark.operators.similarity import assign_to_seed_centroids
 
+    # (vec_id, cid) is two longs per corpus row — broadcastable far
+    # beyond this SF (the 100 TB swap is the ANN index join); the
+    # broadcast spares `quality` a re-exchange onto doc_id.
     assigned = assign_to_seed_centroids(spark, sf_dir, CPP_K).select("vec_id", "cid")
     # Three consumers below (budget totals, keep rates, the sample
     # itself) — without a cache the classifier-explode + join upstream
     # re-runs per consumer, which was most of this query's r2 cost.
     clustered = (
-        quality.join(assigned, quality.doc_id == assigned.vec_id)
+        quality.join(F.broadcast(assigned), quality.doc_id == assigned.vec_id)
         .select("doc_id", "lang", "n_tok", "cid")
         .persist()
     )

