@@ -48,11 +48,14 @@ accepts injected (C, M) tables two ways:
 
 - programmatically, via the ``params`` argument of ``poseidon_hash``;
 - operationally, by pointing ``SPARK_GRAFT_POSEIDON_CONSTANTS`` at a
-  vendored JSON table — ``{"<t>": {"C": [dec-or-0xhex, ...], "M":
-  [[...], ...]}}`` with (R_F + R_P[t])*t round constants and a t×t MDS
-  matrix (the Poseidon paper's UNOPTIMIZED reference tables; circomlib
-  ships the algebraically equivalent optimized (C,S,M,P) form, whose
-  published inverse transformation recovers these). Every consumer —
+  vendored JSON table in either shape: ``{"<t>": {"C": [dec-or-0xhex,
+  ...], "M": [[...], ...]}}`` keyed by width, or the circomlibjs npm
+  artifact ``poseidon_constants.json`` layout (top-level "C"/"M" lists
+  indexed by t-2, hex strings; extra "S"/"P" keys ignored). Either way
+  the loader validates (R_F + R_P[t])*t round constants and a t×t MDS
+  (the Poseidon paper's UNOPTIMIZED reference tables; if the vendored
+  C is circomlib's compressed optimized form the length check fails
+  loudly — apply the published inverse transformation first). Every consumer —
   including the registered Merkle queries — resolves constants through
   ``poseidon_params``, so dropping the file in switches the whole
   pipeline with no code change; ``tests/test_poseidon.py`` pins the
@@ -137,7 +140,20 @@ def _vendored_params(path: str, mtime_ns: int, t: int):
 
     with open(path) as fh:
         tables = json.load(fh)
-    entry = tables.get(str(t))
+    if isinstance(tables.get("C"), list) and isinstance(tables.get("M"), list):
+        # circomlibjs bundle layout (the artifact is named
+        # `poseidon_constants.json` in the circomlibjs npm package):
+        # top-level "C"/"M" are lists indexed by t-2 — C[t-2] is the
+        # flat round-constant list for width t and M[t-2] its t×t MDS,
+        # entries as 0x-hex or decimal strings. Extra keys ("S", "P" —
+        # the optimized-form tables) are ignored; if the vendored C is
+        # the COMPRESSED optimized form the length check below fails
+        # loudly with the expected count, never silently mis-hashes.
+        if t - 2 >= len(tables["C"]) or t - 2 >= len(tables["M"]):
+            raise ValueError(f"{path} has no constants for Poseidon width t={t}")
+        entry = {"C": tables["C"][t - 2], "M": tables["M"][t - 2]}
+    else:
+        entry = tables.get(str(t))
     if entry is None:
         raise ValueError(f"{path} has no constants for Poseidon width t={t}")
     r_p = N_ROUNDS_P[t - 2]
