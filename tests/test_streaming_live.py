@@ -325,11 +325,14 @@ def test_bus_append_mode_absorbs_within_watermark_disorder(spark):
         )
 
     # 12 rows in window A [00:00,01:00), 12 in window B [01:00,02:00),
-    # spread over 5-minute buckets so the scramble has room to disorder
+    # packed 1 minute apart so every 5-minute scramble bucket holds ~5
+    # rows — enough density that the md5 shuffle provably disorders at
+    # least one partition (the assert below); 4-minute spacing left
+    # buckets with ≤2 rows and the hash order happened to stay sorted
     phase1 = [
-        row(i, f"2024-01-01 00:{i * 4 + 1:02d}:00") for i in range(12)
+        row(i, f"2024-01-01 00:{i + 1:02d}:00") for i in range(12)
     ] + [
-        row(100 + i, f"2024-01-01 01:{i * 4 + 1:02d}:00") for i in range(12)
+        row(100 + i, f"2024-01-01 01:{i + 1:02d}:00") for i in range(12)
     ]
     parts = [
         scramble_within(p, span_us=5 * 60 * 1_000_000)
