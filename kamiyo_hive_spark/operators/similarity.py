@@ -81,6 +81,25 @@ def assign_to_seed_centroids(
     return assigned.persist() if materialize else assigned
 
 
+def query_vec(sf_dir: str, vec_id: int) -> list[float]:
+    """Driver-side read of ONE embedding — request metadata, not
+    corpus: pyarrow, row-group pruned, no Spark job. float32 → Python
+    float is the exact widening the `array<double>` cast performs, so
+    literals planted from here are bit-identical to engine-cast
+    values."""
+    import os
+
+    import pyarrow.dataset as _pads
+
+    return [
+        float(x)
+        for x in _pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_table(columns=["embedding"], filter=_pads.field("vec_id") == vec_id)
+        .column("embedding")
+        .to_pylist()[0]
+    ]
+
+
 def cosine_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:
@@ -92,11 +111,7 @@ def cosine_topk(
     """
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
-    q = (
-        e.filter(F.col("vec_id") == query_vec_id)
-        .select(emb.alias("q"))
-        .collect()[0]["q"]
-    )
+    q = query_vec(sf_dir, query_vec_id)
     qlit = F.array(*[F.lit(float(v)) for v in q])
     sim = _dot(emb, qlit) / (_norm(emb) * _norm(qlit))
     return (
@@ -158,14 +173,29 @@ def srp_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: bit j = sign(emb · plane_j).
 
     Pure column expression — the projection literals are constant-folded
-    and broadcast with the plan; no UDF, no shuffle.
-    """
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(v)) for v in plane])
-        d = _dot(emb, plane_lit)
-        bucket = bucket.bitwiseOR(F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), j))
-    return bucket
+    and broadcast with the plan; no UDF, no shuffle. Built as ONE parsed
+    SQL expression over a literal plane table: the unrolled form cost
+    ~520 py4j round-trips (≈0.5 s of driver plan-build per call,
+    measured — most of `knn_lsh_cosine`'s toy-scale wall). The fold is
+    the same left-to-right dot sequence per plane, same >=0 bit
+    convention as `srp_probe_set`; float literals print via repr (the
+    shortest round-tripping string) with a D suffix, so the parsed
+    doubles are bit-identical."""
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in plane) + ")"
+            for plane in planes
+        )
+        + ")"
+    )
+    emb_sql = emb if isinstance(emb, str) else emb._jc.toString()
+    return F.expr(
+        f"aggregate(sequence(0, {len(planes) - 1}), 0L, (acc, j) -> acc | "
+        f"(CASE WHEN aggregate(zip_with({emb_sql}, element_at({planes_sql}, j + 1), "
+        f"(x, y) -> x * y), 0.0D, (a, x) -> a + x) >= 0.0D "
+        f"THEN shiftleft(1L, j) ELSE 0L END))"
+    )
 
 
 def srp_probe_set(q: list[float], planes: list[list[float]]) -> list[int]:
@@ -185,18 +215,14 @@ def _query_probe(
     spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID
 ) -> tuple[Column, list[int]]:
     """Driver-side probe computation shared by both LSH variants:
-    collect the query vector (metadata-sized) and expand its multiprobe
-    set via `srp_probe_set`. Returns (query literal array, sorted probe
+    read the query vector (request metadata — pyarrow, row-group
+    pruned, no Spark job; float32→float is the same exact widening as
+    the array<double> cast) and expand its multiprobe set via
+    `srp_probe_set`. Returns (query literal array, sorted probe
     bucket ids)."""
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    q = (
-        e.filter(F.col("vec_id") == query_vec_id)
-        .select(emb.alias("q"))
-        .collect()[0]["q"]
-    )
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    return qlit, srp_probe_set(list(q), _hyperplanes())
+    q = query_vec(sf_dir, query_vec_id)
+    qlit = F.array(*[F.lit(v) for v in q])
+    return qlit, srp_probe_set(q, _hyperplanes())
 
 
 def knn_lsh(
@@ -391,9 +417,7 @@ def knn_ivf(
     centroids are closest to the query."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
-    q = (
-        e.filter(F.col("vec_id") == query_vec_id).select(emb.alias("q")).collect()[0]["q"]
-    )
+    q = query_vec(sf_dir, query_vec_id)
     assigned, centers = ivf_assignments(spark, sf_dir)
 
     def dist2(c):
