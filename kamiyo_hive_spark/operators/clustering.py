@@ -43,6 +43,19 @@ KM_ITERS = 2  # assignment rounds (each followed by a recompute)
 KM_SCALE = 1_000_000  # micro-unit quantization of the float input
 
 
+def _quantize_driver(x: float) -> int:
+    """Driver-side twin of _quantized's per-element rule
+    `F.round(x * KM_SCALE).cast("long")`. Spark ROUND on doubles is
+    BigDecimal(double) HALF_UP — Decimal(float) is the same exact
+    binary value, so to_integral_value(HALF_UP) matches bit-for-bit
+    (Python's builtin round() is banker's and would NOT). Pinned
+    against the engine path by tests/test_clustering.py; keep the two
+    in lockstep if KM_SCALE or the rounding rule ever changes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x * KM_SCALE).to_integral_value(rounding=ROUND_HALF_UP))
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, qv array<long>): embeddings in integer micro-units."""
     e = table(spark, sf_dir, "embeddings")
@@ -263,38 +276,16 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, so a missed iteration, a float sneaking into the mean,
     or a tie broken by hash order hash-fails."""
     q = _quantized(spark, sf_dir)
-    # seeds: K rows of request-scale metadata — read driver-side off
-    # the parquet (row-group pruned) instead of paying a whole Spark
-    # job, and quantized with BigDecimal-equivalent HALF_UP semantics
-    # so the values are bit-identical to _quantized's F.round path
-    # (Python round() is banker's and would NOT match; Decimal(float)
-    # is exact, like java.math.BigDecimal(double)).
-    import os as _os
-    from decimal import ROUND_HALF_UP, Decimal
+    # seeds: K rows of request-scale metadata — read driver-side
+    # (similarity.query_vecs) instead of paying a whole Spark job, and
+    # quantized by _quantize_driver, the pinned driver twin of
+    # _quantized's F.round path (tests/test_clustering.py compares the
+    # two on the real fixture rows).
+    from kamiyo_hive_spark.operators.similarity import query_vecs
 
-    import pyarrow.dataset as _pads
-
-    seed_tbl = (
-        _pads.dataset(_os.path.join(sf_dir, "embeddings.parquet"))
-        .to_table(
-            columns=["vec_id", "embedding"],
-            filter=_pads.field("vec_id") < KM_K,
-        )
-        .sort_by("vec_id")
-    )
     cents = {
-        int(v): [
-            int(
-                Decimal(float(x) * KM_SCALE).to_integral_value(
-                    rounding=ROUND_HALF_UP
-                )
-            )
-            for x in emb
-        ]
-        for v, emb in zip(
-            seed_tbl.column("vec_id").to_pylist(),
-            seed_tbl.column("embedding").to_pylist(),
-        )
+        vid: [_quantize_driver(x) for x in vec]
+        for vid, vec in query_vecs(sf_dir, KM_K)
     }
     stats: dict = {}
     for _ in range(KM_ITERS):

@@ -32,8 +32,6 @@ its score is an integer sum.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -538,9 +536,11 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the engine-computed ones (A/B'd value-identical;
     the interleaved A/B also measured the literal form ~13% faster on
     the dense branch)."""
+    import math
+
     from pyspark.sql import Window
 
-    import pyarrow.dataset as _pads
+    from kamiyo_hive_spark.operators.similarity import query_vecs
 
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
@@ -554,22 +554,18 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
         )
     )
-    qtbl = (
-        _pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
-        .to_table(
-            columns=["vec_id", "embedding"],
-            filter=_pads.field("vec_id") < RRF_NQ,
-        )
-        .sort_by("vec_id")
-    )
+    qids = []
     qvs = []
-    for vec in qtbl.column("embedding").to_pylist():
-        vec = [float(x) for x in vec]
+    for vid, vec in query_vecs(sf_dir, RRF_NQ):
         n = 0.0
         for x in vec:  # left-to-right, same fold as F.aggregate
             n = n + x * x
-        n = n**0.5
+        n = math.sqrt(n)  # sqrt, not pow(·, .5): the engines use sqrt
+        qids.append(vid)
         qvs.append([x / n for x in vec])
+    # plant the REAL vec_ids next to the scores: positional indices
+    # would silently mislabel queries if ids were ever sparse
+    qid_lit = F.array(*[F.lit(i) for i in qids])
     sims = F.array(
         *[
             F.round(
@@ -589,13 +585,13 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense_scored = (
         d.select("vec_id", F.posexplode(sims).alias("qix", "score"))
-        .filter(F.col("vec_id") != F.col("qix"))
         .select(
-            F.col("qix").cast("long").alias("query_id"),
+            F.element_at(qid_lit, F.col("qix") + 1).cast("long").alias("query_id"),
             F.col("vec_id").alias("cand_id"),
             "score",
             F.lit("d").alias("src"),
         )
+        .filter(F.col("cand_id") != F.col("query_id"))
     )
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(_tokens()).alias("ts")
@@ -967,7 +963,7 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dt = toks.select("doc_id", F.explode("ts").alias("tok"))
     vocab = dt.select("tok").distinct().withColumn(
-        "nv", _ms_normalize(_ms_hash_vec(F.col("tok")))
+        "nv", _ms_normalize(_ms_hash_vec("tok"))
     )
     qt = (
         toks.filter(F.col("doc_id") < MAXSIM_NQ)
@@ -975,7 +971,7 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"),
             F.posexplode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qpos", "qtok"),
         )
-        .withColumn("qnv", _ms_normalize(_ms_hash_vec(F.col("qtok"))))
+        .withColumn("qnv", _ms_normalize(_ms_hash_vec("qtok")))
     )
     sim = F.round(
         F.aggregate(
@@ -1189,35 +1185,18 @@ def maxsim_ann_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planes = _hyperplanes()
     # The NQ query vectors are request metadata, not corpus: read them
-    # driver-side straight off the parquet (row-group pruned by the
-    # vec_id predicate) instead of paying a whole Spark job for 3 rows.
-    # float32 -> Python float is the same exact widening Spark's
-    # array<double> cast performs, so values are bit-identical.
-    # (VERDICT r6 task 2: this removes one of the rerank's sequential
-    # driver-job barriers.)
-    import pyarrow.dataset as _pads
+    # driver-side (similarity.query_vecs — pyarrow, row-group pruned,
+    # exact float32 widening) instead of paying a whole Spark job for
+    # 3 rows. (VERDICT r6 task 2: this removes one of the rerank's
+    # sequential driver-job barriers.)
+    from kamiyo_hive_spark.operators.similarity import query_vecs
 
-    qtbl = (
-        _pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
-        .to_table(
-            columns=["vec_id", "embedding"],
-            filter=_pads.field("vec_id") < MAXSIM_NQ,
-        )
-        .sort_by("vec_id")
-    )
-    qrows = [
-        {"vec_id": v, "q": e}
-        for v, e in zip(
-            qtbl.column("vec_id").to_pylist(), qtbl.column("embedding").to_pylist()
-        )
-    ]
     probe_pairs = []
     queries = []
-    for r in qrows:
-        q = [float(x) for x in r["q"]]
-        queries.append((int(r["vec_id"]), q))
+    for vid, q in query_vecs(sf_dir, MAXSIM_NQ):
+        queries.append((vid, q))
         for pb in srp_probe_set(q, planes):
-            probe_pairs.append((int(r["vec_id"]), pb))
+            probe_pairs.append((vid, pb))
     all_buckets = sorted({pb for _, pb in probe_pairs})
 
     idx = lsh_index_df(spark, sf_dir)
@@ -1303,10 +1282,10 @@ def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("query_id"),
             F.posexplode(F.slice("ts", 1, MAXSIM_QTOK)).alias("qpos", "qtok"),
         )
-        .withColumn("qnv", _ms_normalize(_ms_hash_vec(F.col("qtok"))))
+        .withColumn("qnv", _ms_normalize(_ms_hash_vec("qtok")))
     )
     vocab = dt.select("tok").distinct().withColumn(
-        "nv", _ms_normalize(_ms_hash_vec(F.col("tok")))
+        "nv", _ms_normalize(_ms_hash_vec("tok"))
     )
     sim = F.round(
         F.aggregate(

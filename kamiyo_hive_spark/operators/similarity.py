@@ -81,6 +81,33 @@ def assign_to_seed_centroids(
     return assigned.persist() if materialize else assigned
 
 
+def query_vecs(sf_dir: str, below: int) -> list[tuple[int, list[float]]]:
+    """Driver-side read of the query embeddings `vec_id < below` —
+    request metadata, not corpus: pyarrow, row-group pruned, no Spark
+    job. float32 → Python float is the exact widening the
+    `array<double>` cast performs, so literals planted from here are
+    bit-identical to engine-cast values. Returns (vec_id, vector)
+    pairs sorted by vec_id — callers must use the RETURNED ids, never
+    positional indices (ids may be sparse in principle)."""
+    import os
+
+    import pyarrow.dataset as _pads
+
+    tbl = (
+        _pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+        .to_table(
+            columns=["vec_id", "embedding"], filter=_pads.field("vec_id") < below
+        )
+        .sort_by("vec_id")
+    )
+    return [
+        (int(v), [float(x) for x in emb])
+        for v, emb in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+    ]
+
+
 def query_vec(sf_dir: str, vec_id: int) -> list[float]:
     """Driver-side read of ONE embedding — request metadata, not
     corpus: pyarrow, row-group pruned, no Spark job. float32 → Python
@@ -243,7 +270,7 @@ def knn_lsh(
     emb = F.col("embedding").cast("array<double>")
     sim = _dot(emb, qlit) / (_norm(emb) * _norm(qlit))
     return (
-        e.withColumn("bucket", srp_bucket(emb, _hyperplanes()))
+        e.withColumn("bucket", srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()))
         .filter(F.col("bucket").isin(probes))
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
@@ -1177,7 +1204,7 @@ def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return ensure_staging(
         out,
         source,
-        lambda tmp: e.withColumn("bucket", srp_bucket(emb, _hyperplanes()))
+        lambda tmp: e.withColumn("bucket", srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp),
@@ -1203,9 +1230,14 @@ def lsh_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lsh_index_dir(spark, sf_dir)
     with open(os.path.join(d, "_SOURCE_FINGERPRINT")) as fh:
         fp = fh.read()
-    key = (id(spark), d, fp)
+    key = (spark.sparkContext.applicationId, d, fp)
     df = _IDX_DF_CACHE.get(key)
     if df is None:
+        # bounded: evict superseded entries (same dir, older fingerprint
+        # or dead session) so a long-lived driver that regenerates
+        # testdata between rounds can't accumulate pinned plans
+        for k in [k for k in _IDX_DF_CACHE if k[1] == d or k[0] != key[0]]:
+            del _IDX_DF_CACHE[k]
         df = spark.read.parquet(d)
         _IDX_DF_CACHE[key] = df
     return df

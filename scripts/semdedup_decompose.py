@@ -80,7 +80,7 @@ def probe(spark, sf_dir: str) -> dict:
         "sf_dir": sf_dir,
         "n_vecs": n_vecs,
         "n_cells": len(cells),
-        "max_cell": max(r["k"] for r in cells),
+        "max_cell": max((r["k"] for r in cells), default=0),
         "pairs_examined": pairs_examined,
         "pairs_emitted": pairs_emitted,
         "query_s": round(best, 4),
@@ -105,7 +105,11 @@ def main() -> int:
         r = probe(spark, d)
         rows.append(r)
         print(json.dumps(r))
-    if len(rows) >= 2 and rows[0]["pairs_examined"]:
+    if (
+        len(rows) >= 2
+        and rows[0]["s_per_Mpair_examined"]
+        and rows[-1]["s_per_Mpair_examined"]
+    ):
         r0, r1 = rows[0], rows[-1]
         print(
             f"DECOMPOSITION: wall {r1['query_s'] / r0['query_s']:.1f}x | "

@@ -122,3 +122,31 @@ def test_literal_and_broadcast_argmin_agree(spark, sf_dir, monkeypatch):
         for r in C._assign(q, cents).select("vec_id", "cid").collect()
     }
     assert lit == bc
+
+
+def test_driver_seed_quantization_matches_engine(spark, sf_dir):
+    """_quantize_driver is the pinned driver twin of _quantized's
+    F.round path: the kmeans seeds are read and quantized driver-side,
+    so any drift between the two rules would silently diverge the
+    iteration-1 assignment from the oracle. Compare them element-wise
+    on the real fixture rows (all K seed vectors)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.operators.clustering import (
+        KM_K,
+        _quantize_driver,
+        _quantized,
+    )
+    from kamiyo_hive_spark.operators.similarity import query_vecs
+
+    engine = {
+        r["vec_id"]: list(r["qv"])
+        for r in _quantized(spark, sf_dir).filter(F.col("vec_id") < KM_K).collect()
+    }
+    driver = {
+        vid: [_quantize_driver(x) for x in vec]
+        for vid, vec in query_vecs(sf_dir, KM_K)
+    }
+    assert driver.keys() == engine.keys() and len(driver) == KM_K
+    for vid in driver:
+        assert driver[vid] == engine[vid], f"seed {vid} quantization drifted"
