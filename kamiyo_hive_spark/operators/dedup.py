@@ -242,12 +242,13 @@ def minhash_signatures(
     if inv is None:
         inv = shingle_rows(docs)
     hashed = inv.select("doc_id", _base32(F.col("shingle"), portable).alias("h"))
+    # Parsed-text aggregates (one parser call each) instead of ~200
+    # py4j round-trips of Column composition — the identical
+    # Multiply/Add/Remainder tree, so values are unchanged.
     aggs = []
     for p in range(num_perm):
         a, b = _affine_params(p)
-        aggs.append(
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE61)).alias(f"sig_{p}")
-        )
+        aggs.append(F.expr(f"min(({a} * h + {b}) % {MERSENNE61}) AS sig_{p}"))
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
@@ -504,40 +505,37 @@ def simhash64(docs: DataFrame, *, portable: bool = False) -> DataFrame:
     LANE = 21
     PER = 3
     groups = [list(range(g, min(g + PER, n_bits))) for g in range(0, n_bits, PER)]
+    # All expressions built as parsed SQL text: the F.*-composed form
+    # cost ~700 py4j round-trips (~1.0 s of pure driver plan-build per
+    # call, measured) for the same operator tree — same packed-lane
+    # aggregates, same balanced OR-reduction (kept in the TEXT so the
+    # analyzer still sees a depth-6 tree, per the earlier measurement),
+    # bit-identical values.
     aggs = []
     for gi, grp in enumerate(groups):
-        term = None
-        for li, j in enumerate(grp):
-            t = F.shiftleft(
-                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)), li * LANE
-            )
-            term = t if term is None else term.bitwiseOR(t)
-        aggs.append(F.sum(term).alias(f"p_{gi}"))
+        term_sql = " | ".join(
+            f"shiftleft(shiftrightunsigned(h, {j}) & 1, {li * LANE})"
+            for li, j in enumerate(grp)
+        )
+        aggs.append(F.expr(f"sum({term_sql}) AS p_{gi}"))
     aggs.append(F.count("*").alias("n_tok"))
     bits = tok.groupBy("doc_id").agg(*aggs)
-    terms = []
-    for gi, grp in enumerate(groups):
-        for li, j in enumerate(grp):
-            cnt = F.shiftrightunsigned(F.col(f"p_{gi}"), li * LANE).bitwiseAND(
-                F.lit((1 << LANE) - 1)
-            )
-            bit = F.when(cnt * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            terms.append(F.shiftleft(bit, j))
-    # Balanced OR-reduction: a 60-deep linear bitwiseOR chain costs the
-    # ANALYZER noticeably more than a depth-6 tree over the same terms
-    # (per-plan driver latency, visible because every bench rep replans)
+    mask = (1 << LANE) - 1
+    terms = [
+        f"(CASE WHEN (shiftrightunsigned(p_{gi}, {li * LANE}) & {mask}) * 2 > n_tok "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {j}) ELSE CAST(0 AS BIGINT) END)"
+        for gi, grp in enumerate(groups)
+        for li, j in enumerate(grp)
+    ]
     while len(terms) > 1:
         terms = [
-            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            f"({terms[i]} | {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
             for i in range(0, len(terms), 2)
         ]
-    sim = terms[0]
-    guarded = F.when(F.col("n_tok") < F.lit(1 << LANE), sim).otherwise(
-        F.raise_error(
-            F.lit("simhash64: document exceeds 2^21 tokens; lane counters overflow")
-        ).cast("long")
+    guarded = F.expr(
+        f"CASE WHEN n_tok < {1 << LANE} THEN {terms[0]} "
+        f"ELSE CAST(raise_error('simhash64: document exceeds 2^21 tokens; "
+        f"lane counters overflow') AS BIGINT) END"
     )
     return bits.select("doc_id", guarded.alias("simhash"))
 
