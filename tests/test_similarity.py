@@ -62,3 +62,35 @@ def test_lsh_partitioned_probe_prunes_and_agrees(spark, sf_dir):
     # the filter must actually name the bucket column (not be empty)
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf, pf
+
+
+def test_lsh_index_df_cache_invalidates_on_fingerprint_change(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The cached index DataFrame is keyed by the staged dir's recorded
+    source fingerprint: same fingerprint -> same object (no re-listing);
+    a regenerated staging (new fingerprint) -> fresh DataFrame, and the
+    superseded same-dir entry is evicted (bounded cache)."""
+    import os
+
+    from kamiyo_hive_spark.operators import similarity as sim
+
+    staged = tmp_path / "fake_lsh_index"
+    staged.mkdir()
+    # one real parquet file so spark.read.parquet succeeds
+    spark.range(3).write.mode("overwrite").parquet(str(staged))
+    marker = staged / "_SOURCE_FINGERPRINT"
+    marker.write_text("1:1")
+    monkeypatch.setattr(sim, "lsh_index_dir", lambda s, d: str(staged))
+
+    d1 = sim.lsh_index_df(spark, sf_dir)
+    assert sim.lsh_index_df(spark, sf_dir) is d1  # cache hit
+    marker.write_text("2:2")  # a regenerated staging records a new print
+    d2 = sim.lsh_index_df(spark, sf_dir)
+    assert d2 is not d1
+    # superseded same-dir entries were evicted: exactly one remains
+    dir_keys = [k for k in sim._IDX_DF_CACHE if k[1] == str(staged)]
+    assert len(dir_keys) == 1
+    # drop the fake entry so later tests see a clean cache
+    for k in dir_keys:
+        del sim._IDX_DF_CACHE[k]
