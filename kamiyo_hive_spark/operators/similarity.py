@@ -1211,6 +1211,130 @@ def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+ANN_UPSERT_MOD = 25  # delta slice: vec_id % MOD == RES arrives "today"
+ANN_UPSERT_RES = 7
+
+
+def ann_base_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Staged bucket-partitioned index over the corpus MINUS the delta
+    slice (vec_id % ANN_UPSERT_MOD == ANN_UPSERT_RES held out) —
+    "yesterday's index", the starting state for the incremental
+    upsert. Fingerprint-cached like the full index."""
+    import os
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = f"{SCRATCH}/embeddings_lsh_base_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    e = table(spark, sf_dir, "embeddings")
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: e.filter(
+            F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) != ANN_UPSERT_RES
+        )
+        .withColumn(
+            "bucket",
+            srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp),
+    )
+
+
+@register(
+    "ann_index_upsert_probe",
+    oracle=_knn_lsh_oracle(),  # the upserted index must equal the full corpus
+    tags=("similarity", "ann-lsh", "index-maintenance", "incremental"),
+)
+def ann_index_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the serving-side story the
+    partitioned layout implies: a delta batch of new embeddings
+    (vec_id % {MOD} == {RES}, withheld from the staged base index) is
+    UPSERTED into the bucket-partitioned index by dynamic partition
+    overwrite of ONLY the buckets the delta lands in; every other
+    bucket directory is untouched (tests pin this byte-for-byte). The
+    returned probe runs against the upserted index and must equal the
+    full-corpus `knn_lsh_cosine` answer — the completeness proof that
+    no delta row was lost and no base row clobbered.
+
+    Plan shape, stage by stage:
+    - base: `ann_base_index_dir` (fingerprint-cached staging); the
+      working index starts as a file-level copy — "the production
+      index as of yesterday".
+    - delta buckets: computed by the same `srp_bucket` expression that
+      built the index (one convention, one code path), collected as
+      bounded metadata (≤2^NBITS distinct buckets).
+    - upsert: rows for the touched buckets = base-index partition-
+      PRUNED scan (PartitionFilters: bucket IN touched — the read is
+      delta-sized, not corpus-sized) unioned with the delta, written
+      with partitionOverwriteMode=dynamic so exactly the touched
+      partitions are replaced. At 100 TB this is MERGE INTO on a
+      table format (our txlog ACID layer has the same touched-
+      partition copy-on-write discipline — sources/txlog.py); the
+      staged-parquet shape here keeps the whole protocol inspectable.
+    - probe: the standard hamming-1 multiprobe against the UPSERTED
+      directory — same PartitionFilters pruning as
+      `knn_lsh_partitioned`.
+
+    Reference anchor: the indexer's incremental account-update path
+    (`lib/indexer.ts:45-62` consumes deltas, not snapshots)."""
+    import os
+    import shutil
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
+
+    base_dir = ann_base_index_dir(spark, sf_dir)
+    working = f"{SCRATCH}/embeddings_lsh_upsert_{os.path.basename(sf_dir)}"
+    with _staging_lock(working):
+        shutil.rmtree(working, ignore_errors=True)
+        shutil.copytree(base_dir, working)
+        # the copy is a WORKING dir, not a staging: drop the marker so
+        # no ensure_staging caller can mistake it for a current staging
+        for m in ("_SOURCE_FINGERPRINT",):
+            try:
+                os.remove(os.path.join(working, m))
+            except FileNotFoundError:
+                pass
+
+        e = table(spark, sf_dir, "embeddings")
+        delta = e.filter(
+            F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
+        ).withColumn(
+            "bucket",
+            srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()),
+        )
+        touched = sorted(
+            r["bucket"] for r in delta.select("bucket").distinct().collect()
+        )
+        cols = ["vec_id", "label", "embedding", "bucket"]
+        existing_touched = (
+            spark.read.parquet(base_dir)  # NOT the working dir: no self-read
+            .filter(F.col("bucket").isin(touched))
+            .select(*cols)
+        )
+        merged = existing_touched.unionByName(delta.select(*cols))
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(working)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    qlit, probes = _query_probe(spark, sf_dir)
+    idx = spark.read.parquet(working)
+    v = F.col("embedding").cast("array<double>")
+    sim = _dot(v, qlit) / (_norm(v) * _norm(qlit))
+    return (
+        idx.filter(F.col("bucket").isin(probes))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 _IDX_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 

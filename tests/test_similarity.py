@@ -94,3 +94,95 @@ def test_lsh_index_df_cache_invalidates_on_fingerprint_change(
     # drop the fake entry so later tests see a clean cache
     for k in dir_keys:
         del sim._IDX_DF_CACHE[k]
+
+
+def test_ann_upsert_touches_only_delta_buckets(spark, sf_dir):
+    """The incremental upsert's contract: bucket directories the delta
+    does NOT land in are byte-identical after the upsert (same files,
+    sizes, mtimes — never rewritten), touched buckets ARE rewritten,
+    and the upserted index holds exactly the full corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.operators.similarity import (
+        ANN_UPSERT_MOD,
+        ANN_UPSERT_RES,
+        _hyperplanes,
+        ann_base_index_dir,
+        ann_index_upsert_probe,
+        srp_bucket,
+    )
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources.sinks import SCRATCH
+
+    e = table(spark, sf_dir, "embeddings")
+    delta = e.filter(
+        F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
+    ).withColumn(
+        "bucket", srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes())
+    )
+    touched = {int(r["bucket"]) for r in delta.select("bucket").distinct().collect()}
+    n_delta = delta.count()
+    assert 0 < n_delta and 0 < len(touched) < 200, (n_delta, len(touched))
+
+    working = f"{SCRATCH}/embeddings_lsh_upsert_{os.path.basename(sf_dir)}"
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            d = os.path.basename(dirpath)
+            if not d.startswith("bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[(b, f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    ann_index_upsert_probe(spark, sf_dir).collect()  # run the upsert
+    after = snapshot(working)
+    base = snapshot(ann_base_index_dir(spark, sf_dir))
+
+    untouched_base = {k: v for k, v in base.items() if k[0] not in touched}
+    untouched_after = {
+        k: v for k, v in after.items() if k[0] not in touched
+    }
+    # untouched buckets: exactly the base's files, same sizes (mtimes
+    # differ from the copy — compare name+size, the copytree contract)
+    assert {k: v[0] for k, v in untouched_after.items()} == {
+        k: v[0] for k, v in untouched_base.items()
+    }
+    # every touched bucket was rewritten: its files differ from base's
+    for b in touched:
+        base_files = {k[1] for k in base if k[0] == b}
+        after_files = {k[1] for k in after if k[0] == b}
+        assert after_files and after_files != base_files, b
+
+    # completeness: the upserted index holds exactly the corpus ids
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(working).select("vec_id").collect()
+    }
+    want = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert got == want
+
+
+def test_ann_upsert_probe_prunes_partitions(spark, sf_dir):
+    """The probe against the upserted index must carry PartitionFilters
+    (the bucket probe reaches the directory listing, same as
+    knn_lsh_partitioned) and agree with the expression-filter variant."""
+    from kamiyo_hive_spark.operators.similarity import (
+        ann_index_upsert_probe,
+        knn_lsh,
+    )
+
+    df = ann_index_upsert_probe(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert pf.strip(), "probe did not reach the scan as a partition filter"
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in knn_lsh(spark, sf_dir).collect()]
+    assert a == b
