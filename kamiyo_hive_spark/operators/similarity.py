@@ -1310,7 +1310,9 @@ def ann_index_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols = ["vec_id", "label", "embedding", "bucket"]
         existing_touched = (
-            spark.read.parquet(base_dir)  # NOT the working dir: no self-read
+            # cached reader over the BASE dir (not the working dir — no
+            # self-read; and its listing is reusable across runs)
+            _staged_index_df(spark, base_dir)
             .filter(F.col("bucket").isin(touched))
             .select(*cols)
         )
@@ -1349,9 +1351,15 @@ def lsh_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reused across probes in a session. Keyed by the staged dir's
     recorded source fingerprint, so a driver-side testdata regeneration
     (which rebuilds the staging in place) invalidates stale entries."""
+    return _staged_index_df(spark, lsh_index_dir(spark, sf_dir))
+
+
+def _staged_index_df(spark: SparkSession, d: str) -> DataFrame:
+    """The cache body shared by every staged-index reader (full index,
+    upsert base): keyed by (applicationId, dir, recorded fingerprint);
+    superseded same-dir entries and dead sessions are evicted."""
     import os
 
-    d = lsh_index_dir(spark, sf_dir)
     with open(os.path.join(d, "_SOURCE_FINGERPRINT")) as fh:
         fp = fh.read()
     key = (spark.sparkContext.applicationId, d, fp)
