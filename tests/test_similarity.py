@@ -186,3 +186,33 @@ def test_ann_upsert_probe_prunes_partitions(spark, sf_dir):
     a = [tuple(r) for r in df.collect()]
     b = [tuple(r) for r in knn_lsh(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_ann_upsert_empty_delta_is_a_noop(spark, sf_dir, monkeypatch):
+    """An EMPTY delta batch (no vec_id matches the residue) must leave
+    the working index exactly equal to the base — dynamic overwrite
+    with zero partitions present replaces nothing — and the probe must
+    still run. Guards the degenerate-batch path a real feed hits."""
+    import os
+
+    from kamiyo_hive_spark.operators import similarity as sim
+
+    # a residue no vec_id can match -> empty delta; base still holds
+    # every row (vec_id % MOD != RES is all-true)
+    monkeypatch.setattr(sim, "ANN_UPSERT_RES", sim.ANN_UPSERT_MOD + 1)
+    rows = sim.ann_index_upsert_probe(spark, sf_dir).collect()
+    assert len(rows) > 0
+    from kamiyo_hive_spark.sources.sinks import SCRATCH
+
+    working = f"{SCRATCH}/embeddings_lsh_upsert_{os.path.basename(sf_dir)}"
+    # no-op contract: the working index is EXACTLY the base (the cached
+    # base staging was built under the real residue, so it is the
+    # "existing production index" the empty batch must not disturb)
+    base = sim.ann_base_index_dir(spark, sf_dir)
+    got = sorted(
+        r["vec_id"] for r in spark.read.parquet(working).select("vec_id").collect()
+    )
+    want = sorted(
+        r["vec_id"] for r in spark.read.parquet(base).select("vec_id").collect()
+    )
+    assert got == want
