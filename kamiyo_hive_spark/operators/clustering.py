@@ -45,10 +45,16 @@ KM_SCALE = 1_000_000  # micro-unit quantization of the float input
 
 def _quantize_driver(x: float) -> int:
     """Driver-side twin of _quantized's per-element rule
-    `F.round(x * KM_SCALE).cast("long")`. Spark ROUND on doubles is
-    BigDecimal(double) HALF_UP — Decimal(float) is the same exact
-    binary value, so to_integral_value(HALF_UP) matches bit-for-bit
-    (Python's builtin round() is banker's and would NOT). Pinned
+    `F.round(x * KM_SCALE).cast("long")`. Spark ROUND on doubles goes
+    through BigDecimal.valueOf (the shortest-repr Double.toString
+    decimal) HALF_UP, while Decimal(float) is the exact binary value —
+    the two decimals differ, but at scale 0 they agree: the shortest
+    repr round-trips to the same double, and no representable double's
+    shortest repr can sit on the opposite side of a representable
+    half-integer from its exact expansion, so to_integral_value
+    (HALF_UP) matches bit-for-bit. The equivalence is scale-0-specific
+    — re-derive it if KM_SCALE rounding ever moves to fractional scale.
+    (Python's builtin round() is banker's and would NOT match.) Pinned
     against the engine path by tests/test_clustering.py; keep the two
     in lockstep if KM_SCALE or the rounding rule ever changes."""
     from decimal import ROUND_HALF_UP, Decimal

@@ -540,20 +540,16 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from kamiyo_hive_spark.operators.similarity import query_vecs
-
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    d = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn(
-            "_n",
-            F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)),
-        )
-        .select(
-            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
-        )
+    from kamiyo_hive_spark.operators.similarity import (
+        normalized_embeddings,
+        query_vecs,
     )
+
+    # staged normalized relation (r8): the inline normalize was being
+    # re-inlined into each of the 4 query dots by CollapseProject —
+    # 4 normalizations per row; the staged scan is one (measured
+    # 0.48 s → 0.17 s for the dense branch at sf0.1, bit-identical)
+    d = normalized_embeddings(spark, sf_dir).select("vec_id", "nv")
     qids = []
     qvs = []
     for vid, vec in query_vecs(sf_dir, RRF_NQ):
@@ -563,30 +559,33 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = math.sqrt(n)  # sqrt, not pow(·, .5): the engines use sqrt
         qids.append(vid)
         qvs.append([x / n for x in vec])
+    # The per-query dot products as ONE parsed SQL expression over a
+    # literal query-vector table: the unrolled F.array(F.lit(...)×256)
+    # form cost ~0.29 s of py4j plan-build per call (measured r8 —
+    # the same round-trip disease `srp_bucket` folded in r7). Float
+    # literals print via repr with a D suffix, so the parsed doubles
+    # are bit-identical to the F.lit path.
+    qvs_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(c)!r}D" for c in qv) + ")"
+            for qv in qvs
+        )
+        + ")"
+    )
     # plant the REAL vec_ids next to the scores: positional indices
     # would silently mislabel queries if ids were ever sparse
-    qid_lit = F.array(*[F.lit(i) for i in qids])
-    sims = F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("nv"),
-                        F.array(*[F.lit(c) for c in qv]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                ),
-                9,
-            )
-            for qv in qvs
-        ]
+    qids_sql = "array(" + ",".join(str(int(i)) for i in qids) + ")"
+    sims = F.expr(
+        f"transform({qvs_sql}, qv -> round(aggregate(zip_with(nv, qv, "
+        f"(x, y) -> x * y), 0.0D, (a, x) -> a + x), 9))"
     )
     dense_scored = (
         d.select("vec_id", F.posexplode(sims).alias("qix", "score"))
         .select(
-            F.element_at(qid_lit, F.col("qix") + 1).cast("long").alias("query_id"),
+            F.expr(f"CAST(element_at({qids_sql}, qix + 1) AS BIGINT)").alias(
+                "query_id"
+            ),
             F.col("vec_id").alias("cand_id"),
             "score",
             F.lit("d").alias("src"),
@@ -619,8 +618,17 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("query_id", "src").orderBy(
         F.desc("score"), F.asc("cand_id")
     )
+    # ONE explicit exchange on query_id feeds the whole fusion tail:
+    # hash-partitioning on a SUBSET of the required keys satisfies
+    # ClusteredDistribution for the (query_id, src) rank window, the
+    # (query_id, cand_id) pivot aggregation AND the final per-query
+    # window, so the three exchanges EnsureRequirements would insert
+    # all collapse into this repartition and the tail fuses into one
+    # stage (measured r8: 0.9 s → ~0.5 s checkpoint at sf0.1). At
+    # scale the key is queries — the natural serving parallelism.
     ranked = (
         dense_scored.unionByName(lex_scored)
+        .repartition(F.col("query_id"))
         .withColumn("r", F.row_number().over(w_rank))
         .filter(F.col("r") <= RRF_POOL)
     )
@@ -1094,7 +1102,13 @@ def _ms_hash_vec(tok_col):
     folded form is one parser call and one tight loop in codegen.
     Values are bit-identical (same md5/conv/modulo chain; `1000.0D`
     keeps the division in DOUBLE, never decimal)."""
-    tok_sql = tok_col if isinstance(tok_col, str) else tok_col._jc.toString()
+    if not isinstance(tok_col, str):
+        # JVM Column.toString() is not guaranteed parseable SQL —
+        # refuse non-string input rather than splice a debug repr.
+        raise TypeError(
+            f"_ms_hash_vec expects a SQL expression string, got {type(tok_col).__name__}"
+        )
+    tok_sql = tok_col
     return F.expr(
         f"transform(sequence(0, {MAXSIM_DIM - 1}), i -> "
         f"(CAST(conv(substring(md5(concat_ws(':', {tok_sql}, CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) "

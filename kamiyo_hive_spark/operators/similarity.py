@@ -37,6 +37,51 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def normalized_embeddings_dir(spark: SparkSession, sf_dir: str) -> str:
+    """L2-normalized embeddings (vec_id, label, nv) as a fingerprint-
+    cached staged relation — THE shared input for every consumer that
+    scores normalized dots (seed-centroid assignment / semantic dedup,
+    RRF's dense retriever).
+
+    Why materialize at all (VERDICT r7 Next 5): the normalize is a
+    nested higher-order-function expression (`transform(v, x/_n)` with
+    `_n = sqrt(aggregate(...))`), and Catalyst's CollapseProject
+    INLINES it into every downstream use — four query dots in RRF
+    recompute the normalization 4× per row (measured r8: 0.48 s vs
+    0.17 s staged at sf0.1); the SemDeDup crossJoin inlines it into a
+    K-way comparison. Materializing once turns every consumer into
+    scan + dot. Values are BIT-IDENTICAL to the inline form (same
+    fold, and parquet round-trips doubles exactly), so every oracle
+    is unchanged."""
+    import os
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = f"{SCRATCH}/embeddings_nv_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return ensure_staging(
+        out,
+        source,
+        lambda tmp: e.select("vec_id", "label", emb.alias("v"))
+        .withColumn("_n", _norm(F.col("v")))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv"),
+        )
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+
+
+def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached DataFrame over the staged normalized-embedding relation
+    (same listing-amortization story as `lsh_index_df`)."""
+    return _staged_index_df(spark, normalized_embeddings_dir(spark, sf_dir))
+
+
 def assign_to_seed_centroids(
     spark: SparkSession, sf_dir: str, k: int, materialize: bool = False
 ) -> DataFrame:
@@ -55,15 +100,9 @@ def assign_to_seed_centroids(
     while a lazy cache fills during the first consumer's stage of the
     single final job and the remaining consumers read blocks — one
     scheduling round-trip less (VERDICT r2 task 3)."""
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
-    d = (
-        e.select("vec_id", emb.alias("v"))
-        .withColumn("_n", _norm(F.col("v")))
-        .select(
-            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("_n")).alias("nv")
-        )
-    )
+    # staged normalized relation (r8): the inline normalize used to be
+    # re-inlined into the K-way centroid comparison by CollapseProject
+    d = normalized_embeddings(spark, sf_dir).select("vec_id", "nv")
     cents = d.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
     )
@@ -196,7 +235,7 @@ def _hyperplanes(nbits: int = NBITS, dim: int = DIM) -> list[list[float]]:
     return rng.standard_normal((nbits, dim)).tolist()
 
 
-def srp_bucket(emb: Column, planes: list[list[float]]) -> Column:
+def srp_bucket(emb: str, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: bit j = sign(emb · plane_j).
 
     Pure column expression — the projection literals are constant-folded
@@ -216,7 +255,12 @@ def srp_bucket(emb: Column, planes: list[list[float]]) -> Column:
         )
         + ")"
     )
-    emb_sql = emb if isinstance(emb, str) else emb._jc.toString()
+    if not isinstance(emb, str):
+        # Column.toString() is a JVM debug string, not guaranteed
+        # parseable SQL (lambda-bound / resolved-attribute columns) —
+        # refuse rather than splice a best-effort repr into F.expr.
+        raise TypeError(f"srp_bucket expects a SQL expression string, got {type(emb).__name__}")
+    emb_sql = emb
     return F.expr(
         f"aggregate(sequence(0, {len(planes) - 1}), 0L, (acc, j) -> acc | "
         f"(CASE WHEN aggregate(zip_with({emb_sql}, element_at({planes_sql}, j + 1), "
@@ -1213,34 +1257,46 @@ def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 ANN_UPSERT_MOD = 25  # delta slice: vec_id % MOD == RES arrives "today"
 ANN_UPSERT_RES = 7
+ANN_UPSERT_WRITER = "ann_delta_merge"  # commit tag: the merge landed
 
 
-def ann_base_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Staged bucket-partitioned index over the corpus MINUS the delta
-    slice (vec_id % ANN_UPSERT_MOD == ANN_UPSERT_RES held out) —
-    "yesterday's index", the starting state for the incremental
-    upsert. Fingerprint-cached like the full index."""
+def ann_upsert_table(spark: SparkSession, sf_dir: str) -> str:
+    """Txlog TABLE whose version 0 is the bucket-partitioned index over
+    the corpus MINUS the delta slice (vec_id % ANN_UPSERT_MOD ==
+    ANN_UPSERT_RES held out) — "yesterday's index", the starting state
+    for the incremental upsert. Fingerprint-cached staging like the
+    other index pools; MOD/RES are encoded in the table root so a test
+    that overrides the residue gets its OWN table and can never poison
+    the real one's cache (ADVICE r7 medium)."""
     import os
 
     from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+    from kamiyo_hive_spark.sources.txlog import TxLog
 
-    out = f"{SCRATCH}/embeddings_lsh_base_{os.path.basename(sf_dir)}"
+    out = (
+        f"{SCRATCH}/ann_upsert_tx_{ANN_UPSERT_MOD}_{ANN_UPSERT_RES}_"
+        f"{os.path.basename(sf_dir)}"
+    )
     source = os.path.join(sf_dir, "embeddings.parquet")
     e = table(spark, sf_dir, "embeddings")
-    return ensure_staging(
-        out,
-        source,
-        lambda tmp: e.filter(
+
+    def build(tmp: str) -> None:
+        log = TxLog.init(tmp)
+        base = e.filter(
             F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) != ANN_UPSERT_RES
+        ).select("vec_id", "label", "embedding")
+        log.append_partitioned(
+            base,
+            layout=srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()),
+            spec="bucket",
+            writer="ann_base_load",
         )
-        .withColumn(
-            "bucket",
-            srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()),
-        )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(tmp),
-    )
+        # staging_current requires the root _SUCCESS marker; the txlog
+        # write lands its own under data/<uuid>/, not the table root
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    return ensure_staging(out, source, build)
 
 
 @register(
@@ -1250,87 +1306,73 @@ def ann_base_index_dir(spark: SparkSession, sf_dir: str) -> str:
 )
 def ann_index_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index maintenance — the serving-side story the
-    partitioned layout implies: a delta batch of new embeddings
-    (vec_id % {MOD} == {RES}, withheld from the staged base index) is
-    UPSERTED into the bucket-partitioned index by dynamic partition
-    overwrite of ONLY the buckets the delta lands in; every other
-    bucket directory is untouched (tests pin this byte-for-byte). The
-    returned probe runs against the upserted index and must equal the
-    full-corpus `knn_lsh_cosine` answer — the completeness proof that
-    no delta row was lost and no base row clobbered.
+    partitioned layout implies, routed through the repo's txlog ACID
+    layer (VERDICT r7 Next 3): a delta batch of new embeddings
+    (vec_id % {MOD} == {RES}, withheld from the table's version-0 base
+    load) is MERGEd into the bucket-partitioned index as ONE
+    serializable commit that rewrites ONLY the buckets the delta lands
+    in; every file of an untouched bucket stays referenced as-is —
+    same file, same inode, zero data movement (tests pin this). The
+    returned probe runs against the post-merge snapshot and must equal
+    the full-corpus `knn_lsh_cosine` answer — the completeness proof
+    that no delta row was lost and no base row clobbered.
 
     Plan shape, stage by stage:
-    - base: `ann_base_index_dir` (fingerprint-cached staging); the
-      working index starts as a file-level copy — "the production
-      index as of yesterday".
-    - delta buckets: computed by the same `srp_bucket` expression that
-      built the index (one convention, one code path), collected as
-      bounded metadata (≤2^NBITS distinct buckets).
-    - upsert: rows for the touched buckets = base-index partition-
-      PRUNED scan (PartitionFilters: bucket IN touched — the read is
-      delta-sized, not corpus-sized) unioned with the delta, written
-      with partitionOverwriteMode=dynamic so exactly the touched
-      partitions are replaced. At 100 TB this is MERGE INTO on a
-      table format (our txlog ACID layer has the same touched-
-      partition copy-on-write discipline — sources/txlog.py); the
-      staged-parquet shape here keeps the whole protocol inspectable.
-    - probe: the standard hamming-1 multiprobe against the UPSERTED
-      directory — same PartitionFilters pruning as
-      `knn_lsh_partitioned`.
+    - base: `ann_upsert_table` version 0 (fingerprint-cached staging)
+      — "the production index as of yesterday". No copytree: the merge
+      commits AGAINST the staged table, it never clones it.
+    - merge: `TxLog.merge_partitioned` — touched buckets discovered
+      from the delta via the same `srp_bucket` expression that built
+      the index (one convention, one code path); existing rows of
+      touched buckets come from a metadata-pruned file list (the read
+      is delta-sized, not corpus-sized); the commit's adds/removes are
+      exactly the touched buckets' files. Idempotent per staging
+      generation: the `{WRITER}` commit tag is checked under the
+      cross-process staging lock, so re-runs and concurrent sessions
+      serve reads instead of re-merging — at 100 TB this IS MERGE INTO
+      on a table format, and the cost tracks the delta, not the index.
+    - probe: the standard hamming-1 multiprobe as a file-list-pruned
+      snapshot read (`TxLog.read_pruned`) — only the ~9 probe buckets'
+      files reach the scan, and the file set is an immutable committed
+      snapshot, so a concurrent re-run can never rmtree a directory
+      out from under the read (the r7 probe-read race is structurally
+      impossible: nothing is ever rewritten in place).
 
     Reference anchor: the indexer's incremental account-update path
     (`lib/indexer.ts:45-62` consumes deltas, not snapshots)."""
-    import os
-    import shutil
+    from kamiyo_hive_spark.sources.sinks import _staging_lock
+    from kamiyo_hive_spark.sources.txlog import TxLog
 
-    from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
-
-    base_dir = ann_base_index_dir(spark, sf_dir)
-    working = f"{SCRATCH}/embeddings_lsh_upsert_{os.path.basename(sf_dir)}"
-    with _staging_lock(working):
-        shutil.rmtree(working, ignore_errors=True)
-        shutil.copytree(base_dir, working)
-        # the copy is a WORKING dir, not a staging: drop the marker so
-        # no ensure_staging caller can mistake it for a current staging
-        for m in ("_SOURCE_FINGERPRINT",):
-            try:
-                os.remove(os.path.join(working, m))
-            except FileNotFoundError:
-                pass
-
-        e = table(spark, sf_dir, "embeddings")
-        delta = e.filter(
-            F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
-        ).withColumn(
-            "bucket",
-            srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()),
-        )
-        touched = sorted(
-            r["bucket"] for r in delta.select("bucket").distinct().collect()
-        )
-        cols = ["vec_id", "label", "embedding", "bucket"]
-        existing_touched = (
-            # cached reader over the BASE dir (not the working dir — no
-            # self-read; and its listing is reusable across runs)
-            _staged_index_df(spark, base_dir)
-            .filter(F.col("bucket").isin(touched))
-            .select(*cols)
-        )
-        merged = existing_touched.unionByName(delta.select(*cols))
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(working)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    root = ann_upsert_table(spark, sf_dir)
+    log = TxLog(root)
+    # Merge-once gate: writer-tag scan of the (tiny) commit history,
+    # under the same cross-process lock discipline as the stagings —
+    # two sessions racing here serialize, the loser sees the tag and
+    # skips straight to the probe.
+    with _staging_lock(f"{root}.merge"):
+        merged = any(c.writer == ANN_UPSERT_WRITER for c in log.history())
+        if not merged:
+            e = table(spark, sf_dir, "embeddings")
+            delta = e.filter(
+                F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
+            ).select("vec_id", "label", "embedding")
+            log.merge_partitioned(
+                spark,
+                delta,
+                layout=srp_bucket(
+                    "CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()
+                ),
+                spec="bucket",
+                keys=["vec_id"],
+                writer=ANN_UPSERT_WRITER,
+            )
 
     qlit, probes = _query_probe(spark, sf_dir)
-    idx = spark.read.parquet(working)
+    idx = log.read_pruned(spark, "bucket", probes)
     v = F.col("embedding").cast("array<double>")
     sim = _dot(v, qlit) / (_norm(v) * _norm(qlit))
     return (
-        idx.filter(F.col("bucket").isin(probes))
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        idx.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(TOP_K)

@@ -166,6 +166,10 @@ class TxLog:
             files.update(c.adds)
         return sorted(files)
 
+    def history(self) -> list[Commit]:
+        """All commits, oldest first — pure metadata read, O(version)."""
+        return [self._read_commit(v) for v in range(self.version() + 1)]
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         files = self.snapshot_files(version)
         if not files:
@@ -394,6 +398,144 @@ class TxLog:
             writer=writer,
             schema=sch,
             spec=spec,
+        )
+
+    def pruned_file_sets(
+        self, spec: str, values, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """One-pass generalization of :meth:`pruned_files` to a VALUE
+        SET: returns ``(matching, unprunable)`` — files written under
+        ``spec`` whose partition value is in ``values``, and files NOT
+        written under ``spec`` (which may contain matching rows and can
+        never be pruned on this key — the per-file-spec contract).
+        Files under ``spec`` with a non-matching value are dropped.
+        Pure path/metadata work; no data file is opened."""
+        vals = {str(v) for v in values}
+        matching: list[str] = []
+        unprunable: list[str] = []
+        for f in self.snapshot_files(version):
+            parts = f.split(os.sep)
+            if any(p.partition("=")[0] == spec for p in parts):
+                if any(p.partition("=")[0] == spec
+                       and p.partition("=")[2] in vals for p in parts):
+                    matching.append(f)
+            else:
+                unprunable.append(f)
+        return matching, unprunable
+
+    def read_pruned(self, spark: SparkSession, spec: str, values,
+                    version: int | None = None) -> DataFrame:
+        """Snapshot read partition-pruned at the FILE-LIST level for
+        ``spec IN values``: only matching partitions' files (plus any
+        spec-less files, per-file-spec semantics) reach the scan — the
+        Spark job's input is partition-sized, not table-sized, and the
+        file set is an immutable committed snapshot, so a concurrent
+        writer can never yank a directory out from under the read (the
+        staged-pool rmtree race class is structurally impossible
+        here). Rows from unprunable files still need the caller's
+        row-level filter."""
+        matching, unprunable = self.pruned_file_sets(spec, values, version)
+        keep = matching + unprunable
+        sch = self.table_schema()
+        from pyspark.sql import types as T
+
+        styp = T.StructType.fromJson(json.loads(sch)) if sch else None
+        if not keep:
+            if styp is None:
+                raise ValueError("empty pruned read on a schema-less table")
+            return spark.createDataFrame([], styp)
+        paths = [os.path.join(self.root, f) for f in keep]
+        if styp is not None:
+            return spark.read.schema(styp).parquet(*paths)
+        return spark.read.parquet(*paths)
+
+    def merge_partitioned(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        layout,
+        spec: str,
+        keys: list[str],
+        writer: str = "",
+        max_attempts: int = 5,
+    ) -> int:
+        """MERGE INTO at partition granularity — dynamic partition
+        overwrite expressed as ONE serializable txlog commit. The
+        delta's rows are routed to partitions by the ``layout``
+        expression; only the partitions the delta lands in are
+        rewritten: existing rows in a touched partition whose ``keys``
+        match a delta row are replaced (upsert), non-matching rows are
+        carried over, and every file of an UNTOUCHED partition stays
+        referenced as-is — zero data movement, zero copy, same inode.
+        Cost therefore tracks the DELTA (touched partitions' bytes),
+        not the table. Optimistic retry like :meth:`rewrite_where`; a
+        losing attempt leaks only unreferenced staged bytes (vacuum
+        GC's them).
+
+        Requires every snapshot file holding potentially-matching rows
+        to be path-encoded under ``spec`` — a file written under a
+        different spec (or none) cannot be partition-replaced safely,
+        so the merge refuses rather than silently duplicate rows.
+
+        An EMPTY delta commits nothing and returns the current version
+        (a degenerate batch must not burn a version or touch a file).
+
+        At 100 TB this is the index/table maintenance primitive: the
+        same touched-partition copy-on-write discipline as
+        :meth:`rewrite_where`, but partition-pruned on metadata alone —
+        no table-wide predicate scan to find the hit files."""
+        from pyspark.sql import functions as F
+
+        sch = self._check_schema(delta)
+        routed = delta.withColumn(spec, layout.cast("string"))
+        touched = sorted(
+            r[spec] for r in routed.select(spec).distinct().collect()
+        )
+        if not touched:
+            return self.version()
+        cols = [f for f in delta.columns]
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            rv = self.version()
+            removes, unprunable = self.pruned_file_sets(spec, touched, rv)
+            if unprunable:
+                raise ValueError(
+                    f"merge_partitioned needs a uniform '{spec}' layout; "
+                    f"{len(unprunable)} snapshot file(s) are not written "
+                    f"under it (first: {unprunable[0]})"
+                )
+            if removes:
+                existing = spark.read.schema(delta.schema).parquet(
+                    *[os.path.join(self.root, f) for f in removes]
+                ).select(*cols)
+                kept = existing.join(
+                    F.broadcast(delta.select(*keys).distinct()),
+                    on=keys,
+                    how="left_anti",
+                )
+                merged = kept.unionByName(delta.select(*cols))
+            else:
+                merged = delta.select(*cols)
+            rel = self.stage_dir()
+            out = os.path.join(self.root, rel)
+            merged.withColumn(spec, layout.cast("string")).write.partitionBy(
+                spec
+            ).mode("overwrite").parquet(out)
+            adds = sorted(
+                os.path.join(rel, os.path.relpath(os.path.join(dp, f), out))
+                for dp, _, fs in os.walk(out)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            try:
+                return self.commit(
+                    "rewrite", adds, removes, read_version=rv,
+                    writer=writer, schema=sch, spec=spec,
+                )
+            except CommitConflict as e:  # recompute against new snapshot
+                last = e
+        raise last if last is not None else CommitConflict(
+            "merge_partitioned failed"
         )
 
     def pruned_files(self, spec: str, value: str) -> list[str]:

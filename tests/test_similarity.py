@@ -96,11 +96,29 @@ def test_lsh_index_df_cache_invalidates_on_fingerprint_change(
         del sim._IDX_DF_CACHE[k]
 
 
+def _upsert_log(spark, sf_dir):
+    from kamiyo_hive_spark.operators.similarity import ann_upsert_table
+    from kamiyo_hive_spark.sources.txlog import TxLog
+
+    return TxLog(ann_upsert_table(spark, sf_dir))
+
+
+def _bucket_of(rel_path: str) -> int:
+    import os
+
+    for p in rel_path.split(os.sep):
+        k, _, v = p.partition("=")
+        if k == "bucket":
+            return int(v)
+    raise AssertionError(f"no bucket component in {rel_path}")
+
+
 def test_ann_upsert_touches_only_delta_buckets(spark, sf_dir):
-    """The incremental upsert's contract: bucket directories the delta
-    does NOT land in are byte-identical after the upsert (same files,
-    sizes, mtimes — never rewritten), touched buckets ARE rewritten,
-    and the upserted index holds exactly the full corpus."""
+    """The txlog MERGE's contract: the merge commit removes exactly the
+    touched buckets' version-0 files and adds files only under touched
+    buckets; every untouched-bucket file survives as the SAME file —
+    same path, same inode, same mtime (zero copy, not merely equal
+    bytes) — and the post-merge snapshot holds exactly the corpus."""
     import os
 
     from pyspark.sql import functions as F
@@ -108,13 +126,12 @@ def test_ann_upsert_touches_only_delta_buckets(spark, sf_dir):
     from kamiyo_hive_spark.operators.similarity import (
         ANN_UPSERT_MOD,
         ANN_UPSERT_RES,
+        ANN_UPSERT_WRITER,
         _hyperplanes,
-        ann_base_index_dir,
         ann_index_upsert_probe,
         srp_bucket,
     )
     from kamiyo_hive_spark.catalog import table
-    from kamiyo_hive_spark.sources.sinks import SCRATCH
 
     e = table(spark, sf_dir, "embeddings")
     delta = e.filter(
@@ -126,93 +143,153 @@ def test_ann_upsert_touches_only_delta_buckets(spark, sf_dir):
     n_delta = delta.count()
     assert 0 < n_delta and 0 < len(touched) < 200, (n_delta, len(touched))
 
-    working = f"{SCRATCH}/embeddings_lsh_upsert_{os.path.basename(sf_dir)}"
+    ann_index_upsert_probe(spark, sf_dir).collect()  # ensure the merge landed
+    log = _upsert_log(spark, sf_dir)
+    merges = [c for c in log.history() if c.writer == ANN_UPSERT_WRITER]
+    assert len(merges) == 1, [c.writer for c in log.history()]
+    m = merges[0]
 
-    def snapshot(root):
-        out = {}
-        for dirpath, _dirs, files in os.walk(root):
-            d = os.path.basename(dirpath)
-            if not d.startswith("bucket="):
-                continue
-            b = int(d.split("=", 1)[1])
-            for f in files:
-                p = os.path.join(dirpath, f)
-                st = os.stat(p)
-                out[(b, f)] = (st.st_size, st.st_mtime_ns)
-        return out
+    v0 = set(log.snapshot_files(0))
+    vN = set(log.snapshot_files())
+    # the merge removed exactly v0's touched-bucket files...
+    assert set(m.removes) == {f for f in v0 if _bucket_of(f) in touched}
+    # ...and added files only under touched buckets
+    assert m.adds and all(_bucket_of(f) in touched for f in m.adds)
+    # untouched files survive IN PLACE: the post-merge snapshot
+    # references the very same root-relative paths version 0 committed
+    # (no copy, no rewrite — at most one file ever exists per path, so
+    # path identity IS byte/inode identity here), and nothing else
+    # from v0 leaks through
+    untouched = {f for f in v0 if _bucket_of(f) not in touched}
+    assert untouched <= vN
+    assert vN == untouched | set(m.adds)
+    # the REMOVED files are dereferenced, not deleted: time travel to
+    # version 0 still reads the exact base corpus (vacuum's job, later)
+    for f in m.removes:
+        assert os.path.exists(os.path.join(log.root, f)), f
+    base_ids = {r["vec_id"] for r in log.read(spark, 0).select("vec_id").collect()}
+    delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+    assert base_ids.isdisjoint(delta_ids)
 
-    ann_index_upsert_probe(spark, sf_dir).collect()  # run the upsert
-    after = snapshot(working)
-    base = snapshot(ann_base_index_dir(spark, sf_dir))
-
-    untouched_base = {k: v for k, v in base.items() if k[0] not in touched}
-    untouched_after = {
-        k: v for k, v in after.items() if k[0] not in touched
-    }
-    # untouched buckets: exactly the base's files, same sizes (mtimes
-    # differ from the copy — compare name+size, the copytree contract)
-    assert {k: v[0] for k, v in untouched_after.items()} == {
-        k: v[0] for k, v in untouched_base.items()
-    }
-    # every touched bucket was rewritten: its files differ from base's
-    for b in touched:
-        base_files = {k[1] for k in base if k[0] == b}
-        after_files = {k[1] for k in after if k[0] == b}
-        assert after_files and after_files != base_files, b
-
-    # completeness: the upserted index holds exactly the corpus ids
-    got = {
-        r["vec_id"]
-        for r in spark.read.parquet(working).select("vec_id").collect()
-    }
+    # completeness: the post-merge snapshot holds exactly the corpus ids
+    got = {r["vec_id"] for r in log.read(spark).select("vec_id").collect()}
     want = {r["vec_id"] for r in e.select("vec_id").collect()}
     assert got == want
 
 
-def test_ann_upsert_probe_prunes_partitions(spark, sf_dir):
-    """The probe against the upserted index must carry PartitionFilters
-    (the bucket probe reaches the directory listing, same as
-    knn_lsh_partitioned) and agree with the expression-filter variant."""
+def test_ann_upsert_probe_prunes_file_list(spark, sf_dir):
+    """The probe is a file-list-pruned snapshot read: every file the
+    scan opens belongs to a probe bucket, the scan reads a strict
+    subset of the snapshot, and the rows agree with the expression-
+    filter variant over the full (non-incremental) index."""
+    import os
+
     from kamiyo_hive_spark.operators.similarity import (
+        _query_probe,
         ann_index_upsert_probe,
         knn_lsh,
     )
 
     df = ann_index_upsert_probe(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
-    assert pf.strip(), "probe did not reach the scan as a partition filter"
+    _, probes = _query_probe(spark, sf_dir)
+    log = _upsert_log(spark, sf_dir)
+    root = os.path.realpath(log.root)
+    read = {
+        os.path.relpath(os.path.realpath(f.replace("file://", "")), root)
+        for f in df.inputFiles()
+    }
+    assert read, "probe read no files"
+    assert all(_bucket_of(f) in set(probes) for f in read), read
+    assert len(read) < len(log.snapshot_files())
     a = [tuple(r) for r in df.collect()]
     b = [tuple(r) for r in knn_lsh(spark, sf_dir).collect()]
     assert a == b
 
 
-def test_ann_upsert_empty_delta_is_a_noop(spark, sf_dir, monkeypatch):
-    """An EMPTY delta batch (no vec_id matches the residue) must leave
-    the working index exactly equal to the base — dynamic overwrite
-    with zero partitions present replaces nothing — and the probe must
-    still run. Guards the degenerate-batch path a real feed hits."""
-    import os
+def test_ann_upsert_is_idempotent(spark, sf_dir):
+    """Re-running the registered query must NOT re-merge: the writer
+    tag gates the merge, so the version history stays fixed and the
+    second run is a pure snapshot read."""
+    from kamiyo_hive_spark.operators.similarity import ann_index_upsert_probe
 
+    first = [tuple(r) for r in ann_index_upsert_probe(spark, sf_dir).collect()]
+    log = _upsert_log(spark, sf_dir)
+    v_before = log.version()
+    second = [tuple(r) for r in ann_index_upsert_probe(spark, sf_dir).collect()]
+    assert second == first
+    assert log.version() == v_before
+
+
+def _ann_race_worker(args):
+    """Spawned-process body for the two-session race test: point the
+    staging pool at the SHARED tmp scratch, run the registered upsert
+    query end-to-end in a fresh SparkSession, return (rows, writers)."""
+    scratch, sf_dir = args
+    import kamiyo_hive_spark.sources.sinks as sinks
+
+    sinks.SCRATCH = scratch
+    from kamiyo_hive_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ann-race",
+        master="local[2]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    try:
+        from kamiyo_hive_spark.operators.similarity import (
+            ann_index_upsert_probe,
+            ann_upsert_table,
+        )
+        from kamiyo_hive_spark.sources.txlog import TxLog
+
+        rows = [tuple(r) for r in ann_index_upsert_probe(spark, sf_dir).collect()]
+        log = TxLog(ann_upsert_table(spark, sf_dir))
+        return rows, [c.writer for c in log.history()]
+    finally:
+        spark.stop()
+
+
+def test_ann_upsert_two_session_race(tmp_path, sf_dir):
+    """The r7 probe-read race, exercised for real: two OS processes run
+    the full upsert+probe concurrently against one shared scratch.
+    Both must succeed with identical rows, and the table must end with
+    EXACTLY one base load and one merge commit — the staging lock +
+    writer-tag gate serialize the merge, and the losing session serves
+    its probe from the immutable committed snapshot (nothing is ever
+    rewritten in place, so there is no window to crash in)."""
+    import multiprocessing as mp
+
+    scratch = str(tmp_path / "scratch")
+    with mp.get_context("spawn").Pool(2) as pool:
+        (rows_a, hist_a), (rows_b, hist_b) = pool.map(
+            _ann_race_worker, [(scratch, sf_dir)] * 2
+        )
+    assert rows_a and rows_a == rows_b
+    # final history: exactly one base load + one merge, in order
+    final = max(hist_a, hist_b, key=len)
+    assert final == ["ann_base_load", "ann_delta_merge"], (hist_a, hist_b)
+
+
+def test_ann_upsert_empty_delta_is_a_noop(spark, sf_dir, monkeypatch):
+    """An EMPTY delta batch (no vec_id matches the residue) must not
+    burn a commit — the table stays at version 0 — and the probe must
+    still run and see the full corpus (the all-true base filter).
+    The overridden residue is encoded in the table root, so this test
+    can never poison the real residue's staged table (ADVICE r7)."""
     from kamiyo_hive_spark.operators import similarity as sim
 
-    # a residue no vec_id can match -> empty delta; base still holds
-    # every row (vec_id % MOD != RES is all-true)
     monkeypatch.setattr(sim, "ANN_UPSERT_RES", sim.ANN_UPSERT_MOD + 1)
     rows = sim.ann_index_upsert_probe(spark, sf_dir).collect()
     assert len(rows) > 0
-    from kamiyo_hive_spark.sources.sinks import SCRATCH
+    log = _upsert_log(spark, sf_dir)
+    assert f"_{sim.ANN_UPSERT_MOD}_{sim.ANN_UPSERT_MOD + 1}_" in log.root
+    assert log.version() == 0, [c.writer for c in log.history()]
+    from kamiyo_hive_spark.catalog import table
 
-    working = f"{SCRATCH}/embeddings_lsh_upsert_{os.path.basename(sf_dir)}"
-    # no-op contract: the working index is EXACTLY the base (the cached
-    # base staging was built under the real residue, so it is the
-    # "existing production index" the empty batch must not disturb)
-    base = sim.ann_base_index_dir(spark, sf_dir)
-    got = sorted(
-        r["vec_id"] for r in spark.read.parquet(working).select("vec_id").collect()
-    )
+    got = sorted(r["vec_id"] for r in log.read(spark).select("vec_id").collect())
     want = sorted(
-        r["vec_id"] for r in spark.read.parquet(base).select("vec_id").collect()
+        r["vec_id"]
+        for r in table(spark, sf_dir, "embeddings").select("vec_id").collect()
     )
     assert got == want

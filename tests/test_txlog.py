@@ -470,3 +470,170 @@ def test_vacuum_tolerates_concurrent_unlink_race(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(root, raced))
     assert not os.path.exists(os.path.join(root, mine))
     assert os.path.exists(os.path.join(root, committed))
+
+
+def _shards(spark, sf_dir):
+    """orders slice + a shard layout expression for the merge tests."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return o, F.pmod(F.col("o_orderkey"), F.lit(4))
+
+
+def test_merge_partitioned_upserts_by_key_and_prunes(spark, sf_dir, tmp_path):
+    """merge_partitioned replaces matching-key rows, carries the rest of
+    the touched partitions over, and never references (or rewrites) an
+    untouched partition's files — the commit's removes are exactly the
+    touched shards' files."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard", writer="base")
+
+    # delta: shard 1 only — existing keys get a new price, plus one
+    # brand-new synthetic key routed to the same shard
+    delta = (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 1)
+        .limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    new_key = o.agg(F.max("o_orderkey")).collect()[0][0]
+    new_key += 4 - (new_key % 4) + 1  # next key landing in shard 1
+    extra = spark.createDataFrame(
+        [(new_key, 1, 42.0)], schema=delta.schema
+    )
+    delta = delta.unionByName(extra)
+    v = log.merge_partitioned(
+        spark, delta, layout=layout, spec="shard", keys=["o_orderkey"],
+        writer="merger",
+    )
+    assert v == 1
+
+    m = log.history()[1]
+    v0 = set(log.snapshot_files(0))
+    assert set(m.removes) == {f for f in v0 if "shard=1" in f.split(os.sep)}
+    assert m.adds and all("shard=1" in f.split(os.sep) for f in m.adds)
+
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in log.read(spark).collect()
+    }
+    base = {r["o_orderkey"]: r["o_totalprice"] for r in o.collect()}
+    want = dict(base)
+    for r in delta.collect():
+        want[r["o_orderkey"]] = r["o_totalprice"]
+    assert got == want
+
+
+def test_merge_partitioned_empty_delta_commits_nothing(spark, sf_dir, tmp_path):
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard")
+    v = log.merge_partitioned(
+        spark, o.filter("o_orderkey < 0"), layout=layout, spec="shard",
+        keys=["o_orderkey"],
+    )
+    assert v == 0 and log.version() == 0
+
+
+def test_merge_partitioned_refuses_nonuniform_spec(spark, sf_dir, tmp_path):
+    """A snapshot file not path-encoded under the merge's spec may hold
+    matching rows the partition replace would duplicate — refuse."""
+    import pytest
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append(o.limit(10), writer="unpartitioned")
+    with pytest.raises(ValueError, match="uniform"):
+        log.merge_partitioned(
+            spark, o.limit(3), layout=layout, spec="shard",
+            keys=["o_orderkey"],
+        )
+
+
+def test_merge_partitioned_retries_after_concurrent_append(
+    spark, sf_dir, tmp_path
+):
+    """A partitioned append racing ahead of the merge commit must force
+    a recompute: rows the racer added to a TOUCHED shard are carried
+    through the retried merge (key-replaced like any other existing
+    row), not clobbered by the stale first attempt."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    evens = o.filter(F.col("o_orderkey") % 2 == 0)  # shards 0 and 2
+    odds = o.filter(F.col("o_orderkey") % 2 == 1)   # shards 1 and 3
+    log.append_partitioned(evens, layout=layout, spec="shard", writer="base")
+
+    committed = {"racer_done": False}
+    orig_commit = log.commit
+
+    def racing_commit(op, adds, removes=None, **kw):
+        if op == "rewrite" and not committed["racer_done"]:
+            committed["racer_done"] = True
+            log.append_partitioned(
+                odds, layout=layout, spec="shard", writer="racer"
+            )
+        return orig_commit(op, adds, removes, **kw)
+
+    log.commit = racing_commit
+    # delta rewrites shard 1 keys (racer-added rows!) and shard 2 keys
+    delta = (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)).isin(1, 2))
+        .limit(8)
+        # keep the column NULLABLE (a bare lit is non-null and would
+        # trip the schema guard — correctly)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey").isNotNull(), F.lit(-1.0)),
+        )
+    )
+    log.merge_partitioned(
+        spark, delta, layout=layout, spec="shard", keys=["o_orderkey"],
+        writer="merger",
+    )
+    log.commit = orig_commit
+
+    got = {
+        r["o_orderkey"]: r["o_totalprice"] for r in log.read(spark).collect()
+    }
+    want = {r["o_orderkey"]: r["o_totalprice"] for r in o.collect()}
+    for r in delta.collect():
+        want[r["o_orderkey"]] = -1.0
+    assert got == want
+    assert log.version() == 2  # base, racer append, retried merge
+
+
+def test_read_pruned_reads_only_matching_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard")
+
+    df = log.read_pruned(spark, "shard", [1, 3])
+    want = o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)).isin(1, 3))
+    assert sorted(r["o_orderkey"] for r in df.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+    # file-list pruning, not row filtering: the scan opened only the
+    # matching shards' files
+    read = {f.replace("file://", "") for f in df.inputFiles()}
+    assert read and all(
+        "shard=1" in f.split(os.sep) or "shard=3" in f.split(os.sep)
+        for f in read
+    )
+    # empty value set on a schema'd table -> empty frame, same schema
+    empty = log.read_pruned(spark, "shard", [99])
+    assert empty.count() == 0 and empty.columns == df.columns
