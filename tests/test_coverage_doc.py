@@ -20,7 +20,7 @@ NON_QUERY_TOKENS = {
     "merkle_root_poseidon", "merkle_proof_poseidon", "verify_poseidon_proof",
     # module functions documented alongside their registered wrappers
     "connected_components_largestar", "force_directed_positions",
-    "rewrite_where", "sample_frames", "parse_avi",
+    "rewrite_where", "sample_frames", "parse_avi", "merge_partitioned",
 }
 
 # queries registered only when a runtime feature exists (may be absent)

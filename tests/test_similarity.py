@@ -293,3 +293,80 @@ def test_ann_upsert_empty_delta_is_a_noop(spark, sf_dir, monkeypatch):
         for r in table(spark, sf_dir, "embeddings").select("vec_id").collect()
     )
     assert got == want
+
+
+def test_streaming_ann_index_merge_protocol(spark, sf_dir):
+    """The streaming MERGE pipeline: version history = 1 base load +
+    one merge commit per non-empty micro-batch, each under its own
+    batch-keyed writer tag (exactly-once), removes always bucket-
+    scoped, and the post-stream probe equals the full-index variant.
+    (The in-protocol replay/version asserts run inside the operator —
+    a double-merge raises before this test ever sees rows.)"""
+    from kamiyo_hive_spark.operators import similarity as sim
+    from kamiyo_hive_spark.sources.sinks import SCRATCH
+    from kamiyo_hive_spark.sources.txlog import TxLog
+
+    rows = [tuple(r) for r in sim.streaming_ann_index_merge(spark, sf_dir).collect()]
+    assert rows and all(r[-1] == sim.ANN_STREAM_BATCHES + 1 for r in rows)
+
+    import os
+
+    log = TxLog(f"{SCRATCH}/ann_stream_tx_{os.path.basename(sf_dir)}")
+    hist = log.history()
+    assert [c.writer for c in hist] == ["ann_base_load"] + [
+        f"{sim.ANN_STREAM_WRITER}-b{i}" for i in range(sim.ANN_STREAM_BATCHES)
+    ]
+    assert all(c.op == "rewrite" for c in hist[1:])
+    for c in hist[1:]:
+        assert all(_bucket_of(f) >= 0 for f in c.adds)  # bucket-scoped adds
+    # probe rows (minus the pinned version column) match the plain
+    # expression-filter variant over the full corpus
+    knn = [tuple(r) for r in sim.knn_lsh(spark, sf_dir).collect()]
+    assert [r[:-1] for r in rows] == knn
+
+
+def test_ann_version_diff_reconciles_with_delta(spark, sf_dir):
+    """The CDF audit's net change per bucket must equal the delta's
+    bucket histogram computed independently on the Spark side (the
+    oracle re-derives it in DuckDB; this pins the same identity
+    in-suite), and deletes must equal the base's rows in touched
+    buckets."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.operators import similarity as sim
+
+    rows = {
+        r["bucket"]: (r["n_inserted"], r["n_deleted"], r["n_net"])
+        for r in sim.ann_index_version_diff(spark, sf_dir).collect()
+    }
+    assert rows
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket",
+        sim.srp_bucket("CAST(embedding AS ARRAY<DOUBLE>)", sim._hyperplanes()),
+    )
+    hist = {
+        int(r["bucket"]): (int(r["nd"]), int(r["nb"]))
+        for r in e.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(
+                    F.pmod("vec_id", F.lit(sim.ANN_UPSERT_MOD))
+                    == sim.ANN_UPSERT_RES,
+                    1,
+                ).otherwise(0)
+            ).alias("nd"),
+            F.sum(
+                F.when(
+                    F.pmod("vec_id", F.lit(sim.ANN_UPSERT_MOD))
+                    == sim.ANN_UPSERT_RES,
+                    0,
+                ).otherwise(1)
+            ).alias("nb"),
+        )
+        .collect()
+    }
+    touched = {b: v for b, v in hist.items() if v[0] > 0}
+    assert set(rows) == set(touched)
+    for b, (nd, nb) in touched.items():
+        assert rows[b] == (nb + nd, nb, nd), (b, rows[b], (nb + nd, nb, nd))
