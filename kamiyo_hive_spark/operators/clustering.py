@@ -92,6 +92,12 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_staging(
         out,
         source,
+        # natural width ON PURPOSE (no repartition): the k-means argmin
+        # and PQ subspace maps are ~0.5k ops/row — forcing one file per
+        # core costs more in task scheduling than the parallelism buys
+        # (A/B r8: 1.10 s vs 1.38 s kmeans at sf0.1, where the input is
+        # one split); at warehouse scale the scan's natural splits keep
+        # both the build and the readers parallel.
         lambda tmp: _quantized_expr(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(tmp),

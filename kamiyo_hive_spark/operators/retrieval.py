@@ -969,6 +969,11 @@ def _ms_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.array_distinct(_tokens())), 1, MAXSIM_DTOK
             ).alias("ts"),
         )
+        # natural width ON PURPOSE (no repartition): MaxSim's downstream
+        # work shuffles almost immediately — one file per core only
+        # added task scheduling (A/B r8: 1.00 s vs 1.33 s late-
+        # interaction at sf0.1, where the input is one split); at scale
+        # the scan's natural splits keep build and readers parallel.
         .write.mode("overwrite")
         .parquet(tmp),
     )

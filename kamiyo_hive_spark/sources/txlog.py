@@ -898,6 +898,96 @@ def optimize(log: TxLog, spark: SparkSession, target_files: int = 2,
     raise last if last is not None else CommitConflict("optimize failed")
 
 
+def optimize_partitioned(
+    log: TxLog,
+    spark: SparkSession,
+    spec: str,
+    target_files_per_partition: int = 1,
+    writer: str = "optimize",
+    max_attempts: int = 5,
+) -> int:
+    """Small-file compaction for a SPEC-PARTITIONED table — bin-pack
+    WITHIN each partition, never across (plain :func:`optimize` would
+    collapse the layout and break partition pruning for every future
+    reader). Streaming/incremental ingest fragments per-partition (one
+    file per partition per append); this reads ONLY the fragmented
+    partitions' files, reconstructs each row's partition value from
+    its file path (the value is path-encoded per-file metadata), and
+    publishes ONE rewrite commit that replaces the fragments with
+    ``target_files_per_partition`` files per partition — atomic across
+    all partitions, conflict-checked like any rewrite. Healthy
+    partitions are untouched (not read, not rewritten, not even
+    listed in the commit). Pure re-layout: rows byte-identical before
+    and after (the registered roundtrip oracle-checks this).
+
+    Scale posture: choosing victims is pure manifest metadata; the
+    rewrite reads fragment bytes only — cost tracks fragmentation,
+    not table size. At warehouse scale run it per-partition-range
+    (the values list bounds each commit's blast radius)."""
+    from pyspark.sql import functions as F
+
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        rv = log.version()
+        by_value: dict[str, list[str]] = {}
+        for f in log.snapshot_files(rv):
+            parts = f.split(os.sep)
+            vals = [p.partition("=")[2] for p in parts
+                    if p.partition("=")[0] == spec]
+            if not vals:
+                raise ValueError(
+                    f"optimize_partitioned('{spec}') on a file not written "
+                    f"under that spec: {f}"
+                )
+            by_value.setdefault(vals[0], []).append(f)
+        removes = sorted(
+            f
+            for files in by_value.values()
+            if len(files) > target_files_per_partition
+            for f in files
+        )
+        if not removes:
+            return rv  # nothing fragmented
+        frag = spark.read.parquet(
+            *[os.path.join(log.root, f) for f in removes]
+        ).withColumn(
+            spec, F.regexp_extract(F.input_file_name(), f"{spec}=([^/]+)", 1)
+        )
+        rel = log.stage_dir()
+        out = os.path.join(log.root, rel)
+        # cluster by the partition value (one task per value -> exactly
+        # one output file per value, written in parallel across the
+        # pool); for target>1 a row-salt splits each value across that
+        # many tasks/files
+        keys = [F.col(spec)]
+        if target_files_per_partition > 1:
+            keys.append(
+                F.pmod(
+                    F.monotonically_increasing_id(),
+                    F.lit(target_files_per_partition),
+                )
+            )
+        frag.repartition(*keys).write.partitionBy(spec).mode(
+            "overwrite"
+        ).parquet(out)
+        adds = sorted(
+            os.path.join(rel, os.path.relpath(os.path.join(dp, f), out))
+            for dp, _, fs in os.walk(out)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        try:
+            return log.commit(
+                "rewrite", adds, removes, read_version=rv,
+                writer=writer, spec=spec,
+            )
+        except CommitConflict as e:
+            last = e
+    raise last if last is not None else CommitConflict(
+        "optimize_partitioned failed"
+    )
+
+
 def _register_maintenance_queries() -> None:
     from pyspark.sql import functions as F
 
@@ -974,7 +1064,108 @@ def _register_maintenance_queries() -> None:
         )
 
 
+def _register_partitioned_optimize_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    N_PART_APPENDS = 6
+
+    @register(
+        "acid_optimize_partitioned",
+        oracle=f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(1 AS BIGINT) AS n_files_live,
+               CAST({N_PART_APPENDS + 1} AS BIGINT) AS n_versions
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+        """,
+        tags=("acid", "txlog", "compaction", "maintenance", "partitioned"),
+    )
+    def acid_optimize_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Partition-preserving compaction (NEW r8): 6 partitioned
+        appends fragment every o_year partition into 6 files (the
+        nightly-ingest shape); `optimize_partitioned` publishes ONE
+        rewrite commit that bin-packs each partition back to a single
+        file WITHOUT collapsing the layout — the spec stays path-
+        encoded, so partition pruning keeps working for every future
+        reader, which plain optimize() would have destroyed. vacuum
+        then GC's the fragments. The oracle pins the per-year
+        aggregate (compaction must be a pure re-layout), the
+        per-partition live file count, and the version count
+        (6 appends + 1 rewrite)."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(
+            SCRATCH, f"txlog_optimize_part_{os.path.basename(sf_dir)}"
+        )
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            for i in range(N_PART_APPENDS):
+                log.append_partitioned(
+                    o.filter(F.col("o_orderkey") % N_PART_APPENDS == i),
+                    layout=F.year(F.col("o_orderdate")),
+                    spec="o_year",
+                    writer=f"ingest-{i}",
+                )
+            v = optimize_partitioned(
+                log, spark, "o_year", target_files_per_partition=1
+            )
+            if v != N_PART_APPENDS:
+                raise RuntimeError(
+                    f"optimize_partitioned landed at v{v}, "
+                    f"expected {N_PART_APPENDS}"
+                )
+            n_deleted = vacuum(log, retain_versions=1, retain_seconds=0.0)
+            if n_deleted < N_PART_APPENDS:
+                raise RuntimeError(
+                    f"vacuum removed {n_deleted} files, "
+                    f"expected >= {N_PART_APPENDS}"
+                )
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        # per-partition live file counts, from manifest metadata alone
+        per_year: dict[str, int] = {}
+        for f in log.snapshot_files():
+            y = next(
+                p.partition("=")[2]
+                for p in f.split(os.sep)
+                if p.partition("=")[0] == "o_year"
+            )
+            per_year[y] = per_year.get(y, 0) + 1
+        counts = spark.createDataFrame(
+            [(int(y), n) for y, n in sorted(per_year.items())],
+            "o_year long, n_files_live long",
+        )
+        agg = (
+            log.read(spark)
+            .groupBy(F.year(F.col("o_orderdate")).cast("long").alias("o_year"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+        )
+        return (
+            agg.join(F.broadcast(counts), "o_year")
+            .withColumn(
+                "n_versions", F.lit(log.version() + 1).cast("long")
+            )
+            .orderBy("o_year")
+        )
+
+
 _register_maintenance_queries()
+_register_partitioned_optimize_query()
 
 
 # ---------------------------------------------------------------------------

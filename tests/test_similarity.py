@@ -311,7 +311,10 @@ def test_streaming_ann_index_merge_protocol(spark, sf_dir):
 
     import os
 
-    log = TxLog(f"{SCRATCH}/ann_stream_tx_{os.path.basename(sf_dir)}")
+    log = TxLog(
+        f"{SCRATCH}/ann_stream_tx_{sim.ANN_UPSERT_MOD}_{sim.ANN_UPSERT_RES}_"
+        f"{os.path.basename(sf_dir)}"
+    )
     hist = log.history()
     assert [c.writer for c in hist] == ["ann_base_load"] + [
         f"{sim.ANN_STREAM_WRITER}-b{i}" for i in range(sim.ANN_STREAM_BATCHES)

@@ -637,3 +637,76 @@ def test_read_pruned_reads_only_matching_partitions(spark, sf_dir, tmp_path):
     # empty value set on a schema'd table -> empty frame, same schema
     empty = log.read_pruned(spark, "shard", [99])
     assert empty.count() == 0 and empty.columns == df.columns
+
+
+def test_optimize_partitioned_compacts_within_partitions(spark, sf_dir, tmp_path):
+    """Per-partition bin-packing: fragmented partitions collapse to one
+    file each, the spec stays path-encoded (pruning still works), rows
+    are identical, and a partition that was never fragmented is not
+    touched — same files, same inodes, absent from the commit."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import optimize_partitioned
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    # shards 0-3 fragmented by 3 appends; shard 9 (synthetic) healthy
+    for i in range(3):
+        log.append_partitioned(
+            o.filter(F.col("o_orderkey") % 3 == i), layout=layout,
+            spec="shard", writer=f"ingest-{i}",
+        )
+    healthy = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+    log.append_partitioned(
+        healthy, layout=F.lit(9), spec="shard", writer="healthy"
+    )
+    healthy_files = {
+        f for f in log.snapshot_files() if "shard=9" in f.split(os.sep)
+    }
+    assert len(healthy_files) == 1
+
+    v = optimize_partitioned(log, spark, "shard", target_files_per_partition=1)
+    assert v == 4
+    c = log.history()[v]
+    assert not (set(c.removes) | set(c.adds)) & healthy_files
+    by_shard: dict[str, int] = {}
+    for f in log.snapshot_files():
+        s = next(p.partition("=")[2] for p in f.split(os.sep)
+                 if p.partition("=")[0] == "shard")
+        by_shard[s] = by_shard.get(s, 0) + 1
+    assert all(n == 1 for n in by_shard.values()), by_shard
+    # pure re-layout: rows identical
+    got = sorted(r["o_orderkey"] for r in log.read(spark).collect())
+    want = sorted(
+        [r["o_orderkey"] for r in o.collect()]
+        + [r["o_orderkey"] for r in healthy.collect()]
+    )
+    assert got == want
+    # pruning still works: shard=1 file set is exactly one file
+    assert len(log.pruned_files("shard", "1")) == 1
+
+
+def test_optimize_partitioned_noop_when_healthy(spark, sf_dir, tmp_path):
+    from kamiyo_hive_spark.sources.txlog import optimize_partitioned
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard")
+    assert optimize_partitioned(log, spark, "shard") == 0
+    assert log.version() == 0
+
+
+def test_optimize_partitioned_refuses_nonspec_files(spark, sf_dir, tmp_path):
+    import pytest
+
+    from kamiyo_hive_spark.sources.txlog import optimize_partitioned
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.limit(10))
+    log.append(o.limit(10))
+    with pytest.raises(ValueError, match="not written"):
+        optimize_partitioned(log, spark, "shard")
