@@ -336,6 +336,14 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id long, n_vecs long, centroid_checksum long, "
         "min_member long, max_member long",
     )
+    # (r8 negative A/B, recorded in BENCH_NOTES: folding both rounds
+    # into ONE action — round-2 centroids pivoted to a broadcast
+    # array<struct(cid, cv)> and the assignment done as an
+    # array_min-over-HOF fold — measured 1.35 s vs 0.87 s for this
+    # two-job shape at sf0.1. The fold is the interpreted-HOF slow
+    # path the literal CASE argmin exists to avoid; the saved driver
+    # round-trip did not pay for it. The oracle-identical variant is
+    # preserved in git history.)
 
 
 # ---------------------------------------------------------------------------

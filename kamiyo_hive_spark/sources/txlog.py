@@ -546,6 +546,48 @@ class TxLog:
             "merge_partitioned failed"
         )
 
+    def clone(self, dest_root: str, version: int | None = None,
+              writer: str = "clone") -> "TxLog":
+        """ZERO-COPY shallow clone (the Delta/Iceberg CLONE shape): a
+        NEW table whose version 0 references the source snapshot's
+        data — here as hardlinks, the local-filesystem twin of a
+        remote clone's by-reference manifest (same bytes, same inodes,
+        no data movement; the registered query pins inode identity).
+        The clone's history starts fresh, so writes to the clone and
+        writes to the source diverge freely — and because a hardlink
+        owns its inode, a vacuum on either table can never corrupt the
+        other (unlink drops one name, not the shared bytes). Partition
+        spec survives: the path component carrying ``spec=value`` is
+        preserved file-for-file, so pruned reads keep working on the
+        clone."""
+        files = self.snapshot_files(version)
+        if not files:
+            raise ValueError("cannot clone an empty table snapshot")
+        dest = TxLog.init(dest_root)
+        for f in files:
+            src = os.path.join(self.root, f)
+            dst = os.path.join(dest_root, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        v = self.version() if version is None else version
+        sch = ""
+        for i in range(v, -1, -1):
+            c = self._read_commit(i)
+            if c.schema:
+                sch = c.schema
+                break
+        spec = ""
+        for i in range(v, -1, -1):
+            c = self._read_commit(i)
+            if c.spec:
+                spec = c.spec
+                break
+        dest.commit(
+            "append", adds=files, read_version=-1,
+            writer=writer, schema=sch, spec=spec,
+        )
+        return dest
+
     def pruned_files(self, spec: str, value: str) -> list[str]:
         """Snapshot file list pruned for the point predicate
         ``spec == value``: a file written under ``spec`` keeps only the
@@ -1164,8 +1206,104 @@ def _register_partitioned_optimize_query() -> None:
         )
 
 
+def _register_clone_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "acid_shallow_clone",
+        oracle="""
+        SELECT 'clone' AS side,
+               count(*) FILTER (WHERE o_custkey % 10 <> 0) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                    FILTER (WHERE o_custkey % 10 <> 0) AS DOUBLE)
+                   AS total_price,
+               CAST(2 AS BIGINT) AS n_versions,
+               TRUE AS v0_zero_copy
+        FROM orders
+        UNION ALL
+        SELECT 'source',
+               count(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+               CAST(2 AS BIGINT),
+               TRUE
+        FROM orders
+        ORDER BY side
+        """,
+        tags=("acid", "txlog", "clone", "zero-copy", "time-travel"),
+    )
+    def acid_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Zero-copy SHALLOW CLONE with divergent histories (NEW r8):
+        the source table (2 ingest appends) is cloned by reference —
+        every clone-v0 data file is a HARDLINK of the source's (same
+        inode, zero data movement; pinned in the result hash via the
+        v0_zero_copy column, recomputed from os.stat at query time) —
+        then a GDPR-style delete rewrites the CLONE while the source
+        keeps serving the full rows. The oracle replays both sides
+        from the source-of-truth table and pins both version counts:
+        a clone that leaked the delete back to the source, copied
+        bytes instead of linking, or lost its own history breaks the
+        hash. At 100 TB this is the dev/test-sandbox and
+        migration-dry-run primitive (Delta CLONE): O(manifest) cost to
+        stand up a writable copy of a petabyte table."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_clone_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            src_root = os.path.join(tmp, "source")
+            cl_root = os.path.join(tmp, "clone")
+            os.makedirs(src_root)
+            log = TxLog.init(src_root)
+            o = _orders_slim(spark, sf_dir)
+            log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="ingest-0")
+            log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="ingest-1")
+            cl = log.clone(cl_root, writer="clone-of-source@v1")
+            # diverge: delete on the CLONE only
+            cl.rewrite_where(
+                spark,
+                F.col("o_custkey") % 10 == 0,
+                lambda rows: rows.filter(F.col("o_custkey") % 10 != 0),
+                writer="gdpr-delete",
+            )
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        src = TxLog(os.path.join(root, "source"))
+        cl = TxLog(os.path.join(root, "clone"))
+        # zero-copy pin: every clone-v0 file shares its inode with the
+        # source file it references (pure metadata; no data read)
+        v0_zero_copy = all(
+            os.stat(os.path.join(cl.root, f)).st_ino
+            == os.stat(os.path.join(src.root, f)).st_ino
+            for f in cl.snapshot_files(0)
+        )
+
+        def side(log: TxLog, name: str) -> DataFrame:
+            return (
+                log.read(spark)
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    money_sum(dec("o_totalprice")).alias("total_price"),
+                )
+                .select(
+                    F.lit(name).alias("side"),
+                    "n_rows",
+                    "total_price",
+                    F.lit(log.version() + 1).cast("long").alias("n_versions"),
+                    F.lit(bool(v0_zero_copy)).alias("v0_zero_copy"),
+                )
+            )
+
+        return side(cl, "clone").unionByName(side(src, "source")).orderBy("side")
+
+
 _register_maintenance_queries()
 _register_partitioned_optimize_query()
+_register_clone_query()
 
 
 # ---------------------------------------------------------------------------

@@ -710,3 +710,61 @@ def test_optimize_partitioned_refuses_nonspec_files(spark, sf_dir, tmp_path):
     log.append(o.limit(10))
     with pytest.raises(ValueError, match="not written"):
         optimize_partitioned(log, spark, "shard")
+
+
+def test_clone_is_zero_copy_and_diverges(spark, sf_dir, tmp_path):
+    """Shallow clone: every clone-v0 data file is a hardlink of its
+    source file (same inode), writes to the clone never touch the
+    source (rows AND files), vacuum on the source cannot corrupt the
+    clone (hardlinks own the bytes), and the partition spec survives
+    so pruned reads work on the clone."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import vacuum
+
+    src_root = str(tmp_path / "src")
+    cl_root = str(tmp_path / "cl")
+    os.makedirs(src_root)
+    log = TxLog.init(src_root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard", writer="base")
+
+    cl = log.clone(cl_root)
+    v0 = cl.snapshot_files(0)
+    assert v0 == log.snapshot_files()
+    for f in v0:
+        assert (
+            os.stat(os.path.join(cl_root, f)).st_ino
+            == os.stat(os.path.join(src_root, f)).st_ino
+        ), f
+    # spec survives: pruning on the clone returns shard-scoped files
+    pf = cl.pruned_files("shard", "2")
+    assert pf and all("shard=2" in f.split(os.sep) for f in pf)
+
+    # diverge: delete on the clone; source rows and files unchanged
+    before = {f: os.stat(os.path.join(src_root, f)).st_mtime_ns
+              for f in log.snapshot_files()}
+    cl.rewrite_where(
+        spark,
+        F.col("o_orderkey") % 2 == 0,
+        lambda rows: rows.filter(F.col("o_orderkey") % 2 != 0),
+    )
+    assert log.read(spark).count() == o.count()
+    after = {f: os.stat(os.path.join(src_root, f)).st_mtime_ns
+             for f in log.snapshot_files()}
+    assert before == after
+    assert cl.read(spark).count() == o.filter(F.col("o_orderkey") % 2 != 0).count()
+
+    # vacuum the SOURCE with zero retention beyond latest: the clone's
+    # kept hardlinks must still read (inode survives the unlink even
+    # if the source ever dereferences those files)
+    vacuum(log, retain_versions=1, retain_seconds=0.0)
+    assert cl.read(spark, version=0).count() == o.count()
+
+
+def test_clone_refuses_empty_snapshot(tmp_path):
+    import pytest
+
+    log = TxLog.init(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="empty"):
+        log.clone(str(tmp_path / "c"))
