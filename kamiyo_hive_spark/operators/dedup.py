@@ -1638,15 +1638,19 @@ def span_dedup_cutlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("p") + 31).alias("end_p"),
         F.count("*").alias("n_spans"),
     )
-    return (
-        per.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_cut_ranges"),
-            F.sum(F.col("end_p") - F.col("start_p") + 1)
-            .cast("long")
-            .alias("tokens_cut"),
-            F.sum("n_spans").cast("long").alias("n_dup_spans"),
-            F.min("start_p").cast("long").alias("first_cut_start"),
-        )
-        .orderBy("doc_id")
+    out = per.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_cut_ranges"),
+        F.sum(F.col("end_p") - F.col("start_p") + 1)
+        .cast("long")
+        .alias("tokens_cut"),
+        F.sum("n_spans").cast("long").alias("n_dup_spans"),
+        F.min("start_p").cast("long").alias("first_cut_start"),
     )
+    # No terminal sort (set-equality consumer contract, same as
+    # dup_clusters) and an input-sized exchange width: the ~n/16 span
+    # rows paid 32-task scheduling on every one of the three exchanges
+    # (A/B best-of-4 at sf0.1: 1.22 s -> 0.64 s; no-op at scale).
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "documents"):
+        return out.localCheckpoint()
