@@ -265,7 +265,7 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("w"))
     )
     alldocs = d.filter(~is_bench).select("doc_id", F.lit(0).alias("w"))
-    return (
+    out = (
         hits.unionAll(alldocs)
         .groupBy("doc_id")
         .agg(F.sum("w").cast("long").alias("n_shared"))
@@ -275,6 +275,13 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_shared") >= 5).alias("contaminated"),
         )
     )
+    # doc-count result over a KB-scale gram relation: input-sized
+    # exchange width (A/B best-of-4 at sf0.1: 0.73 -> 0.63 s; no-op at
+    # warehouse scale)
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "documents"):
+        return out.localCheckpoint()
 
 
 @register(

@@ -478,15 +478,22 @@ def account_scan_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def u64_at(pos: int) -> F.Column:
         return F.conv(F.hex(F.substring(F.col("raw"), pos, 8)), 16, 10).cast("long")
 
-    acct = spark.read.parquet(src).select(
+    # cached staged reader (r8): re-listing the pool per call paid a
+    # listing job; the fingerprint-keyed relation is reused in-session
+    from kamiyo_hive_spark.operators.similarity import _staged_index_df
+
+    acct = _staged_index_df(spark, src).select(
         u64_at(1).alias("orderkey"),
         u64_at(9).alias("custkey"),
         u64_at(17).alias("cents"),
     )
-    return (
-        acct.groupBy(F.expr("custkey div 100").alias("cust_bucket"))
-        .agg(
-            F.count("*").alias("n_accounts"),
-            F.sum("cents").alias("total_cents"),
-        )
+    out = acct.groupBy(F.expr("custkey div 100").alias("cust_bucket")).agg(
+        F.count("*").alias("n_accounts"),
+        F.sum("cents").alias("total_cents"),
     )
+    # ~1.5k result rows: input-sized exchange width (A/B best-of-5 at
+    # sf0.1: 0.47 -> 0.39 s; no-op at scale)
+    from kamiyo_hive_spark.catalog import input_sized_shuffle
+
+    with input_sized_shuffle(spark, sf_dir, "orders"):
+        return out.localCheckpoint()
