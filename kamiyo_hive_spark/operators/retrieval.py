@@ -648,7 +648,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale the key is queries — the natural serving parallelism.
     ranked = (
         dense_scored.unionByName(lex_scored)
-        .repartition(F.col("query_id"))
+        .repartition(8, F.col("query_id"))
         .withColumn("r", F.row_number().over(w_rank))
         .filter(F.col("r") <= RRF_POOL)
     )
@@ -676,13 +676,15 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "rrf_score", "dense_rank", "lex_rank")
         .orderBy("query_id", F.desc("rrf_score"), "cand_id")
     )
-    # queries×pool-row intermediates: execute under an input-sized
-    # shuffle width (no-op at scale; A/B best-of-4 ×2 at sf0.1:
-    # 1.45/1.15 s → 1.21/1.01 s)
-    from kamiyo_hive_spark.catalog import input_sized_shuffle
-
-    with input_sized_shuffle(spark, sf_dir, "embeddings", "documents"):
-        return out.localCheckpoint()
+    # Lazy return (r8): the fusion tail's ONLY wide exchange is the
+    # explicit repartition above, whose width is baked into the plan —
+    # so there is nothing left for a session-width pin to fix, and the
+    # eager localCheckpoint that existed solely to apply the
+    # input_sized_shuffle conf was one whole extra job per call. The
+    # final orderBy ranges 40 rows; its width is irrelevant. Width 8 is
+    # queries-scale here (NQ=4 pools); a serving deployment keys this
+    # to its query fan-out.
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1104,10 +1104,19 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache fill + CacheManager bookkeeping for nothing (A/B at sf0.1:
     # 1.68 s persisted vs 1.30 s with reuse) and leaves an orphaned
     # cache block for the session to clean (ADVICE r3).
-    base = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K)
+    # ONE explicit cid exchange feeds the whole query (r8): hash(cid)
+    # satisfies the window's clustering, BOTH sides of the pair
+    # self-join on (cid, shard) (subset rule; exchange reuse shares the
+    # scan), the dup-count aggregation AND the sizes aggregation — so
+    # EnsureRequirements inserts nothing further and the lazy return
+    # drops the eager width-pin checkpoint job (A/B best-of-4 at
+    # sf0.1: 1.37 s -> 0.72 s, identical rows). Width 8 is
+    # centroid-scale (K=32 clusters); a warehouse run keys it to K.
+    base = assign_to_seed_centroids(spark, sf_dir, SEMDEDUP_K).repartition(
+        8, F.col("cid")
+    )
     # adaptive cell split: one window count over the (entity-scale)
-    # assignment — no extra shuffle beyond the cid clustering the pair
-    # join needs anyway
+    # assignment — rides the explicit cid exchange above
     n_in_cluster = F.count("*").over(Window.partitionBy("cid"))
     n_shards = (
         (n_in_cluster + F.lit(SEMDEDUP_CELL_CAP - 1))
@@ -1144,13 +1153,9 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
         (F.col("n_vecs") - F.coalesce(F.col("n_dups"), F.lit(0))).cast("long").alias("n_kept"),
     )
-    # K-row result, metadata-sized input: execute under an input-sized
-    # shuffle width (no-op at warehouse scale; A/B best-of-6 at sf0.1:
-    # ~0.15 s off the 32-wide exchange scheduling).
-    from kamiyo_hive_spark.catalog import input_sized_shuffle
-
-    with input_sized_shuffle(spark, sf_dir, "embeddings"):
-        return out.localCheckpoint()
+    # lazy return (r8): the explicit cid repartition above is the only
+    # wide exchange left, so the former width-pin checkpoint job is gone
+    return out
 
 
 SEMDEDUP_SHARDS = 4  # pair-stage cells per cluster (scale knob)
@@ -1228,10 +1233,12 @@ def semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, shard hash included."""
     from kamiyo_hive_spark.operators.dedup import _portable_hash
 
-    # exchange reuse covers the self-join; see semantic_dedup_embeddings
+    # same ONE-explicit-cid-exchange shape as semantic_dedup_embeddings
+    # (hash(cid) satisfies the join sides and both aggregations; the
+    # former width-pin checkpoint job is gone with the lazy return)
     assigned = assign_to_seed_centroids(
         spark, sf_dir, SEMDEDUP_K
-    ).withColumn(
+    ).repartition(8, F.col("cid")).withColumn(
         "shard",
         F.pmod(_portable_hash(F.col("vec_id").cast("string"), 7), F.lit(SEMDEDUP_SHARDS)),
     )
@@ -1258,13 +1265,7 @@ def semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
         (F.col("n_vecs") - F.coalesce(F.col("n_dups"), F.lit(0))).cast("long").alias("n_kept"),
     )
-    # K-row result, metadata-sized input: execute under an input-sized
-    # shuffle width (no-op at warehouse scale; A/B best-of-6 at sf0.1:
-    # ~0.15 s off the 32-wide exchange scheduling).
-    from kamiyo_hive_spark.catalog import input_sized_shuffle
-
-    with input_sized_shuffle(spark, sf_dir, "embeddings"):
-        return out.localCheckpoint()
+    return out
 
 
 def lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
