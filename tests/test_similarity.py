@@ -373,3 +373,85 @@ def test_ann_version_diff_reconciles_with_delta(spark, sf_dir):
     assert set(rows) == set(touched)
     for b, (nd, nb) in touched.items():
         assert rows[b] == (nb + nd, nb, nd), (b, rows[b], (nb + nd, nb, nd))
+
+
+def test_ann_compaction_protocol(spark, sf_dir):
+    """The maintenance-loop closer (r9): after the staged build the
+    compaction table's history is 1 base + N ingest slices + 1 rewrite,
+    the rewrite's adds/removes are bucket-scoped, every bucket holds
+    exactly one live file, and the probe equals the plain full-corpus
+    variant. (Fragmentation, healthy-bucket inode pinning, and vacuum
+    are asserted INSIDE the build — a violation raises before this test
+    sees rows.)"""
+    import os
+
+    from kamiyo_hive_spark.operators import similarity as sim
+    from kamiyo_hive_spark.sources.sinks import SCRATCH
+    from kamiyo_hive_spark.sources.txlog import TxLog
+
+    rows = [tuple(r) for r in sim.ann_index_compaction(spark, sf_dir).collect()]
+    assert rows and all(r[-2] == sim.ANN_COMPACT_SLICES + 2 for r in rows)
+    assert all(r[-1] == 1 for r in rows)  # max files per bucket
+
+    log = TxLog(
+        f"{SCRATCH}/ann_compact_tx_{sim.ANN_UPSERT_MOD}_{sim.ANN_UPSERT_RES}_"
+        f"{os.path.basename(sf_dir)}"
+    )
+    hist = log.history()
+    assert [c.writer for c in hist] == (
+        ["ann_base_load"]
+        + [f"ann_ingest_slice_{i}" for i in range(sim.ANN_COMPACT_SLICES)]
+        + ["optimize"]
+    )
+    assert hist[-1].op == "rewrite"
+    assert all(_bucket_of(f) >= 0 for f in hist[-1].adds)
+    per_bucket: dict[int, int] = {}
+    for f in log.snapshot_files():
+        b = _bucket_of(f)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert per_bucket and all(n == 1 for n in per_bucket.values())
+    knn = [tuple(r) for r in sim.knn_lsh(spark, sf_dir).collect()]
+    assert [r[:-2] for r in rows] == knn
+
+
+def test_staged_index_cache_eviction_is_session_scoped(spark, sf_dir):
+    """VERDICT r8 nit 4: a cache miss must evict only THIS session's
+    superseded entries for the dir plus provably-dead sessions' entries
+    — never a LIVE sibling session's — so two concurrent SparkSessions
+    can't thrash each other's cached relations."""
+    import os
+    import weakref
+
+    from kamiyo_hive_spark.operators import similarity as sim
+
+    d = sim.lsh_index_dir(spark, sf_dir)
+    with open(os.path.join(d, "_SOURCE_FINGERPRINT")) as fh:
+        fp = fh.read()
+    appid = spark.sparkContext.applicationId
+
+    sim._IDX_DF_CACHE.clear()
+    df = sim._staged_index_df(spark, d)  # populate own entry
+
+    class FakeLiveSC:  # a sibling session whose context is "running"
+        _jsc = object()
+
+    live_sc = FakeLiveSC()
+    sim._IDX_SESSIONS["sibling-live"] = weakref.ref(live_sc)
+    sim._IDX_DF_CACHE[("sibling-live", d, fp)] = df
+    sim._IDX_SESSIONS["sibling-dead"] = weakref.ref(FakeLiveSC())  # collected
+    sim._IDX_DF_CACHE[("sibling-dead", d, fp)] = df
+
+    # force a miss for THIS session: stale-fingerprint entry + drop the
+    # current one (a testdata regeneration in miniature)
+    sim._IDX_DF_CACHE[(appid, d, "stale-fp")] = df
+    del sim._IDX_DF_CACHE[(appid, d, fp)]
+    sim._staged_index_df(spark, d)
+
+    assert ("sibling-live", d, fp) in sim._IDX_DF_CACHE   # live survives
+    assert ("sibling-dead", d, fp) not in sim._IDX_DF_CACHE  # dead swept
+    assert (appid, d, "stale-fp") not in sim._IDX_DF_CACHE  # own stale gone
+    assert (appid, d, fp) in sim._IDX_DF_CACHE            # fresh entry cached
+    # cleanup: leave only real entries
+    del sim._IDX_DF_CACHE[("sibling-live", d, fp)]
+    sim._IDX_SESSIONS.pop("sibling-live", None)
+    sim._IDX_SESSIONS.pop("sibling-dead", None)

@@ -768,3 +768,332 @@ def test_clone_refuses_empty_snapshot(tmp_path):
     log = TxLog.init(str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="empty"):
         log.clone(str(tmp_path / "c"))
+
+
+# ---------------------------------------------------------------------------
+# r9: partition-disjoint commit commutativity + path-escaping correctness
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_commutes_when_partition_disjoint(tmp_path):
+    """The Delta-style relaxation (VERDICT r8 Next 1): a rewrite whose
+    spec-encoded add/remove partitions are disjoint from every
+    intervening commit's commits WITHOUT recompute; an overlapping one
+    still conflicts; and an intervening commit with any non-spec file
+    falls back to strict."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    s1 = _touch(root, "data/base/shard=1/p.parquet")
+    s2 = _touch(root, "data/base/shard=2/p.parquet")
+    s3 = _touch(root, "data/base/shard=3/p.parquet")
+    log.commit("append", [s1, s2, s3], spec="shard")            # v0
+    # intervening: a merge rewrote shard=2
+    n2 = _touch(root, "data/m2/shard=2/p.parquet")
+    log.commit("rewrite", [n2], [s2], read_version=0, spec="shard")  # v1
+    # our rewrite of shard=1, computed against v0: disjoint -> commits
+    n1 = _touch(root, "data/m1/shard=1/p.parquet")
+    v = log.commit("rewrite", [n1], [s1], read_version=0, spec="shard")
+    assert v == 2
+    assert set(log.snapshot_files()) == {s3, n1, n2}
+    # overlapping (shard=2, which v1 touched) -> still conflicts
+    n2b = _touch(root, "data/m2b/shard=2/p.parquet")
+    with pytest.raises(CommitConflict):
+        log.commit("rewrite", [n2b], [n2], read_version=0, spec="shard")
+    # intervening append WITHOUT spec-encoded files -> strict fallback
+    plain = _touch(root, "data/plain/p.parquet")
+    log.commit("append", [plain], read_version=log.version())   # v3
+    n3 = _touch(root, "data/m3/shard=3/p.parquet")
+    with pytest.raises(CommitConflict):
+        log.commit("rewrite", [n3], [s3], read_version=1, spec="shard")
+
+
+def _mp_disjoint_rewriter(args):
+    """Spawned-process body: rewrite ONE shard, snapshot pinned at v0.
+    Whichever process lands second has the other's commit intervening —
+    partition-disjoint, so it must commit without CommitConflict."""
+    root, shard = args
+    log = TxLog(root)
+    old = f"data/base/shard={shard}/p.parquet"
+    new = _touch(root, f"data/w{shard}/shard={shard}/p.parquet")
+    try:
+        v = log.commit(
+            "rewrite", [new], [old], read_version=0,
+            writer=f"merger-{shard}", spec="shard",
+        )
+        return ("ok", shard, v)
+    except CommitConflict as e:
+        return ("conflict", shard, str(e))
+
+
+def test_mp_disjoint_rewrites_both_commit(tmp_path):
+    """Two OS processes rewrite DISJOINT shards concurrently from the
+    same v0 snapshot: both must commit first-try (no CommitConflict,
+    no recompute) — the throughput property the relaxation exists for.
+    The final snapshot carries both replacements."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    files = [
+        _touch(root, f"data/base/shard={s}/p.parquet") for s in (1, 2, 3)
+    ]
+    log.commit("append", files, spec="shard")  # v0
+    with mp.get_context("spawn").Pool(2) as pool:
+        results = pool.map(_mp_disjoint_rewriter, [(root, 1), (root, 2)])
+    assert all(r[0] == "ok" for r in results), results
+    assert sorted(r[2] for r in results) == [1, 2]
+    assert set(log.snapshot_files()) == {
+        "data/base/shard=3/p.parquet",
+        "data/w1/shard=1/p.parquet",
+        "data/w2/shard=2/p.parquet",
+    }
+
+
+def test_merge_partitioned_disjoint_append_commits_first_try(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end: an append into an UNTOUCHED shard racing ahead of the
+    merge commit must NOT force a recompute — the merge commits on its
+    first attempt (exactly one rewrite commit call) and both effects
+    land."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    evens = o.filter(F.col("o_orderkey") % 2 == 0)   # shards 0 and 2
+    log.append_partitioned(evens, layout=layout, spec="shard", writer="base")
+
+    calls = {"rewrites": 0, "racer_done": False}
+    orig_commit = log.commit
+
+    def racing_commit(op, adds, removes=None, **kw):
+        if op == "rewrite":
+            calls["rewrites"] += 1
+            if not calls["racer_done"]:
+                calls["racer_done"] = True
+                # racer appends shard 3 only — disjoint from the merge
+                log.append_partitioned(
+                    o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 3),
+                    layout=layout, spec="shard", writer="racer",
+                )
+        return orig_commit(op, adds, removes, **kw)
+
+    log.commit = racing_commit
+    delta = (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 2)
+        .limit(5)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey").isNotNull(), F.lit(-1.0)),
+        )
+    )
+    log.merge_partitioned(
+        spark, delta, layout=layout, spec="shard", keys=["o_orderkey"],
+        writer="merger",
+    )
+    log.commit = orig_commit
+    assert calls["rewrites"] == 1  # no retry: the append commuted
+    assert log.version() == 2      # base, racer append, merge
+    got = {
+        r["o_orderkey"]: r["o_totalprice"] for r in log.read(spark).collect()
+    }
+    want = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in o.filter(
+            (F.col("o_orderkey") % 2 == 0)
+            | (F.pmod(F.col("o_orderkey"), F.lit(4)) == 3)
+        ).collect()
+    }
+    for r in delta.collect():
+        want[r["o_orderkey"]] = -1.0
+    assert got == want
+
+
+def test_partition_value_escaping_roundtrip(spark, sf_dir, tmp_path):
+    """Values Spark's writer escapes ('/', ':', '=', '%') must still
+    prune, read, and merge correctly: the comparison escapes the VALUE
+    with the writer's own rule instead of comparing str(value) to the
+    path token (ADVICE r8 medium)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import escape_path_name, unescape_path_name
+
+    # pure-function sanity: roundtrip + the exact chars Hive escapes
+    for v in ["a/b", "a:b", "x=y", "100%", "plain", "a b", "q?r", "1+1"]:
+        assert unescape_path_name(escape_path_name(v)) == v
+    assert escape_path_name("a/b") == "a%2Fb"
+    assert escape_path_name("a b") == "a b"  # space is NOT escaped
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    rows = o.limit(20)
+    layout = F.when(F.col("o_orderkey") % 2 == 0, F.lit("a/b:c")).otherwise(
+        F.lit("plain")
+    )
+    log.append_partitioned(rows, layout=layout, spec="grp", writer="base")
+    # the exotic value must have been escaped on disk by Spark itself
+    assert any(
+        "grp=a%2Fb%3Ac" in f.split(os.sep) for f in log.snapshot_files()
+    )
+    # point pruning and set pruning resolve the RAW value
+    pf = log.pruned_files("grp", "a/b:c")
+    assert pf and all("grp=a%2Fb%3Ac" in f.split(os.sep) for f in pf)
+    matching, unprunable = log.pruned_file_sets("grp", ["a/b:c"])
+    assert matching == pf and not unprunable
+    got = log.read_pruned(spark, "grp", ["a/b:c"])
+    want = rows.filter(F.col("o_orderkey") % 2 == 0)
+    assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+    # merge upserts INTO the exotic partition (removes resolved by
+    # escaped comparison; a raw compare would find nothing to remove
+    # and duplicate every key)
+    delta = want.limit(3).withColumn(
+        "o_totalprice", F.when(F.col("o_orderkey").isNotNull(), F.lit(-5.0))
+    )
+    log.merge_partitioned(
+        spark, delta, layout=layout, spec="grp", keys=["o_orderkey"],
+        writer="merger",
+    )
+    table_rows = {
+        r["o_orderkey"]: r["o_totalprice"] for r in log.read(spark).collect()
+    }
+    assert len(table_rows) == 20  # no duplicates
+    for r in delta.collect():
+        assert table_rows[r["o_orderkey"]] == -5.0
+    # NULL pruning values are a caller bug, loudly
+    with pytest.raises(ValueError, match="NULL"):
+        log.pruned_file_sets("grp", [None])
+
+
+def test_optimize_partitioned_preserves_exotic_partition_dirs(
+    spark, sf_dir, tmp_path
+):
+    """Compacting a partition whose value needs escaping must not
+    re-encode the directory: the rewritten files land under the SAME
+    on-disk token, rows identical, pruning still resolving the raw
+    value (ADVICE r8 medium — the input_file_name URI double-encoding
+    trap)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import optimize_partitioned
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    layout = F.when(F.col("o_orderkey") % 2 == 0, F.lit("a/b c")).otherwise(
+        F.lit("plain")
+    )
+    for i in range(3):  # fragment both partitions
+        log.append_partitioned(
+            o.filter(F.col("o_orderkey") % 3 == i).limit(10),
+            layout=layout, spec="grp", writer=f"ingest-{i}",
+        )
+    before = sorted(r["o_orderkey"] for r in log.read(spark).collect())
+    v = optimize_partitioned(log, spark, "grp", target_files_per_partition=1)
+    assert v == 3
+    files = log.snapshot_files()
+    tokens = {
+        p for f in files for p in f.split(os.sep) if p.startswith("grp=")
+    }
+    assert tokens == {"grp=a%2Fb c", "grp=plain"}, tokens
+    by_tok: dict[str, int] = {}
+    for f in files:
+        t = next(p for p in f.split(os.sep) if p.startswith("grp="))
+        by_tok[t] = by_tok.get(t, 0) + 1
+    assert all(n == 1 for n in by_tok.values()), by_tok
+    after = sorted(r["o_orderkey"] for r in log.read(spark).collect())
+    assert after == before
+    pf = log.pruned_files("grp", "a/b c")
+    assert len(pf) == 1
+
+
+def test_null_layout_rejected_on_write(spark, sf_dir, tmp_path):
+    """A layout expression that yields NULL for any row must refuse the
+    write (append and merge): Spark would encode it as
+    __HIVE_DEFAULT_PARTITION__, which no pruning or merge comparison
+    can match (ADVICE r8 medium)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    nullable = F.when(F.col("o_orderkey") % 2 == 0, F.lit("even"))  # else NULL
+    with pytest.raises(ValueError, match="NULL"):
+        log.append_partitioned(
+            o.limit(10), layout=nullable, spec="grp", writer="bad"
+        )
+    assert log.version() == -1  # nothing committed
+    log.append_partitioned(
+        o.limit(10), layout=F.lit("all"), spec="grp", writer="base"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        log.merge_partitioned(
+            spark, o.limit(4), layout=nullable, spec="grp",
+            keys=["o_orderkey"],
+        )
+    assert log.version() == 0
+
+
+def test_merge_partitioned_stray_layout_guard(spark, sf_dir, tmp_path):
+    """A layout expression that DRIFTED since the table was written
+    (carried-over rows recompute into partitions outside the touched
+    set) must refuse the merge — rewriting them there would duplicate
+    rows against those partitions' untouched files."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard", writer="base")
+    drifted = F.pmod(F.col("o_orderkey") + 1, F.lit(4))  # not the base layout
+    delta = o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 0).limit(3)
+    # delta routes to shard 1 under the drifted layout; shard 1's
+    # carried-over rows recompute to shard 2 — outside the touched set
+    with pytest.raises(ValueError, match="not stable"):
+        log.merge_partitioned(
+            spark, delta, layout=drifted, spec="shard", keys=["o_orderkey"],
+        )
+    assert log.version() == 0
+
+
+def test_merge_verify_unmoved_keys_refuses_moved_key(spark, sf_dir, tmp_path):
+    """verify_unmoved_keys=True: a delta row whose key already lives in
+    an UNTOUCHED partition (its layout value changed — e.g. an updated
+    embedding moved SRP buckets) must refuse rather than silently
+    duplicate the key (ADVICE r8 medium)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout=layout, spec="shard", writer="base")
+    # take a key from shard 1 and route its update to shard 2
+    moved = (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 1)
+        .limit(1)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey").isNotNull(), F.lit(0.0)),
+        )
+    )
+    with pytest.raises(ValueError, match="UNTOUCHED"):
+        log.merge_partitioned(
+            spark, moved, layout=F.lit(2), spec="shard",
+            keys=["o_orderkey"], verify_unmoved_keys=True,
+        )
+    assert log.version() == 0
+    # a same-partition update passes the check
+    ok = (
+        o.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 1)
+        .limit(1)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey").isNotNull(), F.lit(0.0)),
+        )
+    )
+    v = log.merge_partitioned(
+        spark, ok, layout=layout, spec="shard", keys=["o_orderkey"],
+        verify_unmoved_keys=True,
+    )
+    assert v == 1
