@@ -29,12 +29,14 @@ from kamiyo_hive_spark.plans.registry import register
 SCRATCH = "/root/repo/.scratch"
 
 
-def staging_current(out: str, source: str) -> bool:
+def staging_current(out: str, source) -> bool:
     """True iff the staged dir at `out` was built from the CURRENT
-    source file. The driver regenerates testdata between rounds; a
+    source file(s). The driver regenerates testdata between rounds; a
     staged copy keyed only by path would silently serve stale rows, so
-    every staging records (mtime_ns, size) of its source and is rebuilt
-    on mismatch."""
+    every staging records (mtime_ns, size) of its source(s) and is
+    rebuilt on mismatch. ``source`` may be one path or a list (a
+    derived pool reading BOTH embeddings and documents invalidates
+    when EITHER regenerates)."""
     marker = os.path.join(out, "_SOURCE_FINGERPRINT")
     if not (os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(marker)):
         return False
@@ -42,12 +44,14 @@ def staging_current(out: str, source: str) -> bool:
         return fh.read() == _fingerprint(source)
 
 
-def _fingerprint(source: str) -> str:
+def _fingerprint(source) -> str:
+    if isinstance(source, (list, tuple)):
+        return "|".join(_fingerprint(s) for s in source)
     st = os.stat(source)
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
-def record_staging(out: str, source: str, fingerprint: str | None = None) -> None:
+def record_staging(out: str, source, fingerprint: str | None = None) -> None:
     """Record the source fingerprint for a completed staging build.
 
     Callers should capture ``_fingerprint(source)`` BEFORE starting the
@@ -97,7 +101,7 @@ def _swap_into_place(tmp: str, out: str) -> None:
     os.rename(tmp, out)
 
 
-def ensure_staging(out: str, source: str, build) -> str:
+def ensure_staging(out: str, source, build) -> str:
     """Concurrency-safe fingerprint-cached staging (VERDICT r3 finding 1).
 
     ``build(tmp_dir)`` must write the complete staged contents into
