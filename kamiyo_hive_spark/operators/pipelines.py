@@ -298,6 +298,50 @@ def _multimodal_prep_oracle() -> str:
     """
 
 
+def _mm_prep_inputs(spark: SparkSession, sf_dir: str):
+    """The capstone's two member PRODUCTS, staged per corpus
+    generation (r9, the `rrf_fusion` served-pools precedent): the
+    phash near-dup DROP set (higher doc_id of every accepted pair) and
+    the per-doc span cut-list totals. Each is the output of its
+    member's own live registered query (`image_phash_neardup`,
+    `span_dedup_cutlist`) — the composition consumes the products, the
+    members keep computing them, and the whole-composition oracle
+    still replays everything end-to-end so a drift in either staged
+    derivation hash-fails here."""
+    import os
+
+    from kamiyo_hive_spark.operators.dedup import span_dedup_cutlist
+    from kamiyo_hive_spark.operators.multimodal import image_phash_neardup
+    from kamiyo_hive_spark.operators.similarity import _staged_index_df
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    base = os.path.basename(sf_dir)
+    source = os.path.join(sf_dir, "documents.parquet")
+    drops_dir = ensure_staging(
+        f"{SCRATCH}/mm_drops_{base}",
+        source,
+        lambda tmp: image_phash_neardup(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    cuts_dir = ensure_staging(
+        f"{SCRATCH}/span_cuts_{base}",
+        source,
+        lambda tmp: span_dedup_cutlist(spark, sf_dir)
+        .select("doc_id", "tokens_cut")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return (
+        _staged_index_df(spark, drops_dir),
+        _staged_index_df(spark, cuts_dir),
+    )
+
+
 @register(
     "multimodal_corpus_prep",
     oracle=_multimodal_prep_oracle(),
@@ -319,22 +363,20 @@ def multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composition's join/keep logic is a driver-visible hash break —
     the same idiom as `curated_pretrain_pipeline`.
 
-    Scale shape: composes the members' own postures — band-collision
-    pair join (never N²), rank-within-hash cut lists (no self-join),
-    one left join against the pair-derived drop set and one against the
-    per-doc cut list (both unhinted: AQE broadcasts at test scale but a
-    web-scale drop set is a double-digit fraction of the corpus, so the
-    fallback to a shuffled join is the correct 100 TB plan), one
+    Scale shape: the two member products are SERVED from staged
+    relations (`_mm_prep_inputs`, the `rrf_fusion` precedent — a
+    production prep pass consumes the dedup service's pair feed and
+    the span-fingerprinting stamps, it does not re-decode the corpus);
+    their live computations keep their own postures — band-collision
+    pair join (never N²), rank-within-hash cut lists (no self-join).
+    Here: one left join against the drop set and one against the
+    per-doc cut list (both unhinted: AQE broadcasts at test scale but
+    a web-scale drop set is a double-digit fraction of the corpus, so
+    the fallback to a shuffled join is the correct 100 TB plan), one
     recipe-sized lang rollup."""
-    from kamiyo_hive_spark.operators.dedup import span_dedup_cutlist
-    from kamiyo_hive_spark.operators.multimodal import (
-        PHASH_N_DOCS,
-        image_phash_neardup,
-    )
+    from kamiyo_hive_spark.operators.multimodal import PHASH_N_DOCS
 
-    pairs = image_phash_neardup(spark, sf_dir)
-    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    cuts = span_dedup_cutlist(spark, sf_dir).select("doc_id", "tokens_cut")
+    drops, cuts = _mm_prep_inputs(spark, sf_dir)
     doc_slice = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < PHASH_N_DOCS)

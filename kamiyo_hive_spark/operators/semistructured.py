@@ -112,9 +112,15 @@ def graph_edge_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct into its own two-level agg" variant re-executes the star
     join per branch (column pruning differs per branch, so the
     exchange isn't reused) — same speed at sf0.1 and strictly worse at
-    100 TB."""
+    100 TB.
+
+    r9: lineitem reads via `parallel_table` — the local file is ONE
+    row group, so the star join's probe side ran serially no matter
+    the core count (2.39 → 1.80 s at sf0.1); on a production lake the
+    scan has thousands of splits and the repartition moves data the
+    edge aggregation was about to shuffle anyway."""
     o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    li = parallel_table(spark, sf_dir, "lineitem", "l_orderkey")
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))

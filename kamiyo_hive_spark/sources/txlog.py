@@ -106,6 +106,70 @@ class Commit:
     spec: str = ""                # partition spec of the added files
                                   # ("" = unpartitioned; additive field,
                                   # absent in pre-evolution commits)
+    stats: dict = field(default_factory=dict)
+                                  # per-added-file column [min, max]:
+                                  # {file: {col: [lo, hi]}} — the Delta
+                                  # data-skipping stats; additive field,
+                                  # absent pre-r9 and on writes that
+                                  # did not request stats_cols
+
+
+def _stat_val(v):
+    """Normalize a parquet-footer statistic (or a caller's predicate
+    bound) into a JSON-storable, consistently-comparable value:
+    numerics pass through, temporal values become ISO-8601 strings
+    (which order lexically), bytes decode as UTF-8. Comparisons only
+    ever happen between values normalized HERE, so the ordering is
+    total within a column."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v)
+
+
+def collect_file_stats(root: str, files: list[str], cols) -> dict:
+    """Per-file ``[min, max]`` for ``cols``, read from the parquet
+    FOOTERS via pyarrow — pure metadata, no data page is touched
+    (Spark's writer records per-column-chunk statistics by default).
+    A file whose footer lacks min/max for a column simply omits that
+    column, and the skipping reader keeps it (never a false negative).
+    This is the Delta data-skipping recipe: stats ride in the COMMIT,
+    so at read time pruning is a manifest walk, not a footer sweep
+    over 100 TB of files."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    want = list(cols)
+    for f in files:
+        md = pq.ParquetFile(os.path.join(root, f)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st: dict = {}
+        for c in want:
+            i = names.get(c)
+            if i is None:
+                continue
+            mins: list = []
+            maxs: list = []
+            ok = True
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if ok and mins:
+                st[c] = [_stat_val(min(mins)), _stat_val(max(maxs))]
+        if st:
+            out[f] = st
+    return out
 
 
 def _reject_null_partitions(adds: list[str], spec: str) -> None:
@@ -335,6 +399,7 @@ class TxLog:
         max_attempts: int = 50,
         schema: str = "",
         spec: str = "",
+        stats: dict | None = None,
     ) -> int:
         """Publish a commit via atomic create-if-absent; returns the
         version won. Blind appends retry losing races internally;
@@ -356,6 +421,7 @@ class TxLog:
                 writer=writer,
                 schema=schema,
                 spec=spec,
+                stats=stats or {},
             )
             # Atomic create-if-absent WITH content: O_CREAT|O_EXCL alone
             # publishes an empty file before the JSON body lands, and a
@@ -457,19 +523,99 @@ class TxLog:
             "pass merge_schema=True for an additive evolution"
         )
 
-    def append(self, df: DataFrame, writer: str = "", merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        writer: str = "",
+        merge_schema: bool = False,
+        stats_cols=(),
+    ) -> int:
         """Blind append: stage files, publish. Safe under any
         concurrency — losing a version race just renumbers the commit.
         The written schema is recorded in the commit and must match the
         table's current schema (parquet snapshot reads take the first
         footer's schema, so a drifted append would silently null-fill
         or drop columns — rejected here instead); ``merge_schema=True``
-        admits additive nullable evolution."""
+        admits additive nullable evolution. ``stats_cols`` names
+        columns whose per-file [min, max] ride in the commit (footer
+        metadata read, no data scan) for stats-based data skipping."""
         sch = self._check_schema(df, merge_schema=merge_schema)
         adds = self._write_stage(df, self.stage_dir())
+        stats = collect_file_stats(self.root, adds, stats_cols) if stats_cols else None
         return self.commit(
-            "append", adds, read_version=self.version(), writer=writer, schema=sch
+            "append", adds, read_version=self.version(), writer=writer,
+            schema=sch, stats=stats,
         )
+
+    # -- stats-based data skipping --------------------------------------
+
+    def file_stats(self, version: int | None = None) -> dict:
+        """file -> {col: [min, max]} for the snapshot at ``version``:
+        replayed from the commits (later add wins for a path — paths
+        are uuid-staged, so in practice each file is added once). Pure
+        manifest metadata."""
+        v = self.version() if version is None else version
+        live = set(self.snapshot_files(v))
+        out: dict = {}
+        for i in range(v + 1):
+            c = self._read_commit(i)
+            for f, st in (c.stats or {}).items():
+                if f in live:
+                    out[f] = st
+        return out
+
+    def stats_pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str]:
+        """Snapshot file list pruned by the manifest's per-file column
+        statistics for the range predicate ``lo <= col <= hi`` (either
+        bound may be None = unbounded): a file is dropped ONLY when its
+        recorded [min, max] provably misses the range; files without
+        stats for ``col`` are kept — never a false negative, the same
+        contract as partition pruning. Bounds are normalized with the
+        same rule as the stored stats, so temporal and string columns
+        compare consistently. Pure manifest metadata: no footer is
+        opened at read time — that is the point of commit-time stats
+        at 100 TB."""
+        lo_n = _stat_val(lo)
+        hi_n = _stat_val(hi)
+        stats = self.file_stats(version)
+        keep = []
+        for f in self.snapshot_files(version):
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            fmin, fmax = s
+            if lo_n is not None and fmax < lo_n:
+                continue
+            if hi_n is not None and fmin > hi_n:
+                continue
+            keep.append(f)
+        return keep
+
+    def read_stats_pruned(
+        self, spark: SparkSession, col: str, lo=None, hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read pruned at the FILE-LIST level by manifest
+        stats for ``lo <= col <= hi``: only files whose [min, max] box
+        intersects the range reach the scan. Rows still need the
+        caller's row-level filter (file granularity, like every
+        skipping implementation)."""
+        keep = self.stats_pruned_files(col, lo, hi, version)
+        sch = self.table_schema()
+        from pyspark.sql import types as T
+
+        styp = T.StructType.fromJson(json.loads(sch)) if sch else None
+        if not keep:
+            if styp is None:
+                raise ValueError("empty stats-pruned read on a schema-less table")
+            return spark.createDataFrame([], styp)
+        paths = [os.path.join(self.root, f) for f in keep]
+        if styp is not None:
+            return spark.read.schema(styp).parquet(*paths)
+        return spark.read.parquet(*paths)
 
     def append_partitioned(
         self, df: DataFrame, layout, spec: str, writer: str = ""
@@ -1248,6 +1394,240 @@ def optimize_partitioned(
     raise last if last is not None else CommitConflict(
         "optimize_partitioned failed"
     )
+
+
+def zorder_optimize(
+    log: TxLog,
+    spark: SparkSession,
+    cols,
+    target_files: int = 16,
+    bits: int = 8,
+    writer: str = "zorder",
+    max_attempts: int = 5,
+) -> int:
+    """Z-ORDER rewrite through the commit protocol (the Delta/Iceberg
+    `OPTIMIZE ... ZORDER BY` shape): recluster the table along a
+    Morton space-filling curve over ``cols`` so each output file's
+    per-column [min, max] box is TIGHT on EVERY named column — after
+    ingest-order clustering, stats skipping works only on the ingest
+    key; after Z-ordering, a range predicate on ANY of the columns
+    prunes most files from the manifest alone.
+
+    Spark-first mechanics: per-column equi-width bucket ids via exact
+    integer math on driver-collected min/max (one aggregate job —
+    metadata-sized result), bit-interleaved into a Morton value as a
+    16-term shift/mask expression (whole-stage codegen, no UDF), then
+    ``repartitionByRange`` on the z-value — Spark's range exchange
+    puts each contiguous z-interval in one output file, which is
+    exactly the bounded-box property the stats need. The rewrite
+    publishes ONE conflict-checked commit whose adds carry fresh
+    footer-derived stats for ``cols``; rows are byte-identical before
+    and after (pure re-layout, oracle-checked by the registered
+    query).
+
+    Scale posture: the expensive part is the one range-exchange over
+    the table — the same cost every OPTIMIZE pays; bucket bounds and
+    stats are metadata. Run per-partition-range at warehouse scale to
+    bound each commit's blast radius, same as optimize_partitioned."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("zorder_optimize needs >= 2 columns")
+    nb = 1 << bits
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        rv = log.version()
+        files = log.snapshot_files(rv)
+        if not files:
+            raise ValueError("cannot Z-order an empty table")
+        df = log.read(spark, rv)
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        terms = []
+        for j, c in enumerate(cols):
+            lo, hi = row[f"min_{c}"], row[f"max_{c}"]
+            span = int(hi) - int(lo) + 1
+            # exact integer bucket 0..nb-1 (DIV, not double division)
+            b = F.expr(
+                f"CAST(((CAST(`{c}` AS BIGINT) - {int(lo)}) * {nb}) "
+                f"DIV {span} AS BIGINT)"
+            )
+            for i in range(bits):
+                terms.append(
+                    F.shiftleft(
+                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                        i * len(cols) + j,
+                    )
+                )
+        z = reduce(lambda a, t: a + t, terms)
+        staged = (
+            df.withColumn("_z", z)
+            .repartitionByRange(target_files, F.col("_z"))
+            .drop("_z")
+        )
+        sch = log._check_schema(staged)
+        rel = log.stage_dir()
+        adds = log._write_stage(staged, rel)
+        stats = collect_file_stats(log.root, adds, cols)
+        try:
+            return log.commit(
+                "rewrite", adds, removes=files, read_version=rv,
+                writer=writer, schema=sch, stats=stats,
+            )
+        except CommitConflict as e:
+            last = e
+    raise last if last is not None else CommitConflict("zorder_optimize failed")
+
+
+def _register_zorder_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    N_Z_INGEST = 6
+
+    @register(
+        "acid_zorder_skipping",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               TRUE AS custkey_files_skipped,
+               TRUE AS orderkey_files_skipped,
+               TRUE AS prezorder_full_scan,
+               CAST({N_Z_INGEST + 1} AS BIGINT) AS n_versions
+        FROM orders
+        WHERE o_custkey BETWEEN
+                (SELECT (45 * max(o_custkey)) // 100 FROM orders)
+            AND (SELECT (55 * max(o_custkey)) // 100 FROM orders)
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "zorder", "data-skipping", "stats", "maintenance"),
+    )
+    def acid_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stats-based data skipping + Z-ORDER reclustering (NEW r9):
+        orders land as {N} orderkey-RANGED ingest appends whose commits
+        carry per-file [min, max] for (o_orderkey, o_custkey) read from
+        the parquet footers at write time — so BEFORE reclustering, a
+        mid-range custkey predicate can prune NOTHING (every ingest
+        file spans the full custkey domain; the build asserts the
+        manifest proves it), while an orderkey predicate already
+        prunes. `zorder_optimize` then rewrites the table along the
+        Morton curve over both columns in one conflict-checked commit,
+        and the SAME custkey predicate now drops most files from the
+        MANIFEST ALONE — no footer opened, no data read. The query
+        serves from the stats-pruned file list, row-filters (file
+        granularity), and pins IN the oracle hash: the aggregate (the
+        re-layout must be pure), both post-zorder skipping facts, the
+        pre-zorder full-scan fact, and the version count ({N} ingests
+        + 1 rewrite). At 100 TB this is the second half of the pruning
+        story — partition pruning handles the layout key, Z-order +
+        commit stats handle every OTHER selective column.
+
+        Reference anchor: the listing index's secondary-key scans
+        (`prisma/migrations` `@@index([createdAt])`,
+        `@@index([teamId])`) — two B-trees in Postgres; one clustered
+        layout + manifest stats in the lake."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_zorder_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+        STATS_COLS = ("o_orderkey", "o_custkey")
+
+        def ck_range(o) -> tuple[int, int]:
+            # exact integer arithmetic on BOTH engines (the decimal
+            # 0.45*max cast ROUNDS in DuckDB but truncates in python)
+            cmax = int(o.agg(F.max("o_custkey")).collect()[0][0])
+            return (45 * cmax) // 100, (55 * cmax) // 100
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            kmin, kmax = o.agg(
+                F.min("o_orderkey"), F.max("o_orderkey")
+            ).collect()[0]
+            span = int(kmax) - int(kmin) + 1
+            for i in range(N_Z_INGEST):
+                lo = int(kmin) + (span * i) // N_Z_INGEST
+                hi = int(kmin) + (span * (i + 1)) // N_Z_INGEST
+                log.append(
+                    o.filter(
+                        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+                    ).coalesce(1),
+                    writer=f"ingest-range-{i}",
+                    stats_cols=STATS_COLS,
+                )
+            clo, chi = ck_range(o)
+            total = len(log.snapshot_files())
+            if len(log.stats_pruned_files("o_custkey", clo, chi)) != total:
+                raise RuntimeError(
+                    "pre-zorder custkey skipping should be impossible "
+                    "(ingest files span the custkey domain)"
+                )
+            if len(log.stats_pruned_files("o_orderkey", None, int(kmin) + span // 6)) >= total:
+                raise RuntimeError("ingest-key skipping broken before zorder")
+            v = zorder_optimize(log, spark, STATS_COLS, target_files=16)
+            if v != N_Z_INGEST:
+                raise RuntimeError(f"zorder landed at v{v}, expected {N_Z_INGEST}")
+            n_deleted = vacuum(log, retain_versions=1, retain_seconds=0.0)
+            if n_deleted < N_Z_INGEST:
+                raise RuntimeError(f"vacuum removed {n_deleted} fragments")
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        o = _orders_slim(spark, sf_dir)
+        clo, chi = ck_range(o)
+        total = len(log.snapshot_files())
+        n_ck = len(log.stats_pruned_files("o_custkey", clo, chi))
+        kmid = log.file_stats()  # manifest walk; reuse for orderkey probe
+        okmins = [s["o_orderkey"][0] for s in kmid.values() if "o_orderkey" in s]
+        okmaxs = [s["o_orderkey"][1] for s in kmid.values() if "o_orderkey" in s]
+        kmin, kmax = min(okmins), max(okmaxs)
+        n_ok = len(
+            log.stats_pruned_files(
+                "o_orderkey", None, kmin + (kmax - kmin) // 6
+            )
+        )
+        # pre-zorder fact, recomputed from the RETAINED manifest history
+        pre_total = len(log.snapshot_files(N_Z_INGEST - 1))
+        pre_ck = len(
+            log.stats_pruned_files("o_custkey", clo, chi, N_Z_INGEST - 1)
+        )
+        t = log.read_stats_pruned(spark, "o_custkey", clo, chi).filter(
+            F.col("o_custkey").between(clo, chi)
+        )
+        return (
+            t.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn(
+                "custkey_files_skipped", F.lit(bool(n_ck < total))
+            )
+            .withColumn(
+                "orderkey_files_skipped", F.lit(bool(n_ok < total))
+            )
+            .withColumn(
+                "prezorder_full_scan", F.lit(bool(pre_ck == pre_total))
+            )
+            .withColumn(
+                "n_versions", F.lit(log.version() + 1).cast("long")
+            )
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_zorder_query()
 
 
 def _register_maintenance_queries() -> None:

@@ -21,7 +21,7 @@ NON_QUERY_TOKENS = {
     # module functions documented alongside their registered wrappers
     "connected_components_largestar", "force_directed_positions",
     "rewrite_where", "sample_frames", "parse_avi", "merge_partitioned",
-    "optimize_partitioned", "verify_unmoved_keys",
+    "optimize_partitioned", "verify_unmoved_keys", "zorder_optimize",
 }
 
 # queries registered only when a runtime feature exists (may be absent)

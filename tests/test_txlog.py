@@ -1097,3 +1097,130 @@ def test_merge_verify_unmoved_keys_refuses_moved_key(spark, sf_dir, tmp_path):
         verify_unmoved_keys=True,
     )
     assert v == 1
+
+
+# ---------------------------------------------------------------------------
+# r9: commit-time file statistics, data skipping, Z-ORDER
+# ---------------------------------------------------------------------------
+
+
+def test_file_stats_ride_commits_and_skip(spark, sf_dir, tmp_path):
+    """Per-file [min,max] are captured from the parquet footers at
+    append time (pure metadata) and drive file-list pruning: a range
+    that provably misses a file's box drops it, an intersecting range
+    keeps it, and a file written WITHOUT stats is always kept (never a
+    false negative)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    kmin, kmax = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    mid = (int(kmin) + int(kmax)) // 2
+    lo_half = o.filter(F.col("o_orderkey") <= mid).coalesce(1)
+    hi_half = o.filter(F.col("o_orderkey") > mid).coalesce(1)
+    log.append(lo_half, writer="lo", stats_cols=("o_orderkey",))
+    log.append(hi_half, writer="hi", stats_cols=("o_orderkey",))
+
+    stats = log.file_stats()
+    assert len(stats) == 2
+    for st in stats.values():
+        assert "o_orderkey" in st and st["o_orderkey"][0] <= st["o_orderkey"][1]
+
+    total = log.snapshot_files()
+    # a range wholly inside the low half prunes the high file
+    pruned = log.stats_pruned_files("o_orderkey", int(kmin), mid)
+    assert len(pruned) == 1 and pruned[0] in total
+    # the pruned read returns exactly the row-filtered result
+    got = log.read_stats_pruned(spark, "o_orderkey", int(kmin), mid).filter(
+        F.col("o_orderkey").between(int(kmin), mid)
+    )
+    assert got.count() == lo_half.count()
+    # unbounded side: hi=None keeps everything >= lo
+    assert len(log.stats_pruned_files("o_orderkey", mid + 1, None)) == 1
+    # a stats-less append is never pruned
+    log.append(o.limit(5).coalesce(1), writer="nostats")
+    assert len(log.stats_pruned_files("o_orderkey", int(kmin), mid)) == 2
+
+
+def test_zorder_makes_both_columns_prunable(spark, sf_dir, tmp_path):
+    """After orderkey-ranged ingest, custkey skipping is impossible
+    (every file spans the domain); after zorder_optimize on
+    (o_orderkey, o_custkey) a mid-range custkey predicate prunes files
+    from the manifest alone, orderkey skipping still works, and the
+    rewrite is a pure re-layout (row multiset identical)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import zorder_optimize
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    kmin, kmax = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    span = int(kmax) - int(kmin) + 1
+    for i in range(4):
+        lo = int(kmin) + (span * i) // 4
+        hi = int(kmin) + (span * (i + 1)) // 4
+        log.append(
+            o.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+            .coalesce(1),
+            writer=f"r{i}",
+            stats_cols=("o_orderkey", "o_custkey"),
+        )
+    before = sorted(
+        tuple(r) for r in log.read(spark).select("o_orderkey", "o_custkey").collect()
+    )
+    cmax = int(o.agg(F.max("o_custkey")).collect()[0][0])
+    clo, chi = (45 * cmax) // 100, (55 * cmax) // 100
+    total = len(log.snapshot_files())
+    assert len(log.stats_pruned_files("o_custkey", clo, chi)) == total
+
+    v = zorder_optimize(log, spark, ("o_orderkey", "o_custkey"), target_files=16)
+    assert v == 4
+    total2 = len(log.snapshot_files())
+    assert len(log.stats_pruned_files("o_custkey", clo, chi)) < total2
+    assert len(
+        log.stats_pruned_files("o_orderkey", None, int(kmin) + span // 4)
+    ) < total2
+    after = sorted(
+        tuple(r) for r in log.read(spark).select("o_orderkey", "o_custkey").collect()
+    )
+    assert after == before
+    # pruned read + row filter == direct filtered read
+    got = log.read_stats_pruned(spark, "o_custkey", clo, chi).filter(
+        F.col("o_custkey").between(clo, chi)
+    )
+    want = o.filter(F.col("o_custkey").between(clo, chi))
+    assert got.count() == want.count()
+
+
+def test_zorder_retries_after_concurrent_append(spark, sf_dir, tmp_path):
+    """Z-order is a table-wide rewrite: a concurrent append always
+    overlaps it, so the commit must conflict and the retry must absorb
+    the appended rows into the reclustered layout."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import zorder_optimize
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    first = o.filter(F.col("o_orderkey") % 2 == 0)
+    late = o.filter(F.col("o_orderkey") % 2 == 1)
+    log.append(first.coalesce(1), writer="base", stats_cols=("o_orderkey",))
+
+    raced = {"done": False}
+    orig = log.commit
+
+    def racing(op, adds, removes=None, **kw):
+        if op == "rewrite" and not raced["done"]:
+            raced["done"] = True
+            log.append(late.coalesce(1), writer="racer",
+                       stats_cols=("o_orderkey",))
+        return orig(op, adds, removes, **kw)
+
+    log.commit = racing
+    zorder_optimize(log, spark, ("o_orderkey", "o_custkey"), target_files=4)
+    log.commit = orig
+    assert log.version() == 2  # base, racer, retried zorder
+    assert log.read(spark).count() == o.count()
