@@ -1396,6 +1396,153 @@ def optimize_partitioned(
     )
 
 
+def restore(log: TxLog, version: int, writer: str = "restore",
+            max_attempts: int = 5) -> int:
+    """RESTORE the table to an earlier snapshot (the Delta RESTORE
+    shape) as ONE metadata-only commit: adds = files live at the
+    target version but not now, removes = live now but not then. No
+    data file is read, written, or moved — time travel supplies the
+    bytes — so restoring a petabyte table costs O(manifest). History
+    is preserved (the restore is a NEW version; the rolled-back
+    commits remain time-travelable), which is how a bad-write incident
+    is unwound without losing the audit trail.
+
+    Refuses if any target file has been vacuumed away (a restore that
+    publishes a manifest pointing at deleted bytes would corrupt every
+    subsequent read). Runs through the normal conflict check — an
+    intervening commit aborts and the restore recomputes its file
+    delta against the new state."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        rv = log.version()
+        cur = set(log.snapshot_files(rv))
+        tgt = set(log.snapshot_files(version))
+        adds = sorted(tgt - cur)
+        removes = sorted(cur - tgt)
+        if not adds and not removes:
+            return rv  # already at the target state
+        missing = [f for f in adds
+                   if not os.path.exists(os.path.join(log.root, f))]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} file(s) "
+                f"vacuumed away (first: {missing[0]})"
+            )
+        # schema/spec revert WITH the data: the restore commit records
+        # the target version's metadata so post-restore reads resolve
+        # the restored generation's schema, not the rolled-back one's
+        sch = spec = ""
+        for i in range(version, -1, -1):
+            c = log._read_commit(i)
+            if not sch and c.schema:
+                sch = c.schema
+            if not spec and c.spec:
+                spec = c.spec
+            if sch and spec:
+                break
+        try:
+            return log.commit(
+                "rewrite", adds, removes, read_version=rv,
+                writer=writer, schema=sch, spec=spec,
+            )
+        except CommitConflict as e:
+            last = e
+    raise last if last is not None else CommitConflict("restore failed")
+
+
+def _register_restore_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    @register(
+        "acid_restore_table",
+        oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(4 AS BIGINT) AS n_versions,
+               TRUE AS restore_zero_copy,
+               TRUE AS history_preserved
+        FROM orders
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "restore", "time-travel", "maintenance"),
+    )
+    def acid_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incident rollback via RESTORE (NEW r9): v0+v1 ingest orders,
+        v2 is a bad GDPR-style delete (copy-on-write rewrite), and
+        restore(v1) publishes v3 — a METADATA-ONLY commit whose adds
+        re-reference v1's files byte-for-byte (zero copy: same paths,
+        same inodes, pinned in the hash via a stat comparison) and
+        whose removes drop v2's replacement files. The final table must
+        equal the pre-incident state — the oracle recomputes it from
+        source, so a restore that lost rows, resurrected the deleted
+        generation's replacements, or copied bytes breaks the hash.
+        History is preserved: v2 stays time-travelable (the query
+        asserts its row count is the post-delete one), which is the
+        audit-trail property RESTORE exists for. At 100 TB this is the
+        bad-deploy unwind: O(manifest) cost, no data movement.
+
+        Reference anchor: the runs store's soft-rollback semantics
+        (`app/api/swarm/runs/route.ts` status transitions never destroy
+        rows; recovery re-points, it does not rewrite)."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_restore_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+        cut = F.lit(TX_CUTOVER).cast("timestamp")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            log.append(o.filter(F.col("o_orderdate") < cut), writer="ingest-0")
+            log.append(o.filter(F.col("o_orderdate") >= cut), writer="ingest-1")
+            log.rewrite_where(
+                spark,
+                F.col("o_custkey") % 10 == 0,
+                lambda rows: rows.filter(F.col("o_custkey") % 10 != 0),
+                writer="bad-delete",
+            )  # v2: the incident
+            v = restore(log, 1, writer="restore-to-v1")
+            if v != 3:
+                raise RuntimeError(f"restore landed at v{v}, expected 3")
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        # zero-copy pin: every restored file is the SAME inode as in v1
+        v1 = {f: os.stat(os.path.join(root, f)).st_ino
+              for f in log.snapshot_files(1)}
+        now = {f: os.stat(os.path.join(root, f)).st_ino
+               for f in log.snapshot_files()}
+        zero_copy = v1 == now
+        # history preserved: the bad delete is still time-travelable
+        # and strictly smaller than the restored state (metadata-cheap
+        # proxy: its manifest differs; row assert via counts)
+        n_v2 = log.read(spark, version=2).count()
+        n_now = log.read(spark).count()
+        history_ok = n_v2 < n_now
+        return (
+            log.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("n_versions", F.lit(log.version() + 1).cast("long"))
+            .withColumn("restore_zero_copy", F.lit(bool(zero_copy)))
+            .withColumn("history_preserved", F.lit(bool(history_ok)))
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_restore_query()
+
+
 def zorder_optimize(
     log: TxLog,
     spark: SparkSession,

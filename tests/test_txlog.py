@@ -1224,3 +1224,83 @@ def test_zorder_retries_after_concurrent_append(spark, sf_dir, tmp_path):
     log.commit = orig
     assert log.version() == 2  # base, racer, retried zorder
     assert log.read(spark).count() == o.count()
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, sf_dir, tmp_path):
+    """RESTORE re-references the target snapshot's files (same paths,
+    same inodes — no data movement), the rolled-back version stays
+    time-travelable, a no-op restore burns no version, and restoring
+    to a vacuumed snapshot refuses."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import restore, vacuum
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")  # v0
+    log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="i1")  # v1
+    v1_files = {f: os.stat(os.path.join(root, f)).st_ino
+                for f in log.snapshot_files(1)}
+    log.rewrite_where(
+        spark,
+        F.col("o_custkey") % 5 == 0,
+        lambda rows: rows.filter(F.col("o_custkey") % 5 != 0),
+        writer="bad",
+    )  # v2
+    assert restore(log, 1) == 3
+    now = {f: os.stat(os.path.join(root, f)).st_ino
+           for f in log.snapshot_files()}
+    assert now == v1_files                       # zero copy, exact state
+    assert log.read(spark).count() == o.count()  # rows fully back
+    assert log.read(spark, version=2).count() < o.count()  # history alive
+    # no-op restore: already at v1's state -> no new version
+    assert restore(log, 1) == 3 and log.version() == 3
+    # vacuum away v2's replacement files (only latest retained), then
+    # restoring TO v2 must refuse: its files are gone
+    vacuum(log, retain_versions=1, retain_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        restore(log, 2)
+
+
+def test_restore_conflicts_with_intervening_commit(spark, sf_dir, tmp_path):
+    """A restore computed against a stale head must recompute: the
+    intervening append's rows survive the retried restore only if the
+    retry re-derives its file delta from the new state — the strict
+    conflict path (restore adds/removes are not spec-encoded here)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import restore
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.limit(50), writer="i0")                      # v0
+    log.rewrite_where(
+        spark, F.col("o_custkey") >= 0,
+        lambda rows: rows.filter(F.col("o_custkey") < 0),
+        writer="wipe",
+    )                                                         # v1: empty
+    raced = {"done": False}
+    orig = log.commit
+
+    def racing(op, adds, removes=None, **kw):
+        if op == "rewrite" and not raced["done"]:
+            raced["done"] = True
+            log.append(o.limit(5), writer="racer")            # v2
+        return orig(op, adds, removes, **kw)
+
+    log.commit = racing
+    restore(log, 0)                                           # retried -> v3
+    log.commit = orig
+    assert log.version() == 3
+    # RESTORE means "exactly the target state": the racer's rows are
+    # correctly absent from v3 — but its file must have been REMOVED
+    # by the retried commit (derived from the post-append head), not
+    # left dangling by a stale first attempt that never saw it
+    assert log.read(spark).count() == 50
+    assert "data" in log.history()[3].removes[0]
+    racer_files = set(log.history()[2].adds)
+    assert racer_files & set(log.history()[3].removes) == racer_files
+    hist = [c.writer for c in log.history()]
+    assert hist == ["i0", "wipe", "racer", "restore"]
