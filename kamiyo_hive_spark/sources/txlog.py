@@ -112,6 +112,12 @@ class Commit:
                                   # data-skipping stats; additive field,
                                   # absent pre-r9 and on writes that
                                   # did not request stats_cols
+    dvs: dict = field(default_factory=dict)
+                                  # deletion-vector attachments made BY
+                                  # this commit: {data_file: [dv_file]}
+                                  # — dv files hold (file, pos) rows of
+                                  # soft-deleted positions; additive
+                                  # field, absent pre-r9
 
 
 def _stat_val(v):
@@ -293,6 +299,56 @@ class TxLog:
         """All commits, oldest first — pure metadata read, O(version)."""
         return [self._read_commit(v) for v in range(self.version() + 1)]
 
+    def dv_state(self, version: int | None = None) -> dict:
+        """data_file -> [dv_file, ...] in force at ``version``: DV
+        attachments accumulate per data file and fall away the moment
+        a rewrite removes the file (its replacement was written
+        without the deleted rows). Pure manifest metadata."""
+        v = self.version() if version is None else version
+        state: dict = {}
+        for i in range(v + 1):
+            c = self._read_commit(i)
+            for f in c.removes:
+                state.pop(f, None)
+            for f, dvf in (c.dvs or {}).items():
+                state.setdefault(f, []).extend(dvf)
+        live = set(self.snapshot_files(v))
+        return {f: d for f, d in state.items() if f in live}
+
+    def _file_prefix(self) -> str:
+        """The `_metadata.file_path` prefix for this table root —
+        stripping it yields the root-relative path, so DV rows survive
+        a table-root move like every other manifest entry."""
+        return "file:" + os.path.abspath(self.root) + "/"
+
+    def _apply_dvs(self, spark: SparkSession, df: DataFrame,
+                   dvs: dict) -> DataFrame:
+        """Anti-join the deletion vectors into a read: rows whose
+        (root-relative file, row position) appear in any attached DV
+        are filtered out. The DV relation is deleted-row-count-sized —
+        broadcast; `_metadata.row_index` supplies the position without
+        touching the data pages' content."""
+        from pyspark.sql import functions as F
+
+        cols = df.columns
+        dv_paths = sorted(
+            {os.path.join(self.root, d) for dl in dvs.values() for d in dl}
+        )
+        dv = spark.read.parquet(*dv_paths).select("file", "pos")
+        pref = self._file_prefix()
+        tagged = df.select(
+            *cols,
+            F.expr(
+                f"substring(_metadata.file_path, {len(pref) + 1})"
+            ).alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        return tagged.join(
+            F.broadcast(dv),
+            (tagged._dv_file == dv.file) & (tagged._dv_pos == dv.pos),
+            "left_anti",
+        ).select(*cols)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         files = self.snapshot_files(version)
         if not files:
@@ -306,10 +362,15 @@ class TxLog:
         if sch:
             from pyspark.sql import types as T
 
-            return spark.read.schema(
+            df = spark.read.schema(
                 T.StructType.fromJson(json.loads(sch))
             ).parquet(*paths)
-        return spark.read.parquet(*paths)
+        else:
+            df = spark.read.parquet(*paths)
+        dvs = self.dv_state(version)
+        if dvs:
+            df = self._apply_dvs(spark, df, dvs)
+        return df
 
     # -- write path ---------------------------------------------------
 
@@ -400,6 +461,7 @@ class TxLog:
         schema: str = "",
         spec: str = "",
         stats: dict | None = None,
+        dvs: dict | None = None,
     ) -> int:
         """Publish a commit via atomic create-if-absent; returns the
         version won. Blind appends retry losing races internally;
@@ -422,6 +484,7 @@ class TxLog:
                 schema=schema,
                 spec=spec,
                 stats=stats or {},
+                dvs=dvs or {},
             )
             # Atomic create-if-absent WITH content: O_CREAT|O_EXCL alone
             # publishes an empty file before the JSON body lands, and a
@@ -603,6 +666,7 @@ class TxLog:
         intersects the range reach the scan. Rows still need the
         caller's row-level filter (file granularity, like every
         skipping implementation)."""
+        self._refuse_dvs("read_stats_pruned", version)
         keep = self.stats_pruned_files(col, lo, hi, version)
         sch = self.table_schema()
         from pyspark.sql import types as T
@@ -707,6 +771,7 @@ class TxLog:
         staged-pool rmtree race class is structurally impossible
         here). Rows from unprunable files still need the caller's
         row-level filter."""
+        self._refuse_dvs("read_pruned", version)
         matching, unprunable = self.pruned_file_sets(spec, values, version)
         keep = matching + unprunable
         sch = self.table_schema()
@@ -881,6 +946,92 @@ class TxLog:
             "merge_partitioned failed"
         )
 
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        pred,
+        writer: str = "dv-delete",
+        max_attempts: int = 5,
+    ) -> int:
+        """Soft DELETE via DELETION VECTORS (the Delta DV shape): mark
+        matching rows' (file, position) pairs in a sidecar instead of
+        copy-on-write rewriting the files — the write cost tracks the
+        DELETED ROW COUNT, not the touched files' bytes, which is the
+        difference between O(rows) and O(table) for small deletes at
+        100 TB (GDPR erasure, takedowns). Data files stay referenced
+        as-is — same path, same inode (tests pin it) — and every
+        snapshot read merges the in-force DVs back in via a broadcast
+        anti-join on `_metadata.row_index`. DVs on one file COMPOSE
+        (later deletes union in); a rewrite of the file (compaction,
+        `materialize_dvs`) retires them. Matching no rows commits
+        nothing. Optimistic-retry rewrite-class commit: position sets
+        were derived from a snapshot, so ANY intervening commit aborts
+        and the delete recomputes."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            rv = self.version()
+            files = self.snapshot_files(rv)
+            if not files:
+                return rv
+            paths = [os.path.join(self.root, f) for f in files]
+            sch = self.table_schema()
+            from pyspark.sql import types as T
+
+            reader = (
+                spark.read.schema(T.StructType.fromJson(json.loads(sch)))
+                if sch
+                else spark.read
+            )
+            pref = self._file_prefix()
+            hits = (
+                reader.parquet(*paths)
+                .filter(pred)
+                .select(
+                    F.expr(
+                        f"substring(_metadata.file_path, {len(pref) + 1})"
+                    ).alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+            )
+            rel = self.stage_dir()
+            out = os.path.join(self.root, rel)
+            hits.coalesce(1).write.mode("overwrite").parquet(out)
+            dv_rel = sorted(
+                os.path.join(rel, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
+            # affected data files + emptiness from the sidecar's own
+            # footer/pages (deleted-count-sized, not table-sized)
+            t = pq.read_table(
+                os.path.join(self.root, dv_rel[0]), columns=["file"]
+            )
+            affected = sorted(set(t.column("file").to_pylist()))
+            if not affected:
+                return rv  # nothing matched; staged sidecar leaks, GC'd
+            dvs = {f: list(dv_rel) for f in affected}
+            try:
+                return self.commit(
+                    "rewrite", adds=[], removes=[], read_version=rv,
+                    writer=writer, dvs=dvs,
+                )
+            except CommitConflict as e:
+                last = e
+        raise last if last is not None else CommitConflict(
+            "delete_where_dv failed"
+        )
+
+    def _refuse_dvs(self, op: str, version: int | None = None) -> None:
+        if self.dv_state(version):
+            raise ValueError(
+                f"{op} on a table with active deletion vectors would "
+                "resurrect soft-deleted rows; run materialize_dvs() "
+                "first (pruned reads do not merge DVs)"
+            )
+
     def clone(self, dest_root: str, version: int | None = None,
               writer: str = "clone") -> "TxLog":
         """ZERO-COPY shallow clone (the Delta/Iceberg CLONE shape): a
@@ -894,12 +1045,17 @@ class TxLog:
         other (unlink drops one name, not the shared bytes). Partition
         spec survives: the path component carrying ``spec=value`` is
         preserved file-for-file, so pruned reads keep working on the
-        clone."""
+        clone. Active deletion vectors clone WITH the table (sidecars
+        hardlinked, attachments carried into the clone's v0 commit) —
+        a clone that silently dropped them would resurrect
+        soft-deleted rows."""
         files = self.snapshot_files(version)
         if not files:
             raise ValueError("cannot clone an empty table snapshot")
+        dvs = self.dv_state(version)
         dest = TxLog.init(dest_root)
-        for f in files:
+        dv_files = sorted({d for dl in dvs.values() for d in dl})
+        for f in files + dv_files:
             src = os.path.join(self.root, f)
             dst = os.path.join(dest_root, f)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -919,7 +1075,7 @@ class TxLog:
                 break
         dest.commit(
             "append", adds=files, read_version=-1,
-            writer=writer, schema=sch, spec=spec,
+            writer=writer, schema=sch, spec=spec, dvs=dvs,
         )
         return dest
 
@@ -1233,6 +1389,8 @@ def vacuum(log: TxLog, retain_versions: int = 2,
     referenced: set = set()
     for v in range(keep_from, latest + 1):
         referenced.update(log.snapshot_files(v))
+        for dv_files in log.dv_state(v).values():
+            referenced.update(dv_files)  # sidecars live with their snapshot
     deleted = 0
     cutoff = time.time() - retain_seconds
     data_root = os.path.join(log.root, "data")
@@ -1448,6 +1606,159 @@ def restore(log: TxLog, version: int, writer: str = "restore",
         except CommitConflict as e:
             last = e
     raise last if last is not None else CommitConflict("restore failed")
+
+
+def materialize_dvs(log: TxLog, spark: SparkSession,
+                    writer: str = "dv-materialize",
+                    max_attempts: int = 5) -> int:
+    """Fold the active deletion vectors into the data (Delta's PURGE /
+    REORG shape): rewrite ONLY the DV'd files without their deleted
+    rows and publish one rewrite commit — `dv_state` drops the
+    attachments the moment their files are removed, the sidecars fall
+    out of the referenced set, and vacuum collects both. Untouched
+    files stay referenced as-is. Run it when accumulated DVs start
+    taxing reads (every merge-on-read design pays this rent); cost
+    tracks the DV'd files' bytes, never the table."""
+    from pyspark.sql import types as T
+
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        rv = log.version()
+        dvs = log.dv_state(rv)
+        if not dvs:
+            return rv
+        victims = sorted(dvs)
+        sch = log.table_schema()
+        reader = (
+            spark.read.schema(T.StructType.fromJson(json.loads(sch)))
+            if sch
+            else spark.read
+        )
+        df = reader.parquet(*[os.path.join(log.root, f) for f in victims])
+        replacement = log._apply_dvs(spark, df, dvs)
+        adds = log._write_stage(replacement, log.stage_dir())
+        try:
+            return log.commit(
+                "rewrite", adds, removes=victims, read_version=rv,
+                writer=writer, schema=sch,
+            )
+        except CommitConflict as e:
+            last = e
+    raise last if last is not None else CommitConflict("materialize_dvs failed")
+
+
+def _register_dv_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    DV_MOD_A, DV_MOD_B = 97, 101
+
+    @register(
+        "acid_deletion_vectors",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               TRUE AS dv_zero_rewrite,
+               TRUE AS dv_equals_materialized,
+               CAST(5 AS BIGINT) AS n_versions
+        FROM orders
+        WHERE o_custkey % {DV_MOD_A} <> 0
+          AND o_orderkey % {DV_MOD_B} <> 0
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=("acid", "txlog", "deletion-vectors", "merge-on-read", "delete"),
+    )
+    def acid_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DELETE without rewriting a byte (NEW r9, the Delta
+        deletion-vector / merge-on-read shape): two ingest appends,
+        then TWO soft deletes — GDPR erasure (custkey % {A}) and a
+        takedown (orderkey % {B}) — each lands as a sidecar of
+        (file, row-position) pairs in ONE commit while every data file
+        keeps its path AND inode (pinned in the hash via a stat
+        comparison across the delete versions); snapshot reads merge
+        the vectors back in via a broadcast anti-join on
+        `_metadata.row_index`, and the two vectors COMPOSE on the same
+        files. `materialize_dvs` then folds them into a real rewrite,
+        and the query asserts the merge-on-read answer at v3 equals
+        the materialized answer at v4 row-for-row (pinned as a hash
+        column) before vacuum collects the retired sidecars. The
+        oracle recomputes the surviving aggregate from source — a
+        position off by one, a vector dropped by clone/vacuum, or a
+        double-applied delete all hash-fail. At 100 TB this is how
+        small deletes stay O(deleted rows): the copy-on-write
+        alternative rewrites every touched file's bytes.
+
+        Reference anchor: soft-visibility rows (`is_visible` flips in
+        `app/api/swarm/runs/route.ts` status updates) — the store
+        marks, it does not rewrite."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_dv_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")
+            log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="i1")
+            v = log.delete_where_dv(
+                spark, F.col("o_custkey") % DV_MOD_A == 0, writer="gdpr-dv"
+            )
+            if v != 2:
+                raise RuntimeError(f"first DV landed at v{v}")
+            v = log.delete_where_dv(
+                spark, F.col("o_orderkey") % DV_MOD_B == 0, writer="takedown-dv"
+            )
+            if v != 3:
+                raise RuntimeError(f"second DV landed at v{v}")
+            if log.snapshot_files(3) != log.snapshot_files(1):
+                raise RuntimeError("a DV delete changed the data file set")
+            v = materialize_dvs(log, spark)
+            if v != 4 or log.dv_state():
+                raise RuntimeError("materialize did not retire the DVs")
+            # keep v3 time-travelable: its data files AND sidecars stay
+            # referenced, so the query can replay merge-on-read
+            vacuum(log, retain_versions=2, retain_seconds=0.0)
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        # zero-rewrite pin: both delete commits added/removed NO data
+        # files (pure sidecar attachments) and the live file set is
+        # unchanged across the deletes — recomputed from the manifest
+        # at query time so the hash carries it
+        dv_commits = [log._read_commit(2), log._read_commit(3)]
+        dv_zero_rewrite = log.snapshot_files(3) == log.snapshot_files(1) and all(
+            not c.adds and not c.removes and c.dvs for c in dv_commits
+        )
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+
+        mor = {tuple(r) for r in agg(log.read(spark, version=3)).collect()}
+        mat = agg(log.read(spark))
+        dv_equals_materialized = (
+            mor == {tuple(r) for r in mat.collect()}
+        )
+        return (
+            mat.withColumn("dv_zero_rewrite", F.lit(bool(dv_zero_rewrite)))
+            .withColumn(
+                "dv_equals_materialized", F.lit(bool(dv_equals_materialized))
+            )
+            .withColumn("n_versions", F.lit(log.version() + 1).cast("long"))
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_dv_query()
 
 
 def _register_restore_query() -> None:
@@ -2232,6 +2543,40 @@ def read_changes(
     if removed:
         parts.append(
             spark.read.parquet(*[os.path.join(log.root, f) for f in removed])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    # Deletion-vector attachments made IN the range surface as deletes
+    # too (row-granular — DVs name exact positions): only for files
+    # still live at v_to, so a file whose removal already emitted its
+    # rows above is never double-counted.
+    dv_attach: dict = {}
+    for i in range(v_from + 1, v_to + 1):
+        for f, dl in (log._read_commit(i).dvs or {}).items():
+            if f in new:
+                dv_attach.setdefault(f, []).extend(dl)
+    if dv_attach:
+        data_paths = [os.path.join(log.root, f) for f in sorted(dv_attach)]
+        dv_paths = sorted(
+            {os.path.join(log.root, d) for dl in dv_attach.values() for d in dl}
+        )
+        dv = spark.read.parquet(*dv_paths).select("file", "pos")
+        pref = log._file_prefix()
+        rows = spark.read.parquet(*data_paths)
+        cols = rows.columns
+        tagged = rows.select(
+            *cols,
+            F.expr(f"substring(_metadata.file_path, {len(pref) + 1})").alias(
+                "_dv_file"
+            ),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        parts.append(
+            tagged.join(
+                F.broadcast(dv),
+                (tagged._dv_file == dv.file) & (tagged._dv_pos == dv.pos),
+                "left_semi",
+            )
+            .select(*cols)
             .withColumn("_change_type", F.lit("delete"))
         )
     if not parts:

@@ -1304,3 +1304,137 @@ def test_restore_conflicts_with_intervening_commit(spark, sf_dir, tmp_path):
     assert racer_files & set(log.history()[3].removes) == racer_files
     hist = [c.writer for c in log.history()]
     assert hist == ["i0", "wipe", "racer", "restore"]
+
+
+# ---------------------------------------------------------------------------
+# r9: deletion vectors (merge-on-read soft deletes)
+# ---------------------------------------------------------------------------
+
+
+def test_deletion_vectors_soft_delete_and_compose(spark, sf_dir, tmp_path):
+    """delete_where_dv marks positions in a sidecar — no data file is
+    added, removed, or rewritten (same inodes) — reads merge the DVs
+    back in, a second DV on the same files composes, a no-match
+    predicate commits nothing, and pruned reads refuse while DVs are
+    active."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")
+    log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="i1")
+    inodes = {f: os.stat(os.path.join(root, f)).st_ino
+              for f in log.snapshot_files()}
+
+    assert log.delete_where_dv(spark, F.col("o_custkey") % 7 == 0) == 2
+    assert log.snapshot_files() == sorted(inodes)  # file set unchanged
+    for f, ino in inodes.items():
+        assert os.stat(os.path.join(root, f)).st_ino == ino
+    c = log.history()[2]
+    assert not c.adds and not c.removes and c.dvs
+    want1 = o.filter(F.col("o_custkey") % 7 != 0)
+    assert log.read(spark).count() == want1.count()
+
+    # composition: second DV on the same files
+    assert log.delete_where_dv(spark, F.col("o_orderkey") % 11 == 0) == 3
+    want2 = want1.filter(F.col("o_orderkey") % 11 != 0)
+    got = sorted(r["o_orderkey"] for r in log.read(spark).collect())
+    assert got == sorted(r["o_orderkey"] for r in want2.collect())
+    # time travel still sees the single-DV state
+    assert log.read(spark, version=2).count() == want1.count()
+
+    # no-match predicate: nothing committed
+    assert log.delete_where_dv(spark, F.col("o_orderkey") < 0) == 3
+    assert log.version() == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        log.read_stats_pruned(spark, "o_orderkey", 0, 10)
+
+
+def test_dv_materialize_vacuum_and_clone(spark, sf_dir, tmp_path):
+    """materialize_dvs folds the vectors into a rewrite (DV state
+    empties, answer unchanged), vacuum keeps sidecars referenced while
+    their snapshot is retained and collects them after, and a clone of
+    a DV'd table carries the vectors (no resurrection)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import materialize_dvs, vacuum
+
+    root = str(tmp_path / "src")
+    os.makedirs(root)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o, writer="i0")
+    log.delete_where_dv(spark, F.col("o_custkey") % 5 == 0, writer="dv")
+    want = o.filter(F.col("o_custkey") % 5 != 0)
+
+    # clone BEFORE materializing: the clone must see the DV'd answer
+    cl = log.clone(str(tmp_path / "cl"))
+    assert cl.dv_state()
+    assert cl.read(spark).count() == want.count()
+
+    n_before = log.read(spark).count()
+    v = materialize_dvs(log, spark)
+    assert v == 2 and not log.dv_state()
+    assert log.read(spark).count() == n_before == want.count()
+
+    # retain v1 (DV snapshot): its sidecar must survive this vacuum
+    dv_files = [d for dl in log.dv_state(1).values() for d in dl]
+    assert dv_files
+    vacuum(log, retain_versions=2, retain_seconds=0.0)
+    assert all(os.path.exists(os.path.join(root, d)) for d in dv_files)
+    assert log.read(spark, version=1).count() == want.count()
+    # retain only the materialized head: sidecar + old data collected
+    vacuum(log, retain_versions=1, retain_seconds=0.0)
+    assert not any(os.path.exists(os.path.join(root, d)) for d in dv_files)
+    # the clone is unharmed (hardlinks own their bytes)
+    assert cl.read(spark).count() == want.count()
+
+
+def test_dv_cdf_and_conflict(spark, sf_dir, tmp_path):
+    """A DV attachment surfaces in the change feed as row-granular
+    deletes (exactly the marked rows), and a DV delete racing an
+    intervening commit recomputes — its positions were snapshot-
+    derived."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import read_changes
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")
+    log.delete_where_dv(spark, F.col("o_custkey") % 9 == 0, writer="dv")
+    ch = read_changes(log, spark, 0, 1)
+    dels = ch.filter(F.col("_change_type") == "delete")
+    want = o.filter((F.col("o_orderkey") % 2 == 0) & (F.col("o_custkey") % 9 == 0))
+    assert sorted(r["o_orderkey"] for r in dels.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+    assert ch.filter(F.col("_change_type") == "insert").count() == 0
+
+    # conflict: an append lands between the DV's snapshot and commit
+    raced = {"done": False}
+    orig = log.commit
+
+    def racing(op, adds, removes=None, **kw):
+        if op == "rewrite" and not raced["done"]:
+            raced["done"] = True
+            log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="racer")
+        return orig(op, adds, removes, **kw)
+
+    log.commit = racing
+    log.delete_where_dv(spark, F.col("o_custkey") % 4 == 0, writer="dv2")
+    log.commit = orig
+    assert log.version() == 3  # i0, dv, racer, retried dv2
+    # the retried DV saw the racer's rows: odd-key matches are deleted too
+    got = log.read(spark)
+    assert got.filter(
+        (F.col("o_custkey") % 4 == 0) & (F.col("o_custkey") % 9 != 0)
+    ).count() == 0
+    assert got.count() == o.filter(
+        ~((F.col("o_custkey") % 9 == 0) & (F.col("o_orderkey") % 2 == 0))
+        & (F.col("o_custkey") % 4 != 0)
+    ).count()
