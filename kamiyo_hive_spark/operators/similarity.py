@@ -930,43 +930,56 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 dp at build AND query side; the 8-term ADC sum runs in DECIMAL
     so accumulation order cannot move the hash.
     """
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding").cast("array<double>")
+    # Query-side ADC table, DRIVER-SIDE (r9): the codebook seeds and
+    # the query vector are request/index metadata — pyarrow row-group-
+    # pruned reads, the module's standing convention (`query_vecs`) —
+    # and the 128 sub-distances are computed in pure Python with the
+    # EXACT engine op sequence: float32→float widening (same as the
+    # array<double> cast), left-to-right IEEE fold of (x−y)² (same as
+    # `F.aggregate`), and HALF_UP 9-dp rounding on the shortest-repr
+    # decimal (same as `F.round`; Decimal(repr(x)) ≡
+    # BigDecimal.valueOf) — asserted bit-identical to the old
+    # explode-join job in tests. The old Spark job cost two corpus
+    # scans + a collect per probe for a 128-value table
+    # (0.74 → 0.35 s at sf0.1).
+    from decimal import ROUND_HALF_UP, Decimal
 
-    # Query-side ADC table: the query row through the same tiny
-    # explode-join plan as the index build (128 result rows).
-    seeds = e.filter(F.col("vec_id") < PQ_C).select("vec_id", emb.alias("v"))
-    cents = seeds.select(
-        F.col("vec_id").alias("cid"),
-        F.posexplode(F.array(*[_pq_sub("v", m) for m in range(PQ_M)])).alias("m", "cs"),
-    )
-    qsub = (
-        e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(
-            F.posexplode(F.array(*[_pq_sub_from(emb, m) for m in range(PQ_M)])).alias(
-                "m", "sv"
-            )
-        )
-    )
-    qd = {
-        (r["m"], r["cid"]): r["d"]
-        for r in qsub.join(F.broadcast(cents), "m")
-        .select("m", "cid", _pq_d2(F.col("sv"), F.col("cs")).alias("d"))
-        .collect()
-    }
+    seeds = query_vecs(sf_dir, PQ_C)
+    qv = query_vec(sf_dir, QUERY_VEC_ID)
     # Fixture contract: the codebook is seeded from the first PQ_C
     # vectors and every embedding must split into PQ_M×PQ_SUB dims. A
     # regenerated fixture that violates either would otherwise surface
     # as a bare KeyError / null-slice deep in the LUT loop (ADVICE r2).
-    if len(qd) != PQ_M * PQ_C:
+    if len(seeds) != PQ_C or any(
+        len(v) != PQ_M * PQ_SUB for _, v in seeds
+    ) or len(qv) != PQ_M * PQ_SUB:
         raise ValueError(
-            f"PQ codebook incomplete: {len(qd)} (m,centroid) sub-distances, "
-            f"expected PQ_M*PQ_C={PQ_M * PQ_C}. The embeddings fixture must "
+            f"PQ codebook incomplete: {len(seeds)} seed vectors, "
+            f"expected PQ_C={PQ_C}. The embeddings fixture must "
             f"contain vec_id 0..{PQ_C - 1} as codebook seeds plus query vector "
             f"{QUERY_VEC_ID}, each with {PQ_M * PQ_SUB}-dim embeddings."
         )
 
-    codes = spark.read.parquet(pq_codes_dir(spark, sf_dir))
+    def _d2(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # left-to-right, the F.aggregate fold
+            acc = acc + (x - y) * (x - y)
+        return float(
+            Decimal(repr(acc)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    qd = {
+        (m, cid): _d2(
+            qv[m * PQ_SUB : (m + 1) * PQ_SUB],
+            v[m * PQ_SUB : (m + 1) * PQ_SUB],
+        )
+        for cid, v in seeds
+        for m in range(PQ_M)
+    }
+
+    codes = _staged_index_df(spark, pq_codes_dir(spark, sf_dir))
     adc = None
     for m in range(PQ_M):
         lut = F.array(*[F.lit(float(qd[(m, c)])) for c in range(PQ_C)])
