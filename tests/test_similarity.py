@@ -455,3 +455,59 @@ def test_staged_index_cache_eviction_is_session_scoped(spark, sf_dir):
     del sim._IDX_DF_CACHE[("sibling-live", d, fp)]
     sim._IDX_SESSIONS.pop("sibling-live", None)
     sim._IDX_SESSIONS.pop("sibling-dead", None)
+
+
+def test_pq_adc_table_driver_side_bit_identity(spark, sf_dir):
+    """The driver-side ADC lookup table (pyarrow reads + python fold +
+    HALF_UP 9-dp) must equal the engine-computed explode-join form
+    BIT FOR BIT — the r9 rewrite's correctness claim."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.operators import similarity as sim
+    from kamiyo_hive_spark.catalog import table
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    seeds_df = e.filter(F.col("vec_id") < sim.PQ_C).select("vec_id", emb.alias("v"))
+    cents = seeds_df.select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode(
+            F.array(*[sim._pq_sub("v", m) for m in range(sim.PQ_M)])
+        ).alias("m", "cs"),
+    )
+    qsub = e.filter(F.col("vec_id") == sim.QUERY_VEC_ID).select(
+        F.posexplode(
+            F.array(*[sim._pq_sub_from(emb, m) for m in range(sim.PQ_M)])
+        ).alias("m", "sv")
+    )
+    engine = {
+        (r["m"], r["cid"]): r["d"]
+        for r in qsub.join(F.broadcast(cents), "m")
+        .select("m", "cid", sim._pq_d2(F.col("sv"), F.col("cs")).alias("d"))
+        .collect()
+    }
+
+    seeds = sim.query_vecs(sf_dir, sim.PQ_C)
+    qv = sim.query_vec(sf_dir, sim.QUERY_VEC_ID)
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return float(
+            Decimal(repr(acc)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+
+    driver = {
+        (m, cid): d2(
+            qv[m * sim.PQ_SUB : (m + 1) * sim.PQ_SUB],
+            v[m * sim.PQ_SUB : (m + 1) * sim.PQ_SUB],
+        )
+        for cid, v in seeds
+        for m in range(sim.PQ_M)
+    }
+    assert len(driver) == len(engine) == sim.PQ_M * sim.PQ_C
+    for k in engine:
+        assert driver[k] == engine[k], (k, driver[k], engine[k])
