@@ -1761,6 +1761,178 @@ def _register_dv_query() -> None:
 _register_dv_query()
 
 
+DV_STREAM_RESIDUES = (7, 13, 21)  # one delete-request batch per residue
+DV_STREAM_WRITER = "dv-stream"
+
+
+def _register_streaming_dv_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    residues_sql = ", ".join(str(r) for r in DV_STREAM_RESIDUES)
+
+    @register(
+        "streaming_dv_deletes",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               CAST({len(DV_STREAM_RESIDUES) + 1} AS BIGINT) AS n_versions,
+               TRUE AS dv_zero_rewrite
+        FROM orders
+        WHERE o_orderkey % 1000 NOT IN ({residues_sql})
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=(
+            "streaming",
+            "acid",
+            "txlog",
+            "deletion-vectors",
+            "foreachBatch",
+            "exactly-once",
+            "gdpr",
+        ),
+    )
+    def streaming_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The GDPR erasure pipeline end-to-end (NEW r9): delete
+        REQUESTS arrive as a {B}-micro-batch key stream and each batch
+        lands as one DELETION-VECTOR commit through foreachBatch —
+        exactly-once by the batch-keyed writer tag (a crash-recovery
+        replay of batch 0 is re-asserted skipped on EVERY run), and
+        NO data file is added, removed, or rewritten across the whole
+        stream (the zero-rewrite fact is recomputed from the manifest
+        and pinned in the hash). The returned read merges all
+        accumulated vectors — the DVs stay ACTIVE, so the
+        merge-on-read path itself is what the oracle hash checks, not
+        a materialized copy. At 100 TB this is how erasure keeps up
+        with request volume: per-batch cost is O(matched rows), the
+        nightly `materialize_dvs` + vacuum pays the rewrite rent once.
+
+        Composes the round's three subsystems the way
+        `streaming_ann_index_merge` composed merges: streaming
+        recovery contract -> ACID commit protocol -> deletion-vector
+        read path.
+
+        Reference anchor: the runs store's soft-visibility flips
+        (`app/api/swarm/runs/route.ts` status updates mark rows,
+        never rewrite) consumed from the ws feed
+        (`useAgentStream.ts:39-53`)."""
+        import glob
+        import shutil
+        import time as _time
+
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out_root = os.path.join(
+            SCRATCH, f"txlog_dv_stream_{os.path.basename(sf_dir)}"
+        )
+        source = os.path.join(sf_dir, "orders.parquet")
+        req_dir = os.path.join(
+            SCRATCH, f"dv_requests_{os.path.basename(sf_dir)}"
+        )
+
+        def build_requests(tmp: str) -> None:
+            o = _orders_slim(spark, sf_dir)
+            os.makedirs(tmp, exist_ok=True)
+            base = _time.time() - 3600
+            for i, r in enumerate(DV_STREAM_RESIDUES):
+                vdir = os.path.join(tmp, f"_b{i}")
+                o.filter(F.col("o_orderkey") % 1000 == r).select(
+                    "o_orderkey"
+                ).coalesce(1).write.mode("overwrite").parquet(vdir)
+                part = next(
+                    f for f in os.listdir(vdir) if f.endswith(".parquet")
+                )
+                dst = os.path.join(tmp, f"requests-b{i:03d}.parquet")
+                os.replace(os.path.join(vdir, part), dst)
+                shutil.rmtree(vdir)
+                os.utime(dst, (base + i, base + i))
+
+        req = ensure_staging(req_dir, source, build_requests)
+
+        def apply_batch(log: TxLog, df: DataFrame, bid: int) -> bool:
+            tag = f"{DV_STREAM_WRITER}-b{bid}"
+            if any(c.writer == tag for c in log.history()):
+                return False  # recognized replay after crash/restart
+            keys = [r[0] for r in df.collect()]  # request-sized batch
+            if not keys:
+                return False
+            log.delete_where_dv(
+                spark, F.col("o_orderkey").isin(keys), writer=tag
+            )
+            return True
+
+        def build(tmp: str) -> None:
+            ckpt = tmp + ".ckpt"
+            shutil.rmtree(ckpt, ignore_errors=True)
+            log = TxLog.init(tmp)
+            log.append(_orders_slim(spark, sf_dir), writer="ingest")
+            stream = (
+                spark.readStream.schema("o_orderkey long")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(req)
+            )
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                q = (
+                    stream.writeStream.outputMode("append")
+                    .foreachBatch(lambda df, bid: apply_batch(log, df, bid))
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+                shutil.rmtree(ckpt, ignore_errors=True)
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out_root, source, build)
+        log = TxLog(root)
+
+        # crash-recovery replay of batch 0 on EVERY run
+        v_before = log.version()
+        replay = spark.read.schema("o_orderkey long").parquet(
+            os.path.join(req, "requests-b000.parquet")
+        )
+        if apply_batch(log, replay, 0):
+            raise RuntimeError("replayed delete batch 0 was applied twice")
+        if log.version() != v_before:
+            raise RuntimeError("replay changed the log")
+        n_versions = log.version() + 1
+        if n_versions != len(DV_STREAM_RESIDUES) + 1:
+            raise RuntimeError(
+                f"expected {len(DV_STREAM_RESIDUES) + 1} versions, "
+                f"got {n_versions}"
+            )
+        # zero-rewrite across the whole stream, from the manifest
+        dv_zero_rewrite = log.snapshot_files() == log.snapshot_files(0) and all(
+            not c.adds and not c.removes and c.dvs
+            for c in log.history()[1:]
+        )
+        return (
+            log.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+            .withColumn("dv_zero_rewrite", F.lit(bool(dv_zero_rewrite)))
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_streaming_dv_query()
+
+
 def _register_restore_query() -> None:
     from pyspark.sql import functions as F
 

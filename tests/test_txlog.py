@@ -1438,3 +1438,48 @@ def test_dv_cdf_and_conflict(spark, sf_dir, tmp_path):
         ~((F.col("o_custkey") % 9 == 0) & (F.col("o_orderkey") % 2 == 0))
         & (F.col("o_custkey") % 4 != 0)
     ).count()
+
+
+def test_streaming_dv_deletes_protocol(spark, sf_dir):
+    """The streaming GDPR pipeline: version history = 1 ingest + one
+    batch-keyed DV commit per request batch, every delete commit a
+    pure sidecar attachment (no file adds/removes anywhere), vectors
+    from different batches composing in the final read, and DVs still
+    ACTIVE (the registered query hashes the merge-on-read path; the
+    in-protocol batch-0 replay assert runs inside the operator)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.catalog import table
+    from kamiyo_hive_spark.sources import txlog as tx
+    from kamiyo_hive_spark.sources.sinks import SCRATCH
+
+    from kamiyo_hive_spark.plans.registry import load_registry
+
+    reg = load_registry()
+    out = reg["streaming_dv_deletes"].builder(spark, sf_dir)
+    got = {r["o_orderstatus"]: r["n_rows"] for r in out.collect()}
+
+    o = table(spark, sf_dir, "orders")
+    want_df = o.filter(
+        ~F.pmod(F.col("o_orderkey"), F.lit(1000)).isin(*tx.DV_STREAM_RESIDUES)
+    )
+    want = {
+        r["o_orderstatus"]: r["n"]
+        for r in want_df.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    log = tx.TxLog(
+        os.path.join(SCRATCH, f"txlog_dv_stream_{os.path.basename(sf_dir)}")
+    )
+    hist = log.history()
+    assert [c.writer for c in hist] == ["ingest"] + [
+        f"{tx.DV_STREAM_WRITER}-b{i}"
+        for i in range(len(tx.DV_STREAM_RESIDUES))
+    ]
+    assert all(not c.adds and not c.removes and c.dvs for c in hist[1:])
+    assert log.dv_state()  # vectors stay active: merge-on-read hashed
