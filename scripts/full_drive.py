@@ -32,43 +32,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_DRIVE_SF_DIR", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 
-def render(v):
-    import numpy as np
-    import pandas as pd
-
-    if v is None or (not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v)):
-        return "<null>"
-    if isinstance(v, float):
-        return "%.17g" % v
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, datetime.date):
-        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(render(x) for x in v) + "]"
-    if isinstance(v, (bool, np.bool_)):
-        return "true" if v else "false"
-    if isinstance(v, (int, np.integer)):
-        return str(int(v))
-    return str(v)
-
-
-def frame_hash(pdf) -> str:
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    rows = sorted(
-        "|".join(render(v) for v in row) for row in pdf.itertuples(index=False)
-    )
-    h = hashlib.md5()
-    for r in rows:
-        h.update(r.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+from drive_common import TABLES, duck_views, frame_hash, render  # noqa: E402,F401
+# render/frame_hash/TABLES live in scripts/drive_common.py — ONE shared
+# rendering convention with the verify skill's scripts/drive_entry.py
+# (VERDICT r9 finding 4: two drifting conventions made the TZ probe
+# test pyspark's collect() path instead of the engine).
 
 
 def default_round() -> int:
@@ -104,10 +74,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    duck_views(con, SF_DIR)
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -22,7 +22,8 @@ NON_QUERY_TOKENS = {
     "connected_components_largestar", "force_directed_positions",
     "rewrite_where", "sample_frames", "parse_avi", "merge_partitioned",
     "optimize_partitioned", "verify_unmoved_keys", "zorder_optimize",
-    "materialize_dvs", "delete_where_dv",
+    "materialize_dvs", "delete_where_dv", "_dvs_on", "_conflicts",
+    "dv_state",
 }
 
 # queries registered only when a runtime feature exists (may be absent)

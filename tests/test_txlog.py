@@ -1483,3 +1483,294 @@ def test_streaming_dv_deletes_protocol(spark, sf_dir):
     ]
     assert all(not c.adds and not c.removes and c.dvs for c in hist[1:])
     assert log.dv_state()  # vectors stay active: merge-on-read hashed
+
+
+def test_structural_rewrites_do_not_resurrect_dv_rows(spark, sf_dir, tmp_path):
+    """VERDICT r9 wrong 1 (reproduced there): optimize / rewrite_where /
+    zorder_optimize after delete_where_dv must NOT resurrect the
+    soft-deleted rows — each rewrite removes the DV'd files (retiring
+    the attachments), so its carried-over read has to merge the
+    vectors first. The chain stacks a fresh DV before each rewrite so
+    every path is exercised against ACTIVE vectors."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import optimize, zorder_optimize
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")
+    log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="i1")
+
+    def erased(*mods):
+        keep = o
+        cond = None
+        for m in mods:
+            c = F.col("o_custkey") % m == 0
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    # compaction over an active DV: the GDPR nightly loop
+    log.delete_where_dv(spark, F.col("o_custkey") % 7 == 0, writer="dv7")
+    optimize(log, spark, target_files=1)
+    got = log.read(spark)
+    assert got.filter(erased(7)).count() == 0
+    assert got.count() == o.filter(F.col("o_custkey") % 7 != 0).count()
+    assert not log.dv_state()  # compaction materialized the vectors
+
+    # copy-on-write rewrite over an active DV
+    log.delete_where_dv(spark, F.col("o_custkey") % 11 == 0, writer="dv11")
+    log.rewrite_where(
+        spark,
+        F.col("o_custkey") % 3 == 0,
+        lambda rows: rows.filter(F.col("o_custkey") % 3 != 0),
+        writer="rw",
+    )
+    got = log.read(spark)
+    assert got.filter(erased(7, 11, 3)).count() == 0
+    want = o.filter(
+        (F.col("o_custkey") % 7 != 0)
+        & (F.col("o_custkey") % 11 != 0)
+        & (F.col("o_custkey") % 3 != 0)
+    )
+    assert got.count() == want.count()
+
+    # Z-order recluster over an active DV
+    log.delete_where_dv(spark, F.col("o_custkey") % 13 == 0, writer="dv13")
+    zorder_optimize(
+        log, spark, ("o_orderkey", "o_custkey"), target_files=4
+    )
+    got = log.read(spark)
+    assert got.filter(erased(7, 11, 3, 13)).count() == 0
+    assert got.count() == want.filter(F.col("o_custkey") % 13 != 0).count()
+    assert not log.dv_state()
+
+
+def test_partitioned_rewrites_do_not_resurrect_dv_rows(spark, sf_dir, tmp_path):
+    """The partitioned twins of the resurrection repro:
+    optimize_partitioned and merge_partitioned over active DVs. The
+    merge only removes the TOUCHED shard's files, so attachments on
+    untouched shards must stay in force after it commits."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import optimize_partitioned
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(
+        o.filter(F.col("o_orderkey") % 2 == 0), layout, "shard", writer="i0"
+    )
+    log.append_partitioned(
+        o.filter(F.col("o_orderkey") % 2 == 1), layout, "shard", writer="i1"
+    )
+
+    log.delete_where_dv(spark, F.col("o_custkey") % 7 == 0, writer="dv7")
+    optimize_partitioned(log, spark, "shard", target_files_per_partition=1)
+    got = log.read(spark)
+    want1 = o.filter(F.col("o_custkey") % 7 != 0)
+    assert got.filter(F.col("o_custkey") % 7 == 0).count() == 0
+    assert got.count() == want1.count()
+    # layout intact: one file per shard, spec still path-encoded
+    per = {}
+    for f in log.snapshot_files():
+        tok = next(p for p in f.split(os.sep) if p.startswith("shard="))
+        per[tok] = per.get(tok, 0) + 1
+    assert per == {f"shard={i}": 1 for i in range(4)}
+
+    # merge over an active DV: delta touches shard 1 only
+    log.delete_where_dv(spark, F.col("o_custkey") % 11 == 0, writer="dv11")
+    delta = (
+        want1.filter(
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) == 1)
+            & (F.col("o_custkey") % 11 != 0)
+        )
+        .limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    delta_keys = [r["o_orderkey"] for r in delta.collect()]
+    log.merge_partitioned(
+        spark, delta, layout=layout, spec="shard", keys=["o_orderkey"],
+        writer="merger",
+    )
+    got = log.read(spark)
+    assert got.filter(F.col("o_custkey") % 7 == 0).count() == 0
+    assert got.filter(F.col("o_custkey") % 11 == 0).count() == 0
+    want2 = want1.filter(F.col("o_custkey") % 11 != 0)
+    assert got.count() == want2.count()
+    doubled = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in got.filter(F.col("o_orderkey").isin(delta_keys)).collect()
+    }
+    assert doubled == {
+        r["o_orderkey"]: r["o_totalprice"] for r in delta.collect()
+    }
+    # untouched shards' vectors stay ACTIVE (their files weren't removed)
+    assert log.dv_state()
+    assert all(
+        "shard=1" not in f.split(os.sep) for f in log.dv_state()
+    )
+
+
+def test_dv_commit_conflicts_with_disjoint_rewrite(spark, sf_dir, tmp_path):
+    """VERDICT r9 wrong 2 (reproduced there): a deletion-vector commit
+    has adds=[] and removes=[], so the partition-disjoint relaxation
+    used to treat it as commutable with ANY spec'd rewrite — a racing
+    merge then replaced the DV'd files with rows read before (and
+    without) the delete, silently dropping a commit that won first.
+    Now the merge must hit CommitConflict, retry, and its recompute
+    must see (and preserve) the delete."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout, "shard", writer="base")
+
+    delta = (
+        o.filter(
+            (F.pmod(F.col("o_orderkey"), F.lit(4)) == 1)
+            & (F.col("o_custkey") % 9 != 0)
+        )
+        .limit(5)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+
+    raced = {"done": False}
+    orig = log.commit
+
+    def racing(op, adds, removes=None, **kw):
+        if op == "rewrite" and adds and not raced["done"]:
+            raced["done"] = True  # set BEFORE the delete recurses into commit
+            log.delete_where_dv(
+                spark, F.col("o_custkey") % 9 == 0, writer="gdpr-dv"
+            )
+        return orig(op, adds, removes, **kw)
+
+    log.commit = racing
+    log.merge_partitioned(
+        spark, delta, layout=layout, spec="shard", keys=["o_orderkey"],
+        writer="merger",
+    )
+    log.commit = orig
+
+    assert [c.writer for c in log.history()] == ["base", "gdpr-dv", "merger"]
+    got = log.read(spark)
+    # the GDPR delete that committed FIRST survives the racing merge
+    assert got.filter(F.col("o_custkey") % 9 == 0).count() == 0
+    assert got.count() == o.filter(F.col("o_custkey") % 9 != 0).count()
+
+
+def test_restore_across_dv_deletes(spark, sf_dir, tmp_path):
+    """VERDICT r9 wrong 3 (reproduced there): restore() used to diff
+    FILE sets only, so a DV-only delete made it report 'already at the
+    target state' while the rows stayed hidden. Restore must compare
+    and commit (files, dv_state): backward un-deletes, forward past
+    the delete re-instates the vectors, and a restore across
+    materialize_dvs re-attaches them to the re-added files."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import materialize_dvs, restore
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o, writer="i0")                                      # v0
+    log.delete_where_dv(spark, F.col("o_custkey") % 5 == 0, writer="dv")  # v1
+    want = o.filter(F.col("o_custkey") % 5 != 0)
+    n_all, n_del = o.count(), want.count()
+    assert log.read(spark).count() == n_del
+
+    # unwind the delete: file sets are identical, only DV state differs
+    v = restore(log, 0, writer="undo-dv")                           # v2
+    assert v == 2
+    assert not log.dv_state()
+    assert log.read(spark).count() == n_all
+
+    # restore FORWARD to the deleted state: vectors come back in force
+    v = restore(log, 1, writer="redo-dv")                           # v3
+    assert v == 3
+    assert log.dv_state()
+    assert log.read(spark).count() == n_del
+
+    # idempotence: restoring to the state we're already in is a no-op
+    assert restore(log, 3) == 3
+
+    # materialize, then restore back across it: the re-added original
+    # files carry the reinstated attachments
+    v = materialize_dvs(log, spark)                                 # v4
+    assert v == 4 and not log.dv_state()
+    assert log.read(spark).count() == n_del
+    v = restore(log, 3, writer="back-past-materialize")             # v5
+    assert v == 5
+    assert log.dv_state()
+    assert log.read(spark).count() == n_del
+    # and every earlier state is still time-travelable
+    assert log.read(spark, version=2).count() == n_all
+    assert log.read(spark, version=1).count() == n_del
+
+
+def test_dv_on_partitioned_table_with_escapable_values(spark, sf_dir, tmp_path):
+    """ADVICE r9 medium: DV keys are decoded from `_metadata.file_path`
+    (a URI) — on partition dirs whose Hive-escaped names contain '%',
+    ':', spaces, or '+', the URI layer encodes ON TOP of the on-disk
+    escaping, and an undecoded prefix-strip stores keys that mismatch
+    the manifest (dv_state's live-filter silently drops the delete).
+    Exercises the delete, the read, CDF, and the exotic-token
+    compaction path over the same table."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import (
+        optimize_partitioned,
+        read_changes,
+    )
+
+    cats = ["a:b", "sp ace", "pct%v", "plus+v"]
+    rows = [(i, cats[i % 4], float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, cat string, val double")
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    # range split (NOT parity: parity would correlate with i%4 and
+    # leave each partition single-file, making compaction a no-op)
+    log.append_partitioned(
+        df.filter(F.col("id") < 20), F.col("cat"), "catp", writer="i0"
+    )
+    log.append_partitioned(
+        df.filter(F.col("id") >= 20), F.col("cat"), "catp", writer="i1"
+    )
+
+    log.delete_where_dv(spark, F.col("id") % 3 == 0, writer="dv")
+    state = log.dv_state()
+    assert state, "DV attachments were dropped by the live-filter"
+    live = set(log.snapshot_files())
+    assert set(state) <= live
+    # the delete is ACTIVE on every partition, escapable or not
+    got = sorted(r["id"] for r in log.read(spark).collect())
+    assert got == [i for i in range(40) if i % 3 != 0]
+
+    # CDF surfaces exactly the marked rows as deletes
+    ch = read_changes(log, spark, 1, 2)
+    dels = sorted(
+        r["id"] for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [i for i in range(40) if i % 3 == 0]
+
+    # exotic-token compaction merges the vectors instead of
+    # resurrecting them, and reproduces the identical on-disk dirs
+    dirs_before = {
+        next(p for p in f.split(os.sep) if p.startswith("catp="))
+        for f in log.snapshot_files()
+    }
+    optimize_partitioned(log, spark, "catp", target_files_per_partition=1)
+    got = sorted(r["id"] for r in log.read(spark).collect())
+    assert got == [i for i in range(40) if i % 3 != 0]
+    dirs_after = {
+        next(p for p in f.split(os.sep) if p.startswith("catp="))
+        for f in log.snapshot_files()
+    }
+    assert dirs_after == dirs_before
+    assert not log.dv_state()
+    # values roundtrip through the read (decode matches the writer)
+    assert sorted(
+        {r["cat"] for r in log.read(spark).collect()}
+    ) == sorted(cats)
