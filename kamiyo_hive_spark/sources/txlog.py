@@ -2926,67 +2926,108 @@ _register_streaming_sink_query()
 def read_changes(
     log: TxLog, spark: SparkSession, v_from: int, v_to: int
 ) -> DataFrame:
-    """The rows that changed between two snapshots, tagged with a
-    `_change_type` column — the lakehouse change-data-feed shape
-    (Delta CDF at file granularity): rows in files ADDED across the
-    range surface as 'insert', rows in files REMOVED surface as
-    'delete'. A rewrite that carries a row through unchanged emits a
-    delete+insert pair for it — the standard file-granular contract;
-    row-level minimal diffs need column stats or row tracking, which
-    the commits don't carry.
+    """The rows whose VISIBILITY changed between two snapshots, tagged
+    with a `_change_type` column — the lakehouse change-data-feed
+    shape (Delta CDF at file granularity, deletion-vector-aware):
 
-    Scale posture: resolving the two manifests is metadata work; only
-    the CHANGED files are read — the whole point of incremental
-    consumption (a downstream consumer processes the day's delta,
-    never the table)."""
+    - files ADDED across the range surface their rows visible at
+      ``v_to`` as 'insert' (rows hidden by that snapshot's DVs — e.g.
+      a restore that re-adds files WITH reinstated vectors — must not
+      be fed downstream as live);
+    - files REMOVED surface their rows visible at ``v_from`` as
+      'delete' (rows already DV-deleted before the range were never
+      in the consumer's state — re-deleting them would make a signed
+      consumer subtract twice, which is exactly what happened across
+      `materialize_dvs` before this was DV-aware);
+    - files live at BOTH ends surface their DV POSITION DIFF:
+      positions deleted at ``v_to`` but not ``v_from`` as row-granular
+      'delete', positions un-deleted (a restore that rolled a DV
+      delete back) as 'insert'.
+
+    A rewrite that carries a row through unchanged still emits a
+    delete+insert pair for it — the standard file-granular contract;
+    row-level minimal diffs need row tracking the commits don't carry.
+    The telescoping property a signed consumer needs — replaying every
+    version's feed equals a full recompute of the final snapshot —
+    holds across the WHOLE DV lifecycle (delete → materialize →
+    restore), which tests pin.
+
+    Scale posture: resolving the two manifests and the attachment diff
+    is metadata work; only CHANGED files are read, and the DV
+    relations are deleted-row-count-sized broadcasts — the whole point
+    of incremental consumption (a downstream consumer processes the
+    day's delta, never the table)."""
     from pyspark.sql import functions as F
 
     old = set(log.snapshot_files(v_from))
     new = set(log.snapshot_files(v_to))
+    dv_from = log.dv_state(v_from)
+    dv_to = log.dv_state(v_to)
     added = sorted(new - old)
     removed = sorted(old - new)
     parts = []
+
+    def visible(files: list[str], dvs: dict) -> DataFrame:
+        df = spark.read.parquet(*[os.path.join(log.root, f) for f in files])
+        sub = {f: d for f, d in dvs.items() if f in set(files)}
+        return log._apply_dvs(spark, df, sub) if sub else df
+
     if added:
         parts.append(
-            spark.read.parquet(*[os.path.join(log.root, f) for f in added])
-            .withColumn("_change_type", F.lit("insert"))
+            visible(added, dv_to).withColumn("_change_type", F.lit("insert"))
         )
     if removed:
         parts.append(
-            spark.read.parquet(*[os.path.join(log.root, f) for f in removed])
-            .withColumn("_change_type", F.lit("delete"))
+            visible(removed, dv_from).withColumn(
+                "_change_type", F.lit("delete")
+            )
         )
-    # Deletion-vector attachments made IN the range surface as deletes
-    # too (row-granular — DVs name exact positions): only for files
-    # still live at v_to, so a file whose removal already emitted its
-    # rows above is never double-counted.
-    dv_attach: dict = {}
-    for i in range(v_from + 1, v_to + 1):
-        for f, dl in (log._read_commit(i).dvs or {}).items():
-            if f in new:
-                dv_attach.setdefault(f, []).extend(dl)
-    if dv_attach:
-        data_paths = [os.path.join(log.root, f) for f in sorted(dv_attach)]
-        dv_paths = sorted(
-            {os.path.join(log.root, d) for dl in dv_attach.values() for d in dl}
-        )
-        dv = spark.read.parquet(*dv_paths).select("file", "pos")
-        rows = spark.read.parquet(*data_paths)
+    # surviving files whose attachment state changed: row-granular
+    # position diff (both relations are deleted-rows-sized)
+    surv = sorted(
+        f for f in (old & new) if dv_from.get(f) != dv_to.get(f)
+    )
+    if surv:
+        def positions(dvs: dict) -> DataFrame | None:
+            paths = sorted(
+                {os.path.join(log.root, d)
+                 for f in surv for d in dvs.get(f, [])}
+            )
+            if not paths:
+                return None
+            return (
+                spark.read.parquet(*paths)
+                .select("file", "pos")
+                .filter(F.col("file").isin(surv))
+            )
+
+        p_from = positions(dv_from)
+        p_to = positions(dv_to)
+        rows = spark.read.parquet(*[os.path.join(log.root, f) for f in surv])
         cols = rows.columns
         tagged = rows.select(
             *cols,
             log._rel_file_col().alias("_dv_file"),
             F.col("_metadata.row_index").alias("_dv_pos"),
         )
-        parts.append(
-            tagged.join(
-                F.broadcast(dv),
-                (tagged._dv_file == dv.file) & (tagged._dv_pos == dv.pos),
-                "left_semi",
+
+        def diff_rows(a: DataFrame | None, b: DataFrame | None, tag: str):
+            """rows at positions in `a` but not `b`, tagged."""
+            if a is None:
+                return
+            d = a if b is None else a.exceptAll(b)
+            parts.append(
+                tagged.join(
+                    F.broadcast(d),
+                    (tagged._dv_file == d.file) & (tagged._dv_pos == d.pos),
+                    "left_semi",
+                )
+                .select(*cols)
+                .withColumn("_change_type", F.lit(tag))
             )
-            .select(*cols)
-            .withColumn("_change_type", F.lit("delete"))
-        )
+
+        diff_rows(p_to, p_from, "delete")   # newly deleted positions
+        diff_rows(p_from, p_to, "insert")   # un-deleted (restored) rows
     if not parts:
         raise ValueError(f"no changes between v{v_from} and v{v_to}")
     out = parts[0]
@@ -3182,6 +3223,133 @@ def _register_ivm_query() -> None:
 
 
 _register_ivm_query()
+
+
+def _register_dv_ivm_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.plans.registry import register
+
+    DVI_MOD = 89
+
+    @register(
+        "acid_dv_incremental_rollup",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               CAST(5 AS BIGINT) AS n_versions
+        FROM orders
+        WHERE o_custkey % {DVI_MOD} <> 0
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=(
+            "acid",
+            "txlog",
+            "cdc",
+            "incremental-view",
+            "deletion-vectors",
+            "restore",
+            "rollup",
+        ),
+    )
+    def acid_dv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental view maintenance across the DELETION-VECTOR
+        lifecycle (NEW r10): the history is ingest (v0+v1) → DV erasure
+        (v2, row-granular 'delete' feed) → `materialize_dvs` (v3 —
+        whose feed must be a clean delete+insert PAIR set over the
+        VISIBLE rows only; a DV-blind feed emits the already-erased
+        rows as extra deletes and a signed consumer subtracts them
+        twice) → `restore(v2)` (v4 — re-adds the original files WITH
+        reinstated vectors, so its inserts must exclude the erased
+        rows). A per-status rollup is maintained by applying ONLY each
+        version's change feed (inserts add, deletes subtract, exact
+        DECIMAL arithmetic) and the query ASSERTS the maintained state
+        equals a full recompute of the head snapshot before returning
+        it — the telescoping property, which only holds if every feed
+        is deletion-vector-aware on both endpoints. The oracle
+        recomputes the same state from source. At 100 TB this is the
+        incremental consumer surviving the GDPR maintenance loop: the
+        nightly rollup applies the day's delta even when that delta is
+        soft deletes, their materialization, or an incident restore.
+
+        Reference anchor: downstream aggregations over soft-visibility
+        flips (`app/api/swarm/runs/route.ts` status updates) must see
+        mark/unmark transitions, not raw row churn."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_dvivm_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")
+            log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="i1")
+            v = log.delete_where_dv(
+                spark, F.col("o_custkey") % DVI_MOD == 0, writer="gdpr-dv"
+            )
+            if v != 2:
+                raise RuntimeError(f"DV delete landed at v{v}")
+            v = materialize_dvs(log, spark)
+            if v != 3:
+                raise RuntimeError(f"materialize landed at v{v}")
+            v = restore(log, 2, writer="unwind-materialize")
+            if v != 4 or not log.dv_state():
+                raise RuntimeError("restore did not reinstate the vectors")
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+
+        def rollup(df: DataFrame, sign: int) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                (F.count("*") * sign).alias("d_rows"),
+                (F.sum(dec("o_totalprice")) * sign).alias("d_price"),
+            )
+
+        parts = [rollup(log.read(spark, version=0), +1)]
+        for v in range(1, log.version() + 1):
+            changes = read_changes(log, spark, v - 1, v)
+            parts.append(
+                rollup(changes.filter(F.col("_change_type") == "insert"), +1)
+            )
+            parts.append(
+                rollup(changes.filter(F.col("_change_type") == "delete"), -1)
+            )
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        maintained = acc.groupBy("o_orderstatus").agg(
+            F.sum("d_rows").cast("long").alias("n_rows"),
+            F.sum("d_price").cast("double").alias("total_price"),
+        )
+        full = (
+            log.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            )
+        )
+        m_rows = {r["o_orderstatus"]: (r["n_rows"], r["total_price"])
+                  for r in maintained.collect()}
+        f_rows = {r["o_orderstatus"]: (r["n_rows"], r["total_price"])
+                  for r in full.collect()}
+        if m_rows != f_rows:
+            raise RuntimeError(
+                "DV-lifecycle incremental rollup diverged from full "
+                f"recompute: {m_rows} != {f_rows}"
+            )
+        return maintained.withColumn(
+            "n_versions", F.lit(log.version() + 1).cast("long")
+        ).orderBy("o_orderstatus")
+
+
+_register_dv_ivm_query()
 
 
 def _register_schema_evolution_query() -> None:

@@ -23,7 +23,7 @@ NON_QUERY_TOKENS = {
     "rewrite_where", "sample_frames", "parse_avi", "merge_partitioned",
     "optimize_partitioned", "verify_unmoved_keys", "zorder_optimize",
     "materialize_dvs", "delete_where_dv", "_dvs_on", "_conflicts",
-    "dv_state",
+    "dv_state", "read_changes",
 }
 
 # queries registered only when a runtime feature exists (may be absent)

@@ -1774,3 +1774,55 @@ def test_dv_on_partitioned_table_with_escapable_values(spark, sf_dir, tmp_path):
     assert sorted(
         {r["cat"] for r in log.read(spark).collect()}
     ) == sorted(cats)
+
+
+def test_cdf_telescopes_across_dv_lifecycle(spark, sf_dir, tmp_path):
+    """The change feed's telescoping property — replaying every
+    version's feed onto the v0 state equals the final snapshot — must
+    hold across the FULL deletion-vector lifecycle: DV delete,
+    materialize, restore-back (vectors reinstated), a composing second
+    DV, and compaction. Before read_changes was DV-aware, a signed
+    consumer double-subtracted erased rows across materialize_dvs and
+    resurrected them across a DV-reinstating restore."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import (
+        materialize_dvs,
+        optimize,
+        read_changes,
+        restore,
+    )
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(o.filter(F.col("o_orderkey") % 2 == 0), writer="i0")   # v0
+    log.append(o.filter(F.col("o_orderkey") % 2 == 1), writer="i1")   # v1
+    log.delete_where_dv(spark, F.col("o_custkey") % 5 == 0, writer="dv5")  # v2
+    materialize_dvs(log, spark)                                       # v3
+    restore(log, 2, writer="back-to-dv")                              # v4
+    log.delete_where_dv(spark, F.col("o_orderkey") % 7 == 0, writer="dv7")  # v5
+    optimize(log, spark, target_files=1, writer="compact")            # v6
+
+    def keys(df) -> set:
+        return {r["o_orderkey"] for r in df.select("o_orderkey").collect()}
+
+    state = keys(log.read(spark, version=0))
+    erased5 = keys(o.filter(F.col("o_custkey") % 5 == 0))
+    for v in range(1, log.version() + 1):
+        ch = read_changes(log, spark, v - 1, v)
+        ins = keys(ch.filter(F.col("_change_type") == "insert"))
+        dels = keys(ch.filter(F.col("_change_type") == "delete"))
+        state = (state - dels) | ins
+        if v >= 2:
+            # no erased key ever re-enters the consumer's state
+            assert not (state & erased5), f"erased keys resurfaced at v{v}"
+    assert state == keys(log.read(spark))
+    # and the specific un-delete direction: restoring FROM the DV state
+    # back to v1 surfaces the erased rows as 'insert'
+    restore(log, 1, writer="unwind-everything")                       # v7
+    ch = read_changes(log, spark, 6, 7)
+    ins = keys(ch.filter(F.col("_change_type") == "insert"))
+    dels = keys(ch.filter(F.col("_change_type") == "delete"))
+    state = (state - dels) | ins
+    assert state == keys(o)
