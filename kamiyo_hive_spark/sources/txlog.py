@@ -303,10 +303,44 @@ class TxLog:
         """data_file -> [dv_file, ...] in force at ``version``: DV
         attachments accumulate per data file and fall away the moment
         a rewrite removes the file (its replacement was written
-        without the deleted rows). Pure manifest metadata."""
+        without the deleted rows). Pure manifest metadata.
+
+        Resolution is O(commits since the nearest checkpoint), not
+        O(total commits): checkpoints carry the DV map alongside the
+        file list (r10) — every snapshot read calls this, and a
+        streaming erasure pipeline mints one commit per request batch,
+        so an unbounded replay here would grow every read linearly
+        with erasure history. Checkpointing the LIVE map is lossless:
+        an entry exists only while its file is live (attachments pop
+        at removal; a re-added file's attachments arrive in the
+        re-adding commit's own dvs payload — restore/clone semantics),
+        so the checkpointed map IS the replay state. Pre-r10
+        checkpoints lack the field and fall back to a full replay —
+        never a wrong answer, only a longer walk."""
         v = self.version() if version is None else version
         state: dict = {}
-        for i in range(v + 1):
+        start = 0
+        cp = None
+        lc = self._read_last_checkpoint()
+        if (
+            lc is not None
+            and lc <= v
+            and os.path.exists(self._checkpoint_path(lc))
+        ):
+            cp = lc
+        else:
+            for name in os.listdir(self.logdir):
+                if name.endswith(".checkpoint.json"):
+                    cv = int(name.split(".")[0])
+                    if cv <= v and (cp is None or cv > cp):
+                        cp = cv
+        if cp is not None:
+            with open(self._checkpoint_path(cp)) as fh:
+                d = json.load(fh)
+            if "dvs" in d:  # additive field, absent pre-r10
+                state = {f: list(dl) for f, dl in d["dvs"].items()}
+                start = cp + 1
+        for i in range(start, v + 1):
             c = self._read_commit(i)
             for f in c.removes:
                 state.pop(f, None)
@@ -546,7 +580,19 @@ class TxLog:
         path = self._checkpoint_path(version)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": self.snapshot_files(version)}, fh)
+            json.dump(
+                {
+                    "version": version,
+                    "files": self.snapshot_files(version),
+                    # the in-force DV map and live stats ride along so
+                    # dv_state/file_stats resolution — every snapshot
+                    # read / skipping probe — is bounded by the
+                    # checkpoint interval, not by commit history
+                    "dvs": self.dv_state(version),
+                    "stats": self.file_stats(version),
+                },
+                fh,
+            )
         os.rename(tmp, path)
         # Advance the pointer only forward: a slow writer finishing an
         # OLD checkpoint must not rewind readers onto a longer probe.
@@ -645,11 +691,40 @@ class TxLog:
         """file -> {col: [min, max]} for the snapshot at ``version``:
         replayed from the commits (later add wins for a path — paths
         are uuid-staged, so in practice each file is added once). Pure
-        manifest metadata."""
+        manifest metadata.
+
+        Resolution is O(commits since the nearest checkpoint), same
+        argument as :meth:`dv_state` (r10): checkpoints carry the
+        live-filtered stats map, which is lossless because any commit
+        that re-references a file carries that file's stats itself —
+        `restore` and `clone` copy the target snapshot's stats into
+        their own payload. Pre-r10 checkpoints lack the field and fall
+        back to the full replay."""
         v = self.version() if version is None else version
         live = set(self.snapshot_files(v))
         out: dict = {}
-        for i in range(v + 1):
+        start = 0
+        cp = None
+        lc = self._read_last_checkpoint()
+        if (
+            lc is not None
+            and lc <= v
+            and os.path.exists(self._checkpoint_path(lc))
+        ):
+            cp = lc
+        else:
+            for name in os.listdir(self.logdir):
+                if name.endswith(".checkpoint.json"):
+                    cv = int(name.split(".")[0])
+                    if cv <= v and (cp is None or cv > cp):
+                        cp = cv
+        if cp is not None:
+            with open(self._checkpoint_path(cp)) as fh:
+                d = json.load(fh)
+            if "stats" in d:  # additive field, absent pre-r10
+                out = {f: st for f, st in d["stats"].items() if f in live}
+                start = cp + 1
+        for i in range(start, v + 1):
             c = self._read_commit(i)
             for f, st in (c.stats or {}).items():
                 if f in live:
@@ -694,8 +769,10 @@ class TxLog:
         stats for ``lo <= col <= hi``: only files whose [min, max] box
         intersects the range reach the scan. Rows still need the
         caller's row-level filter (file granularity, like every
-        skipping implementation)."""
-        self._refuse_dvs("read_stats_pruned", version)
+        skipping implementation). Active deletion vectors on the kept
+        files are MERGED in (r10 — previously an honest refusal gate):
+        stats skipping composes with merge-on-read exactly as in
+        Delta, and the DV anti-join is deleted-rows-sized."""
         keep = self.stats_pruned_files(col, lo, hi, version)
         sch = self.table_schema()
         from pyspark.sql import types as T
@@ -706,9 +783,13 @@ class TxLog:
                 raise ValueError("empty stats-pruned read on a schema-less table")
             return spark.createDataFrame([], styp)
         paths = [os.path.join(self.root, f) for f in keep]
-        if styp is not None:
-            return spark.read.schema(styp).parquet(*paths)
-        return spark.read.parquet(*paths)
+        df = (
+            spark.read.schema(styp).parquet(*paths)
+            if styp is not None
+            else spark.read.parquet(*paths)
+        )
+        dvs = self._dvs_on(keep, version)
+        return self._apply_dvs(spark, df, dvs) if dvs else df
 
     def append_partitioned(
         self, df: DataFrame, layout, spec: str, writer: str = ""
@@ -799,8 +880,10 @@ class TxLog:
         writer can never yank a directory out from under the read (the
         staged-pool rmtree race class is structurally impossible
         here). Rows from unprunable files still need the caller's
-        row-level filter."""
-        self._refuse_dvs("read_pruned", version)
+        row-level filter. Active deletion vectors on the kept files
+        are MERGED in (r10 — previously an honest refusal gate):
+        partition pruning composes with merge-on-read exactly as in
+        Delta, and the DV anti-join is deleted-rows-sized."""
         matching, unprunable = self.pruned_file_sets(spec, values, version)
         keep = matching + unprunable
         sch = self.table_schema()
@@ -812,9 +895,13 @@ class TxLog:
                 raise ValueError("empty pruned read on a schema-less table")
             return spark.createDataFrame([], styp)
         paths = [os.path.join(self.root, f) for f in keep]
-        if styp is not None:
-            return spark.read.schema(styp).parquet(*paths)
-        return spark.read.parquet(*paths)
+        df = (
+            spark.read.schema(styp).parquet(*paths)
+            if styp is not None
+            else spark.read.parquet(*paths)
+        )
+        dvs = self._dvs_on(keep, version)
+        return self._apply_dvs(spark, df, dvs) if dvs else df
 
     def merge_partitioned(
         self,
@@ -1079,14 +1166,6 @@ class TxLog:
         want = set(files)
         return {f: d for f, d in self.dv_state(version).items() if f in want}
 
-    def _refuse_dvs(self, op: str, version: int | None = None) -> None:
-        if self.dv_state(version):
-            raise ValueError(
-                f"{op} on a table with active deletion vectors would "
-                "resurrect soft-deleted rows; run materialize_dvs() "
-                "first (pruned reads do not merge DVs)"
-            )
-
     def clone(self, dest_root: str, version: int | None = None,
               writer: str = "clone") -> "TxLog":
         """ZERO-COPY shallow clone (the Delta/Iceberg CLONE shape): a
@@ -1131,6 +1210,9 @@ class TxLog:
         dest.commit(
             "append", adds=files, read_version=-1,
             writer=writer, schema=sch, spec=spec, dvs=dvs,
+            # skipping stats clone WITH the table — a clone that
+            # dropped them would silently lose data skipping (r10)
+            stats=self.file_stats(v),
         )
         return dest
 
@@ -1684,6 +1766,10 @@ def restore(log: TxLog, version: int, writer: str = "restore",
         # commit (re-)adds; kept files with identical attachments are
         # untouched, so the replay preserves them
         dv_payload = {f: dv_tgt[f] for f in dv_tgt if f in set(adds)}
+        # re-added files carry their stats too, so checkpointed
+        # file_stats resolution stays lossless across restores
+        st_tgt = log.file_stats(version)
+        stats_payload = {f: st_tgt[f] for f in st_tgt if f in set(adds)}
         need = adds + sorted(
             {d for dl in dv_payload.values() for d in dl}
         )
@@ -1710,6 +1796,7 @@ def restore(log: TxLog, version: int, writer: str = "restore",
             return log.commit(
                 "rewrite", adds, removes, read_version=rv,
                 writer=writer, schema=sch, spec=spec, dvs=dv_payload,
+                stats=stats_payload,
             )
         except CommitConflict as e:
             last = e

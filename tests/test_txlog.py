@@ -1348,9 +1348,11 @@ def test_deletion_vectors_soft_delete_and_compose(spark, sf_dir, tmp_path):
     assert log.delete_where_dv(spark, F.col("o_orderkey") < 0) == 3
     assert log.version() == 3
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="deletion vectors"):
-        log.read_stats_pruned(spark, "o_orderkey", 0, 10)
+    # pruned reads MERGE the active vectors (r10 — previously refused):
+    # this table has no commit stats, so every file is kept (never a
+    # false negative) and the read must still hide the deleted rows
+    pruned = log.read_stats_pruned(spark, "o_orderkey", None, None)
+    assert pruned.count() == want2.count()
 
 
 def test_dv_materialize_vacuum_and_clone(spark, sf_dir, tmp_path):
@@ -1755,6 +1757,12 @@ def test_dv_on_partitioned_table_with_escapable_values(spark, sf_dir, tmp_path):
     )
     assert dels == [i for i in range(40) if i % 3 == 0]
 
+    # partition-pruned read merges the vectors on an escapable token
+    pr = sorted(
+        r["id"] for r in log.read_pruned(spark, "catp", ["a:b"]).collect()
+    )
+    assert pr == [i for i in range(40) if i % 4 == 0 and i % 3 != 0]
+
     # exotic-token compaction merges the vectors instead of
     # resurrecting them, and reproduces the identical on-disk dirs
     dirs_before = {
@@ -1826,3 +1834,137 @@ def test_cdf_telescopes_across_dv_lifecycle(spark, sf_dir, tmp_path):
     dels = keys(ch.filter(F.col("_change_type") == "delete"))
     state = (state - dels) | ins
     assert state == keys(o)
+
+
+def test_dv_state_checkpoint_replay_matches_full_replay(tmp_path):
+    """dv_state resolves from the nearest checkpoint (r10: checkpoints
+    carry the in-force DV map) — a streaming erasure pipeline mints one
+    commit per batch, so every snapshot read would otherwise replay the
+    whole erasure history. The checkpointed walk must equal the full
+    replay at EVERY version, including after removals retire
+    attachments and across pre-r10 checkpoints lacking the field."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    live: list[str] = []
+    import random
+
+    rng = random.Random(7)
+    for i in range(2 * CHECKPOINT_EVERY + 5):
+        if i % 4 == 3 and live:
+            # DV attachment on a random live file (file-less commit)
+            victim = rng.choice(live)
+            dv = _touch(root, f"data/dv{i}/p.parquet")
+            log.commit(
+                "rewrite", adds=[], removes=[],
+                read_version=log.version(), dvs={victim: [dv]},
+            )
+        elif i % 7 == 5 and live:
+            # rewrite removes a file (retiring its attachments)
+            victim = live.pop(0)
+            f = _touch(root, f"data/{i}/p.parquet")
+            log.commit(
+                "rewrite", adds=[f], removes=[victim],
+                read_version=log.version(),
+            )
+            live.append(f)
+        else:
+            f = _touch(root, f"data/{i}/p.parquet")
+            log.commit("append", [f])
+            live.append(f)
+    assert any(
+        n.endswith(".checkpoint.json") for n in os.listdir(log.logdir)
+    )
+    latest = log.version()
+    with_cp = {v: log.dv_state(v) for v in range(latest + 1)}
+    assert any(with_cp[latest].values()) or any(
+        d for s in with_cp.values() for d in s.values()
+    )  # the history genuinely carries attachments
+    # force the full no-checkpoint replay and compare at every version
+    for n in list(os.listdir(log.logdir)):
+        if n.endswith(".checkpoint.json"):
+            os.unlink(os.path.join(log.logdir, n))
+    os.unlink(log._last_checkpoint_path())
+    for v in range(latest + 1):
+        assert log.dv_state(v) == with_cp[v], f"divergence at v{v}"
+
+
+def test_dv_state_tolerates_pre_r10_checkpoints(tmp_path):
+    """A checkpoint written before the dvs field existed must fall back
+    to the full replay, never misread an empty DV map."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    f0 = _touch(root, "data/a/p.parquet")
+    log.commit("append", [f0])
+    dv = _touch(root, "data/dv/p.parquet")
+    log.commit(
+        "rewrite", adds=[], removes=[], read_version=0, dvs={f0: [dv]}
+    )
+    for i in range(CHECKPOINT_EVERY):
+        log.commit("append", [_touch(root, f"data/{i}/p.parquet")])
+    cps = [n for n in os.listdir(log.logdir) if n.endswith(".checkpoint.json")]
+    assert cps
+    # strip the dvs field, simulating a pre-r10 checkpoint
+    for n in cps:
+        p = os.path.join(log.logdir, n)
+        d = json.load(open(p))
+        d.pop("dvs", None)
+        json.dump(d, open(p, "w"))
+    assert log.dv_state() == {f0: [dv]}
+
+
+def test_file_stats_survive_checkpoints_restore_and_clone(
+    spark, sf_dir, tmp_path
+):
+    """file_stats resolves from checkpoints (r10) and must equal the
+    full replay; a restore re-adding stats-carrying files reinstates
+    their stats via its own commit payload, and a clone carries the
+    source's stats — both are what make the checkpointed (live-
+    filtered) map lossless, and what keep data skipping alive across
+    incident unwinds and table copies."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import optimize, restore
+
+    root = str(tmp_path / "src")
+    os.makedirs(root)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(
+        o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1),
+        writer="i0", stats_cols=("o_orderkey",),
+    )
+    log.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1),
+        writer="i1", stats_cols=("o_orderkey",),
+    )
+    # push past a checkpoint boundary with stats-less micro-appends
+    tiny = o.limit(1).coalesce(1)
+    for i in range(CHECKPOINT_EVERY):
+        log.append(tiny, writer=f"tiny-{i}")
+    assert any(
+        n.endswith(".checkpoint.json") for n in os.listdir(log.logdir)
+    )
+    st_cp = log.file_stats()
+    assert st_cp and all("o_orderkey" in s for s in st_cp.values())
+    v_ingested = log.version()
+    # checkpointed walk == full replay
+    for n in list(os.listdir(log.logdir)):
+        if n.endswith(".checkpoint.json"):
+            os.unlink(os.path.join(log.logdir, n))
+    os.unlink(log._last_checkpoint_path())
+    assert log.file_stats() == st_cp
+
+    # compaction replaces the stats-carrying files (no stats recorded)
+    optimize(log, spark, target_files=1, writer="compact")
+    assert log.file_stats() == {}
+    # restore re-adds them WITH their stats (payload in the commit)
+    restore(log, v_ingested, writer="unwind")
+    got = log.file_stats()
+    assert {f: got[f] for f in st_cp} == st_cp
+    c = log._read_commit(log.version())
+    assert c.stats  # the payload is in the restore commit itself
+
+    # clone carries the stats map into its v0 commit
+    cl = log.clone(str(tmp_path / "cl"))
+    cl_stats = cl.file_stats()
+    assert {f: cl_stats[f] for f in st_cp} == st_cp
