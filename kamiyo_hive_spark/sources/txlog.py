@@ -1573,6 +1573,19 @@ def optimize(log: TxLog, spark: SparkSession, target_files: int = 2,
         files = log.snapshot_files(rv)
         if len(files) <= target_files and not log.dv_state(rv):
             return rv  # nothing to do
+        # refuse on a partitioned layout rather than silently collapse
+        # it (the rewrite would strip every spec=token path component,
+        # breaking partition pruning for all future readers)
+        specd = [
+            f for f in files
+            if any(p.partition("=")[1] for p in f.split(os.sep))
+        ]
+        if specd:
+            raise ValueError(
+                f"optimize() on a partition-encoded table ({len(specd)} "
+                f"spec'd file(s), first: {specd[0]}) would collapse the "
+                "layout; use optimize_partitioned()"
+            )
         # read THROUGH the log (schema + active deletion vectors
         # merged, same as zorder_optimize): this commit removes every
         # old file, retiring their DV attachments — a raw read would
@@ -1813,8 +1826,24 @@ def materialize_dvs(log: TxLog, spark: SparkSession,
     out of the referenced set, and vacuum collects both. Untouched
     files stay referenced as-is. Run it when accumulated DVs start
     taxing reads (every merge-on-read design pays this rent); cost
-    tracks the DV'd files' bytes, never the table."""
+    tracks the DV'd files' bytes, never the table.
+
+    PARTITION-LAYOUT-PRESERVING (r10): a victim that is path-encoded
+    under a spec gets its replacement staged under the SAME
+    ``spec=token`` directory (tokens copied verbatim in on-disk
+    escaped form, so exotic values survive) — a materialize that
+    restaged partitioned victims flat would silently break pruning
+    and make every later `optimize_partitioned`/`merge_partitioned`
+    refuse on layout purity. Mixed-spec victims (partition evolution)
+    each keep their own encoding."""
     from pyspark.sql import types as T
+
+    def _spec_token(f: str) -> tuple[str, str] | None:
+        for p in f.split(os.sep):
+            k, eq, v = p.partition("=")
+            if eq:
+                return (k, v)
+        return None
 
     last: CommitConflict | None = None
     for _ in range(max_attempts):
@@ -1829,9 +1858,23 @@ def materialize_dvs(log: TxLog, spark: SparkSession,
             if sch
             else spark.read
         )
-        df = reader.parquet(*[os.path.join(log.root, f) for f in victims])
-        replacement = log._apply_dvs(spark, df, dvs)
-        adds = log._write_stage(replacement, log.stage_dir())
+        groups: dict = {}
+        for f in victims:
+            groups.setdefault(_spec_token(f), []).append(f)
+        rel = log.stage_dir()
+        adds: list[str] = []
+        for key in sorted(groups, key=lambda k: ("", "") if k is None else k):
+            files = groups[key]
+            df = reader.parquet(*[os.path.join(log.root, f) for f in files])
+            rep = log._apply_dvs(spark, df, {f: dvs[f] for f in files})
+            sub = rel if key is None else os.path.join(rel, f"{key[0]}={key[1]}")
+            out = os.path.join(log.root, sub)
+            rep.write.mode("overwrite").parquet(out)
+            adds += sorted(
+                os.path.join(sub, fn)
+                for fn in os.listdir(out)
+                if fn.endswith(".parquet")
+            )
         try:
             return log.commit(
                 "rewrite", adds, removes=victims, read_version=rv,
@@ -2399,6 +2442,21 @@ def zorder_optimize(
         files = log.snapshot_files(rv)
         if not files:
             raise ValueError("cannot Z-order an empty table")
+        # same collapse guard as optimize(): a Z-order rewrite strips
+        # spec=token path components — refuse on a partitioned layout
+        # (run it per-partition-range instead, which also bounds the
+        # commit's blast radius at warehouse scale)
+        specd = [
+            f for f in files
+            if any(p.partition("=")[1] for p in f.split(os.sep))
+        ]
+        if specd:
+            raise ValueError(
+                f"zorder_optimize on a partition-encoded table "
+                f"({len(specd)} spec'd file(s), first: {specd[0]}) would "
+                "collapse the layout; Z-order each partition's file "
+                "range separately"
+            )
         df = log.read(spark, rv)
         aggs = []
         for c in cols:

@@ -1968,3 +1968,80 @@ def test_file_stats_survive_checkpoints_restore_and_clone(
     cl = log.clone(str(tmp_path / "cl"))
     cl_stats = cl.file_stats()
     assert {f: cl_stats[f] for f in st_cp} == st_cp
+
+
+def test_materialize_preserves_partition_layout_and_collapse_guards(
+    spark, sf_dir, tmp_path
+):
+    """materialize_dvs on a partitioned table must restage each victim
+    under its own spec=token directory (flat restaging would break
+    pruning and make every later layout-pure op refuse), and the
+    layout-collapsing rewrites — plain optimize() and zorder_optimize —
+    must refuse on a partition-encoded table instead of silently
+    stripping the layout."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import (
+        materialize_dvs,
+        optimize,
+        optimize_partitioned,
+        zorder_optimize,
+    )
+
+    root = str(tmp_path / "a")
+    os.makedirs(root)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    log.append_partitioned(o, layout, "shard", writer="base")
+    log.delete_where_dv(spark, F.col("o_custkey") % 7 == 0, writer="dv")
+
+    with _pytest.raises(ValueError, match="collapse"):
+        optimize(log, spark, target_files=1)
+    with _pytest.raises(ValueError, match="collapse"):
+        zorder_optimize(log, spark, ("o_orderkey", "o_custkey"))
+
+    dirs_before = {
+        next(p for p in f.split(os.sep) if p.startswith("shard="))
+        for f in log.snapshot_files()
+    }
+    materialize_dvs(log, spark)
+    assert not log.dv_state()
+    want = o.filter(F.col("o_custkey") % 7 != 0)
+    assert log.read(spark).count() == want.count()
+    live = log.snapshot_files()
+    assert all(
+        any(p.startswith("shard=") for p in f.split(os.sep)) for f in live
+    )
+    assert {
+        next(p for p in f.split(os.sep) if p.startswith("shard="))
+        for f in live
+    } == dirs_before
+    # layout purity holds: the partition-pure maintenance ops accept it
+    optimize_partitioned(log, spark, "shard", target_files_per_partition=1)
+    assert log.read(spark).count() == want.count()
+
+    # exotic (escapable) tokens are copied verbatim through materialize
+    root2 = str(tmp_path / "b")
+    os.makedirs(root2)
+    log2 = TxLog.init(root2)
+    cats = ["a:b", "sp ace", "pct%v", "plus+v"]
+    df = spark.createDataFrame(
+        [(i, cats[i % 4], float(i)) for i in range(40)],
+        "id long, cat string, val double",
+    )
+    log2.append_partitioned(df, F.col("cat"), "catp", writer="i0")
+    log2.delete_where_dv(spark, F.col("id") % 3 == 0, writer="dv")
+    dirs2 = {
+        next(p for p in f.split(os.sep) if p.startswith("catp="))
+        for f in log2.snapshot_files()
+    }
+    materialize_dvs(log2, spark)
+    assert not log2.dv_state()
+    assert sorted(r["id"] for r in log2.read(spark).collect()) == [
+        i for i in range(40) if i % 3 != 0
+    ]
+    assert {
+        next(p for p in f.split(os.sep) if p.startswith("catp="))
+        for f in log2.snapshot_files()
+    } == dirs2
