@@ -792,7 +792,8 @@ class TxLog:
         return self._apply_dvs(spark, df, dvs) if dvs else df
 
     def append_partitioned(
-        self, df: DataFrame, layout, spec: str, writer: str = ""
+        self, df: DataFrame, layout, spec: str, writer: str = "",
+        stats_cols=(),
     ) -> int:
         """Append under a PARTITION SPEC: rows land in
         ``<stage>/<spec>=<value>/`` directories keyed by the ``layout``
@@ -825,6 +826,11 @@ class TxLog:
             if f.endswith(".parquet")
         )
         _reject_null_partitions(adds, spec)
+        stats = (
+            collect_file_stats(self.root, adds, stats_cols)
+            if stats_cols
+            else None
+        )
         return self.commit(
             "append",
             adds,
@@ -832,6 +838,7 @@ class TxLog:
             writer=writer,
             schema=sch,
             spec=spec,
+            stats=stats,
         )
 
     def pruned_file_sets(
@@ -2395,6 +2402,38 @@ def _register_dv_maintenance_query() -> None:
 _register_dv_maintenance_query()
 
 
+def _morton_z(row, cols, bits: int):
+    """Morton z-value Column from driver-collected per-column
+    ``[min, max]`` bounds (``row[f"min_{c}"]``/``row[f"max_{c}"]``):
+    per-column equi-width bucket ids via exact integer math, bit-
+    interleaved as a shift/mask expression — whole-stage codegen, no
+    UDF. The LAST column in ``cols`` owns the most-significant
+    interleave position (position ``i*len(cols)+j``), so order the
+    columns by ascending skipping priority."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    nb = 1 << bits
+    terms = []
+    for j, c in enumerate(cols):
+        lo, hi = row[f"min_{c}"], row[f"max_{c}"]
+        span = int(hi) - int(lo) + 1
+        # exact integer bucket 0..nb-1 (DIV, not double division)
+        b = F.expr(
+            f"CAST(((CAST(`{c}` AS BIGINT) - {int(lo)}) * {nb}) "
+            f"DIV {span} AS BIGINT)"
+        )
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    return reduce(lambda a, t: a + t, terms)
+
+
 def zorder_optimize(
     log: TxLog,
     spark: SparkSession,
@@ -2428,14 +2467,11 @@ def zorder_optimize(
     the table — the same cost every OPTIMIZE pays; bucket bounds and
     stats are metadata. Run per-partition-range at warehouse scale to
     bound each commit's blast radius, same as optimize_partitioned."""
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("zorder_optimize needs >= 2 columns")
-    nb = 1 << bits
     last: CommitConflict | None = None
     for _ in range(max_attempts):
         rv = log.version()
@@ -2454,31 +2490,14 @@ def zorder_optimize(
             raise ValueError(
                 f"zorder_optimize on a partition-encoded table "
                 f"({len(specd)} spec'd file(s), first: {specd[0]}) would "
-                "collapse the layout; Z-order each partition's file "
-                "range separately"
+                "collapse the layout; use zorder_optimize_partitioned()"
             )
         df = log.read(spark, rv)
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         row = df.agg(*aggs).collect()[0]
-        terms = []
-        for j, c in enumerate(cols):
-            lo, hi = row[f"min_{c}"], row[f"max_{c}"]
-            span = int(hi) - int(lo) + 1
-            # exact integer bucket 0..nb-1 (DIV, not double division)
-            b = F.expr(
-                f"CAST(((CAST(`{c}` AS BIGINT) - {int(lo)}) * {nb}) "
-                f"DIV {span} AS BIGINT)"
-            )
-            for i in range(bits):
-                terms.append(
-                    F.shiftleft(
-                        F.shiftright(b, i).bitwiseAND(F.lit(1)),
-                        i * len(cols) + j,
-                    )
-                )
-        z = reduce(lambda a, t: a + t, terms)
+        z = _morton_z(row, cols, bits)
         staged = (
             df.withColumn("_z", z)
             .repartitionByRange(target_files, F.col("_z"))
@@ -2496,6 +2515,114 @@ def zorder_optimize(
         except CommitConflict as e:
             last = e
     raise last if last is not None else CommitConflict("zorder_optimize failed")
+
+
+def zorder_optimize_partitioned(
+    log: TxLog,
+    spark: SparkSession,
+    spec: str,
+    cols,
+    target_files_per_partition: int = 8,
+    bits: int = 8,
+    writer: str = "zorder",
+    max_attempts: int = 5,
+) -> int:
+    """Z-ORDER WITHIN each partition (the Delta `OPTIMIZE ... WHERE
+    <partition> ZORDER BY` shape) — recluster every partition's rows
+    along the Morton curve over ``cols`` WITHOUT collapsing the
+    ``spec`` layout: each partition's replacement files stage under
+    the same ``spec=token`` directory (tokens copied verbatim in
+    on-disk escaped form, so exotic values survive), and the commit's
+    adds carry fresh footer stats for ``cols`` — so partition pruning
+    keeps handling the layout key while manifest stats prune on every
+    OTHER named column inside each partition.
+
+    Mechanics: ONE aggregate job collects the global per-column
+    bounds (metadata-sized; global bounds keep it one job — the
+    per-file boxes that drive skipping come from the actual footers
+    either way), then each partition pays one range exchange over its
+    own bytes. Active deletion vectors are merged into each
+    partition's read (every file is removed by the commit, which
+    retires the attachments — the same rule as every structural
+    rewrite). One conflict-checked commit replaces the whole layout
+    atomically; rows are byte-identical before and after.
+
+    Scale posture: cost = one range exchange per partition over that
+    partition's bytes — identical total work to the table-wide
+    Z-order, but partition-pruning survives and each partition's
+    exchange parallelizes independently. At warehouse scale run it
+    over a partition-value range to bound the commit's blast radius,
+    exactly like optimize_partitioned."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("zorder_optimize_partitioned needs >= 2 columns")
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        rv = log.version()
+        by_tok: dict[str, list[str]] = {}
+        for f in log.snapshot_files(rv):
+            vals = [p.partition("=")[2] for p in f.split(os.sep)
+                    if p.partition("=")[0] == spec]
+            if not vals:
+                raise ValueError(
+                    f"zorder_optimize_partitioned('{spec}') on a file not "
+                    f"written under that spec: {f}"
+                )
+            if vals[0] == HIVE_DEFAULT_PARTITION:
+                raise ValueError(
+                    f"zorder_optimize_partitioned('{spec}') on a "
+                    f"NULL-layout partition: {f}"
+                )
+            by_tok.setdefault(vals[0], []).append(f)
+        if not by_tok:
+            raise ValueError("cannot Z-order an empty table")
+        removes = sorted(f for fs in by_tok.values() for f in fs)
+        df_all = log.read(spark, rv)  # DV-merged bounds
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        row = df_all.agg(*aggs).collect()[0]
+        z = _morton_z(row, cols, bits)
+        sch = log.table_schema()
+        reader = (
+            spark.read.schema(T.StructType.fromJson(json.loads(sch)))
+            if sch
+            else spark.read
+        )
+        dvs_all = log.dv_state(rv)
+        rel = log.stage_dir()
+        adds: list[str] = []
+        for tok in sorted(by_tok):
+            part = reader.parquet(
+                *[os.path.join(log.root, f) for f in by_tok[tok]]
+            )
+            dvs = {f: dvs_all[f] for f in by_tok[tok] if f in dvs_all}
+            if dvs:
+                part = log._apply_dvs(spark, part, dvs)
+            sub = os.path.join(rel, f"{spec}={tok}")
+            out = os.path.join(log.root, sub)
+            part.withColumn("_z", z).repartitionByRange(
+                target_files_per_partition, F.col("_z")
+            ).drop("_z").write.mode("overwrite").parquet(out)
+            adds += sorted(
+                os.path.join(sub, fn)
+                for fn in os.listdir(out)
+                if fn.endswith(".parquet")
+            )
+        stats = collect_file_stats(log.root, adds, cols)
+        try:
+            return log.commit(
+                "rewrite", adds, removes, read_version=rv,
+                writer=writer, schema=sch, spec=spec, stats=stats,
+            )
+        except CommitConflict as e:
+            last = e
+    raise last if last is not None else CommitConflict(
+        "zorder_optimize_partitioned failed"
+    )
 
 
 def _register_zorder_query() -> None:
@@ -2642,6 +2769,167 @@ def _register_zorder_query() -> None:
 
 
 _register_zorder_query()
+
+
+def _register_zorder_partitioned_query() -> None:
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.plans.registry import register
+
+    N_ZP_INGEST = 4
+    ZP_FILES_PER_PART = 8
+
+    @register(
+        "acid_zorder_partitioned",
+        oracle=f"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price,
+               TRUE AS custkey_files_skipped,
+               TRUE AS orderkey_files_skipped,
+               TRUE AS prezorder_full_scan,
+               TRUE AS layout_preserved,
+               CAST({N_ZP_INGEST + 1} AS BIGINT) AS n_versions
+        FROM orders
+        WHERE o_custkey BETWEEN
+                (SELECT (30 * max(o_custkey)) // 100 FROM orders)
+            AND (SELECT (45 * max(o_custkey)) // 100 FROM orders)
+        GROUP BY 1
+        ORDER BY o_orderstatus
+        """,
+        tags=(
+            "acid", "txlog", "zorder", "data-skipping", "stats",
+            "partitioned", "maintenance",
+        ),
+    )
+    def acid_zorder_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-ORDER WITHIN partitions (NEW r10 — the Delta `OPTIMIZE ...
+        WHERE <partition> ZORDER BY` shape): orders land as {N}
+        orderkey-RANGED ingest appends PARTITIONED by `o_year`, each
+        commit carrying footer stats — so before reclustering, every
+        (year, range-slice) file spans the full custkey domain and a
+        mid-range custkey predicate can prune NOTHING (manifest-proved
+        at build), while partition pruning already handles the year
+        key. `zorder_optimize_partitioned` then reclusters EACH
+        partition along the Morton curve over (o_orderkey, o_custkey)
+        in ONE conflict-checked commit whose replacement files stay
+        under their `o_year=` directories — partition pruning
+        SURVIVES, which the table-wide Z-order would have destroyed
+        (it refuses on spec'd layouts) — and the same custkey
+        predicate now drops most files from the manifest alone. The
+        hash pins the aggregate (re-layout purity), both
+        post-recluster skipping facts, the pre-recluster full-scan
+        fact, the preserved layout (every live file spec-encoded,
+        year-token set unchanged), and the version count. At 100 TB
+        this is the complete pruning story on one table: layout key
+        by partition, every other selective column by in-partition
+        Z-order + commit stats.
+
+        Reference anchor: the listing index's composite scans
+        (`prisma/migrations` `@@index([teamId])` + `@@index(
+        [createdAt])`) — layout key + secondary key, one clustered
+        layout in the lake."""
+        from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
+
+        out = os.path.join(SCRATCH, f"txlog_zorderp_{os.path.basename(sf_dir)}")
+        source = os.path.join(sf_dir, "orders.parquet")
+        STATS_COLS = ("o_orderkey", "o_custkey")
+
+        def ck_range(o) -> tuple[int, int]:
+            cmax = int(o.agg(F.max("o_custkey")).collect()[0][0])
+            return (30 * cmax) // 100, (45 * cmax) // 100
+
+        def year_tokens(log: TxLog, version=None) -> set:
+            toks = set()
+            for f in log.snapshot_files(version):
+                toks.add(next(
+                    p.partition("=")[2] for p in f.split(os.sep)
+                    if p.partition("=")[0] == "o_year"
+                ))
+            return toks
+
+        def build(tmp: str) -> None:
+            log = TxLog.init(tmp)
+            o = _orders_slim(spark, sf_dir)
+            kmin, kmax = o.agg(
+                F.min("o_orderkey"), F.max("o_orderkey")
+            ).collect()[0]
+            span = int(kmax) - int(kmin) + 1
+            for i in range(N_ZP_INGEST):
+                lo = int(kmin) + (span * i) // N_ZP_INGEST
+                hi = int(kmin) + (span * (i + 1)) // N_ZP_INGEST
+                log.append_partitioned(
+                    o.filter(
+                        (F.col("o_orderkey") >= lo)
+                        & (F.col("o_orderkey") < hi)
+                    ),
+                    layout=F.year(F.col("o_orderdate")),
+                    spec="o_year",
+                    writer=f"ingest-range-{i}",
+                    stats_cols=STATS_COLS,
+                )
+            clo, chi = ck_range(o)
+            total = len(log.snapshot_files())
+            if len(log.stats_pruned_files("o_custkey", clo, chi)) != total:
+                raise RuntimeError(
+                    "pre-zorder custkey skipping should be impossible"
+                )
+            toks_before = year_tokens(log)
+            v = zorder_optimize_partitioned(
+                log, spark, "o_year", STATS_COLS,
+                target_files_per_partition=ZP_FILES_PER_PART,
+            )
+            if v != N_ZP_INGEST:
+                raise RuntimeError(f"zorder landed at v{v}")
+            if year_tokens(log) != toks_before:
+                raise RuntimeError("recluster changed the partition layout")
+            if vacuum(log, retain_versions=1, retain_seconds=0.0) < total:
+                raise RuntimeError("vacuum left ingest fragments behind")
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+        root = ensure_staging(out, source, build)
+        log = TxLog(root)
+        o = _orders_slim(spark, sf_dir)
+        clo, chi = ck_range(o)
+        files = log.snapshot_files()
+        total = len(files)
+        n_ck = len(log.stats_pruned_files("o_custkey", clo, chi))
+        st = log.file_stats()
+        okmins = [s["o_orderkey"][0] for s in st.values() if "o_orderkey" in s]
+        okmaxs = [s["o_orderkey"][1] for s in st.values() if "o_orderkey" in s]
+        kmin, kmax = min(okmins), max(okmaxs)
+        n_ok = len(
+            log.stats_pruned_files("o_orderkey", None, kmin + (kmax - kmin) // 6)
+        )
+        pre_total = len(log.snapshot_files(N_ZP_INGEST - 1))
+        pre_ck = len(
+            log.stats_pruned_files("o_custkey", clo, chi, N_ZP_INGEST - 1)
+        )
+        layout_preserved = all(
+            any(p.partition("=")[0] == "o_year" for p in f.split(os.sep))
+            for f in files
+        ) and year_tokens(log) == year_tokens(log, N_ZP_INGEST - 1)
+        t = log.read_stats_pruned(spark, "o_custkey", clo, chi).filter(
+            F.col("o_custkey").between(clo, chi)
+        )
+        return (
+            t.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum(dec("o_totalprice")).alias("total_price"),
+            )
+            .withColumn("custkey_files_skipped", F.lit(bool(n_ck < total)))
+            .withColumn("orderkey_files_skipped", F.lit(bool(n_ok < total)))
+            .withColumn("prezorder_full_scan", F.lit(bool(pre_ck == pre_total)))
+            .withColumn("layout_preserved", F.lit(bool(layout_preserved)))
+            .withColumn("n_versions", F.lit(log.version() + 1).cast("long"))
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_zorder_partitioned_query()
 
 
 def _register_maintenance_queries() -> None:

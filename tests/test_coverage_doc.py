@@ -23,7 +23,8 @@ NON_QUERY_TOKENS = {
     "rewrite_where", "sample_frames", "parse_avi", "merge_partitioned",
     "optimize_partitioned", "verify_unmoved_keys", "zorder_optimize",
     "materialize_dvs", "delete_where_dv", "_dvs_on", "_conflicts",
-    "dv_state", "read_changes",
+    "dv_state", "read_changes", "zorder_optimize_partitioned",
+    "stats_cols", "append_partitioned",
 }
 
 # queries registered only when a runtime feature exists (may be absent)

@@ -2045,3 +2045,72 @@ def test_materialize_preserves_partition_layout_and_collapse_guards(
         next(p for p in f.split(os.sep) if p.startswith("catp="))
         for f in log2.snapshot_files()
     } == dirs2
+
+
+def test_zorder_partitioned_preserves_layout_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """zorder_optimize_partitioned reclusters WITHIN each partition:
+    the spec=token dirs survive file-for-file, active deletion vectors
+    are merged (not resurrected), both named columns become stats-
+    prunable inside the layout, and the row set is byte-identical
+    minus the soft deletes."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import zorder_optimize_partitioned
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, layout = _shards(spark, sf_dir)
+    # two range-appends -> every shard fragmented, custkey unprunable
+    kmin, kmax = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    mid = (int(kmin) + int(kmax)) // 2
+    log.append_partitioned(
+        o.filter(F.col("o_orderkey") <= mid), layout, "shard",
+        writer="i0", stats_cols=("o_orderkey", "o_custkey"),
+    )
+    log.append_partitioned(
+        o.filter(F.col("o_orderkey") > mid), layout, "shard",
+        writer="i1", stats_cols=("o_orderkey", "o_custkey"),
+    )
+    log.delete_where_dv(spark, F.col("o_custkey") % 7 == 0, writer="dv")
+    want = o.filter(F.col("o_custkey") % 7 != 0)
+
+    cmax = int(o.agg(F.max("o_custkey")).collect()[0][0])
+    clo, chi = (30 * cmax) // 100, (45 * cmax) // 100
+    total_before = len(log.snapshot_files())
+    assert len(log.stats_pruned_files("o_custkey", clo, chi)) == total_before
+
+    dirs_before = {
+        next(p for p in f.split(os.sep) if p.startswith("shard="))
+        for f in log.snapshot_files()
+    }
+    v = zorder_optimize_partitioned(
+        log, spark, "shard", ("o_orderkey", "o_custkey"),
+        target_files_per_partition=8,
+    )
+    assert v == 3
+    assert not log.dv_state()  # vectors merged + retired by the rewrite
+    got = log.read(spark)
+    assert got.filter(F.col("o_custkey") % 7 == 0).count() == 0
+    assert got.count() == want.count()
+    files = log.snapshot_files()
+    assert {
+        next(p for p in f.split(os.sep) if p.startswith("shard="))
+        for f in files
+    } == dirs_before
+    total = len(files)
+    assert len(log.stats_pruned_files("o_custkey", clo, chi)) < total
+    assert len(
+        log.stats_pruned_files(
+            "o_orderkey", None, int(kmin) + (int(kmax) - int(kmin)) // 6
+        )
+    ) < total
+    # the stats-pruned read still merges nothing (DVs retired) and
+    # row-filters to the exact answer
+    t = log.read_stats_pruned(spark, "o_custkey", clo, chi).filter(
+        F.col("o_custkey").between(clo, chi)
+    )
+    assert t.count() == want.filter(
+        F.col("o_custkey").between(clo, chi)
+    ).count()
