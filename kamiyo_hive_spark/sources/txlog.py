@@ -731,6 +731,18 @@ class TxLog:
                     out[f] = st
         return out
 
+    def stats_cols_in_use(self, version: int | None = None) -> tuple:
+        """The columns the table's live manifest carries [min, max]
+        stats for — the stats DISCIPLINE every structural rewrite must
+        preserve: a compaction/merge/materialize that staged new files
+        without re-collecting these would silently kill data skipping
+        for the rewritten range (footer reads on the adds are pure
+        metadata, so preserving it is cheap). Pure manifest walk."""
+        cols: set = set()
+        for st in self.file_stats(version).values():
+            cols.update(st)
+        return tuple(sorted(cols))
+
     def stats_pruned_files(
         self, col: str, lo=None, hi=None, version: int | None = None
     ) -> list[str]:
@@ -1073,10 +1085,12 @@ class TxLog:
                 if f.endswith(".parquet")
             )
             _reject_null_partitions(adds, spec)
+            sc = self.stats_cols_in_use(rv)  # preserve the stats discipline
             try:
                 return self.commit(
                     "rewrite", adds, removes, read_version=rv,
                     writer=writer, schema=sch, spec=spec,
+                    stats=collect_file_stats(self.root, adds, sc) if sc else None,
                 )
             except CommitConflict as e:  # recompute against new snapshot
                 last = e
@@ -1302,10 +1316,13 @@ class TxLog:
                 replacement = transform(rows)
                 sch = self._check_schema(replacement)
                 adds = self._write_stage(replacement, self.stage_dir())
+            sc = self.stats_cols_in_use(rv)  # preserve the stats discipline
             try:
                 return self.commit(
                     "rewrite", adds, removes, read_version=rv, writer=writer,
                     schema=sch,
+                    stats=collect_file_stats(self.root, adds, sc)
+                    if sc and adds else None,
                 )
             except CommitConflict as e:  # recompute against new snapshot
                 last = e
@@ -1601,9 +1618,14 @@ def optimize(log: TxLog, spark: SparkSession, target_files: int = 2,
         # vectors, the Delta OPTIMIZE behavior.
         df = log.read(spark, rv)
         adds = log._write_stage(df.repartition(target_files), log.stage_dir())
+        # preserve the table's stats discipline: re-collect the manifest's
+        # stats columns on the replacement files (footer metadata only),
+        # else one compaction would silently kill data skipping
+        sc = log.stats_cols_in_use(rv)
         try:
             return log.commit(
-                "rewrite", adds, removes=files, read_version=rv, writer=writer
+                "rewrite", adds, removes=files, read_version=rv, writer=writer,
+                stats=collect_file_stats(log.root, adds, sc) if sc else None,
             )
         except CommitConflict as e:
             last = e
@@ -1727,10 +1749,12 @@ def optimize_partitioned(
             for f in fs
             if f.endswith(".parquet")
         )
+        sc = log.stats_cols_in_use(rv)  # preserve the stats discipline
         try:
             return log.commit(
                 "rewrite", adds, removes, read_version=rv,
                 writer=writer, spec=spec,
+                stats=collect_file_stats(log.root, adds, sc) if sc else None,
             )
         except CommitConflict as e:
             last = e
@@ -1882,10 +1906,12 @@ def materialize_dvs(log: TxLog, spark: SparkSession,
                 for fn in os.listdir(out)
                 if fn.endswith(".parquet")
             )
+        sc = log.stats_cols_in_use(rv)  # preserve the stats discipline
         try:
             return log.commit(
                 "rewrite", adds, removes=victims, read_version=rv,
                 writer=writer, schema=sch,
+                stats=collect_file_stats(log.root, adds, sc) if sc else None,
             )
         except CommitConflict as e:
             last = e
@@ -2506,7 +2532,11 @@ def zorder_optimize(
         sch = log._check_schema(staged)
         rel = log.stage_dir()
         adds = log._write_stage(staged, rel)
-        stats = collect_file_stats(log.root, adds, cols)
+        # fresh stats for the Z-order columns PLUS whatever columns the
+        # manifest already carried (preserve the stats discipline)
+        stats = collect_file_stats(
+            log.root, adds, sorted(set(cols) | set(log.stats_cols_in_use(rv)))
+        )
         try:
             return log.commit(
                 "rewrite", adds, removes=files, read_version=rv,
@@ -2612,7 +2642,9 @@ def zorder_optimize_partitioned(
                 for fn in os.listdir(out)
                 if fn.endswith(".parquet")
             )
-        stats = collect_file_stats(log.root, adds, cols)
+        stats = collect_file_stats(
+            log.root, adds, sorted(set(cols) | set(log.stats_cols_in_use(rv)))
+        )
         try:
             return log.commit(
                 "rewrite", adds, removes, read_version=rv,

@@ -1954,10 +1954,13 @@ def test_file_stats_survive_checkpoints_restore_and_clone(
     os.unlink(log._last_checkpoint_path())
     assert log.file_stats() == st_cp
 
-    # compaction replaces the stats-carrying files (no stats recorded)
+    # compaction preserves the stats discipline (r10): the replacement
+    # file carries fresh footer stats for the in-use columns
     optimize(log, spark, target_files=1, writer="compact")
-    assert log.file_stats() == {}
-    # restore re-adds them WITH their stats (payload in the commit)
+    st_opt = log.file_stats()
+    assert st_opt and all("o_orderkey" in s for s in st_opt.values())
+    assert not (set(st_opt) & set(st_cp))  # genuinely new files
+    # restore re-adds the ingest files WITH their stats (payload)
     restore(log, v_ingested, writer="unwind")
     got = log.file_stats()
     assert {f: got[f] for f in st_cp} == st_cp
@@ -2114,3 +2117,52 @@ def test_zorder_partitioned_preserves_layout_and_prunes(
     assert t.count() == want.filter(
         F.col("o_custkey").between(clo, chi)
     ).count()
+
+
+def test_rewrites_preserve_stats_discipline(spark, sf_dir, tmp_path):
+    """A table whose manifest carries [min, max] stats must keep them
+    through every structural rewrite: compaction, partitioned
+    compaction, merge, DV materialization, and copy-on-write rewrites
+    re-collect the in-use columns on their replacement files (footer
+    metadata only) — otherwise one maintenance pass silently kills
+    data skipping for the rewritten range."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import materialize_dvs, optimize
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    o, _ = _shards(spark, sf_dir)
+    log.append(
+        o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1),
+        writer="i0", stats_cols=("o_orderkey",),
+    )
+    log.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1),
+        writer="i1", stats_cols=("o_orderkey",),
+    )
+    assert log.stats_cols_in_use() == ("o_orderkey",)
+
+    # compaction keeps the discipline
+    optimize(log, spark, target_files=1, writer="compact")
+    st = log.file_stats()
+    assert st and all("o_orderkey" in s for s in st.values())
+
+    # DV materialize keeps it
+    log.delete_where_dv(spark, F.col("o_custkey") % 5 == 0, writer="dv")
+    materialize_dvs(log, spark)
+    st = log.file_stats()
+    assert st and all("o_orderkey" in s for s in st.values())
+
+    # copy-on-write rewrite keeps it
+    log.rewrite_where(
+        spark,
+        F.col("o_custkey") % 3 == 0,
+        lambda rows: rows.filter(F.col("o_custkey") % 3 != 0),
+        writer="rw",
+    )
+    st = log.file_stats()
+    assert st and all("o_orderkey" in s for s in st.values())
+    # and skipping still works end-to-end on the maintained table
+    kmax = max(s["o_orderkey"][1] for s in st.values())
+    assert len(log.stats_pruned_files("o_orderkey", kmax + 1, None)) == 0
