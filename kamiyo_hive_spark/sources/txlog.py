@@ -178,6 +178,23 @@ def collect_file_stats(root: str, files: list[str], cols) -> dict:
     return out
 
 
+def _spec_token(f: str) -> tuple[str, str] | None:
+    """(key, on-disk escaped value) of the first ``key=value`` path
+    component of a root-relative file path, or None for a flat
+    (unpartitioned) layout. Whole-path-component matching, the same
+    load-bearing rule as :meth:`TxLog.pruned_files`: values are
+    Hive-escaped on write, so the first '=' in a component is always
+    the layout separator. Single source of truth for the "is this
+    file partition-encoded?" question — `optimize`/`zorder_optimize`
+    layout-collapse guards and `materialize_dvs`' per-spec restaging
+    all parse through here."""
+    for p in f.split(os.sep):
+        k, eq, v = p.partition("=")
+        if eq:
+            return (k, v)
+    return None
+
+
 def _reject_null_partitions(adds: list[str], spec: str) -> None:
     """Refuse a partitioned write that produced a NULL-layout directory
     (Spark encodes NULL as ``__HIVE_DEFAULT_PARTITION__``): a NULL
@@ -204,6 +221,12 @@ class TxLog:
     def __init__(self, root: str):
         self.root = root
         self.logdir = os.path.join(root, "_txlog")
+        # one-entry parse cache for the newest checkpoint consulted:
+        # a checkpoint file is immutable once renamed into place, so
+        # caching by version is always safe; one entry bounds memory
+        # while serving the hot path (every read of a snapshot at-or-
+        # after the newest checkpoint parses the same JSON).
+        self._cp_cache: tuple[int, dict] | None = None
 
     # -- bootstrap ----------------------------------------------------
 
@@ -259,6 +282,37 @@ class TxLog:
             d = json.load(fh)
         return Commit(**d)
 
+    def _nearest_checkpoint(self, v: int) -> tuple[int, dict] | tuple[None, None]:
+        """(version, parsed payload) of the nearest checkpoint at-or-
+        below ``v``, or (None, None). The `_last_checkpoint` pointer
+        answers directly for reads at-or-after the newest checkpoint
+        (the hot path); time travel behind it falls back to a
+        directory scan. Shared by every replay (`snapshot_files`,
+        `dv_state`, `file_stats`) so the lc-pointer/listdir-fallback
+        subtlety lives in exactly one place."""
+        cp = None
+        lc = self._read_last_checkpoint()
+        if (
+            lc is not None
+            and lc <= v
+            and os.path.exists(self._checkpoint_path(lc))
+        ):
+            cp = lc
+        else:
+            for name in os.listdir(self.logdir):
+                if name.endswith(".checkpoint.json"):
+                    cv = int(name.split(".")[0])
+                    if cv <= v and (cp is None or cv > cp):
+                        cp = cv
+        if cp is None:
+            return None, None
+        if self._cp_cache is not None and self._cp_cache[0] == cp:
+            return cp, self._cp_cache[1]
+        with open(self._checkpoint_path(cp)) as fh:
+            d = json.load(fh)
+        self._cp_cache = (cp, d)
+        return cp, d
+
     def snapshot_files(self, version: int | None = None) -> list[str]:
         """Root-relative live file list at ``version`` (default: latest),
         replayed from the nearest checkpoint at-or-below it."""
@@ -267,28 +321,11 @@ class TxLog:
             return []
         if not os.path.exists(self._commit_path(v)):
             raise ValueError(f"no commit {v} in {self.logdir}")
-        # Find the nearest checkpoint <= v: the `_last_checkpoint`
-        # pointer answers directly for reads at-or-after the newest
-        # checkpoint (the hot path); time travel behind it falls back
-        # to a directory scan.
         start, files = 0, set()
-        lc = self._read_last_checkpoint()
-        if (
-            lc is not None
-            and lc <= v
-            and os.path.exists(self._checkpoint_path(lc))
-        ):
-            start = lc + 1
-            with open(self._checkpoint_path(lc)) as fh:
-                files = set(json.load(fh)["files"])
-        else:
-            for name in os.listdir(self.logdir):
-                if name.endswith(".checkpoint.json"):
-                    cv = int(name.split(".")[0])
-                    if start <= cv + 1 and cv <= v:
-                        start = cv + 1
-                        with open(os.path.join(self.logdir, name)) as fh:
-                            files = set(json.load(fh)["files"])
+        cp, d = self._nearest_checkpoint(v)
+        if cp is not None:
+            start = cp + 1
+            files = set(d["files"])
         for i in range(start, v + 1):
             c = self._read_commit(i)
             files.difference_update(c.removes)
@@ -299,7 +336,7 @@ class TxLog:
         """All commits, oldest first — pure metadata read, O(version)."""
         return [self._read_commit(v) for v in range(self.version() + 1)]
 
-    def dv_state(self, version: int | None = None) -> dict:
+    def dv_state(self, version: int | None = None, _live=None) -> dict:
         """data_file -> [dv_file, ...] in force at ``version``: DV
         attachments accumulate per data file and fall away the moment
         a rewrite removes the file (its replacement was written
@@ -320,34 +357,18 @@ class TxLog:
         v = self.version() if version is None else version
         state: dict = {}
         start = 0
-        cp = None
-        lc = self._read_last_checkpoint()
-        if (
-            lc is not None
-            and lc <= v
-            and os.path.exists(self._checkpoint_path(lc))
-        ):
-            cp = lc
-        else:
-            for name in os.listdir(self.logdir):
-                if name.endswith(".checkpoint.json"):
-                    cv = int(name.split(".")[0])
-                    if cv <= v and (cp is None or cv > cp):
-                        cp = cv
-        if cp is not None:
-            with open(self._checkpoint_path(cp)) as fh:
-                d = json.load(fh)
-            if "dvs" in d:  # additive field, absent pre-r10
-                state = {f: list(dl) for f, dl in d["dvs"].items()}
-                start = cp + 1
+        cp, d = self._nearest_checkpoint(v)
+        if cp is not None and "dvs" in d:  # additive field, absent pre-r10
+            state = {f: list(dl) for f, dl in d["dvs"].items()}
+            start = cp + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
             for f in c.removes:
                 state.pop(f, None)
             for f, dvf in (c.dvs or {}).items():
                 state.setdefault(f, []).extend(dvf)
-        live = set(self.snapshot_files(v))
-        return {f: d for f, d in state.items() if f in live}
+        live = set(self.snapshot_files(v)) if _live is None else _live
+        return {f: dl for f, dl in state.items() if f in live}
 
     def _file_prefix(self) -> str:
         """The `_metadata.file_path` prefix for this table root —
@@ -579,17 +600,28 @@ class TxLog:
         # Same atomic publication rule as commits: build aside, rename.
         path = self._checkpoint_path(version)
         tmp = f"{path}.tmp.{os.getpid()}"
+        # One manifest replay feeds all three payload maps (the file
+        # list is computed once and passed as the live filter); the DV
+        # map and stats ride along so dv_state/file_stats resolution —
+        # every snapshot read / skipping probe — is bounded by the
+        # checkpoint interval, not by commit history. Stats are
+        # checkpointed CUMULATIVELY (see file_stats), pruned only of
+        # paths vacuum has unlinked — those can never be re-referenced.
+        files = self.snapshot_files(version)
+        live = set(files)
+        raw_stats = self.file_stats(version, _raw=True)
         with open(tmp, "w") as fh:
             json.dump(
                 {
                     "version": version,
-                    "files": self.snapshot_files(version),
-                    # the in-force DV map and live stats ride along so
-                    # dv_state/file_stats resolution — every snapshot
-                    # read / skipping probe — is bounded by the
-                    # checkpoint interval, not by commit history
-                    "dvs": self.dv_state(version),
-                    "stats": self.file_stats(version),
+                    "files": files,
+                    "dvs": self.dv_state(version, _live=live),
+                    "stats": {
+                        f: st
+                        for f, st in raw_stats.items()
+                        if f in live
+                        or os.path.exists(os.path.join(self.root, f))
+                    },
                 },
                 fh,
             )
@@ -687,7 +719,9 @@ class TxLog:
 
     # -- stats-based data skipping --------------------------------------
 
-    def file_stats(self, version: int | None = None) -> dict:
+    def file_stats(
+        self, version: int | None = None, _live=None, _raw: bool = False
+    ) -> dict:
         """file -> {col: [min, max]} for the snapshot at ``version``:
         replayed from the commits (later add wins for a path — paths
         are uuid-staged, so in practice each file is added once). Pure
@@ -695,41 +729,33 @@ class TxLog:
 
         Resolution is O(commits since the nearest checkpoint), same
         argument as :meth:`dv_state` (r10): checkpoints carry the
-        live-filtered stats map, which is lossless because any commit
-        that re-references a file carries that file's stats itself —
-        `restore` and `clone` copy the target snapshot's stats into
-        their own payload. Pre-r10 checkpoints lack the field and fall
-        back to the full replay."""
+        CUMULATIVE stats map (every path ever statted, later add
+        wins), NOT a live-filtered one — a file removed before the
+        checkpoint and later re-added by a commit WITHOUT a stats
+        payload must still resolve to its original stats, exactly as
+        the full replay does (live-filtering at checkpoint time would
+        silently degrade skipping for that file; never a wrong answer,
+        but a contract drift). The live filter is applied at RETURN
+        time only. Dead-path entries cost a few bytes each in the
+        checkpoint; a checkpoint drops any whose path vacuum has
+        already unlinked (a gone file can never be re-referenced —
+        re-adds stage new uuid paths). Pre-r10 checkpoints lack the
+        field and fall back to the full replay."""
         v = self.version() if version is None else version
-        live = set(self.snapshot_files(v))
         out: dict = {}
         start = 0
-        cp = None
-        lc = self._read_last_checkpoint()
-        if (
-            lc is not None
-            and lc <= v
-            and os.path.exists(self._checkpoint_path(lc))
-        ):
-            cp = lc
-        else:
-            for name in os.listdir(self.logdir):
-                if name.endswith(".checkpoint.json"):
-                    cv = int(name.split(".")[0])
-                    if cv <= v and (cp is None or cv > cp):
-                        cp = cv
-        if cp is not None:
-            with open(self._checkpoint_path(cp)) as fh:
-                d = json.load(fh)
-            if "stats" in d:  # additive field, absent pre-r10
-                out = {f: st for f, st in d["stats"].items() if f in live}
-                start = cp + 1
+        cp, d = self._nearest_checkpoint(v)
+        if cp is not None and "stats" in d:  # additive field, absent pre-r10
+            out = dict(d["stats"])
+            start = cp + 1
         for i in range(start, v + 1):
             c = self._read_commit(i)
             for f, st in (c.stats or {}).items():
-                if f in live:
-                    out[f] = st
-        return out
+                out[f] = st
+        if _raw:
+            return out
+        live = set(self.snapshot_files(v)) if _live is None else _live
+        return {f: st for f, st in out.items() if f in live}
 
     def stats_cols_in_use(self, version: int | None = None) -> tuple:
         """The columns the table's live manifest carries [min, max]
@@ -1116,9 +1142,17 @@ class TxLog:
         anti-join on `_metadata.row_index`. DVs on one file COMPOSE
         (later deletes union in); a rewrite of the file (compaction,
         `materialize_dvs`) retires them. Matching no rows commits
-        nothing. Optimistic-retry rewrite-class commit: position sets
-        were derived from a snapshot, so ANY intervening commit aborts
-        and the delete recomputes."""
+        nothing — including rows that are ALREADY soft-deleted: the
+        hit scan anti-joins the active vectors first, so an
+        overlapping predicate (an idempotent GDPR re-run) never mints
+        a duplicate (file, pos) into a second sidecar. Without that,
+        `read_changes`' multiset position diff would let one copy of
+        the duplicate survive the subtraction and emit a spurious
+        row-granular 'delete' for a row whose visibility never changed
+        — a signed incremental consumer would subtract it twice.
+        Optimistic-retry rewrite-class commit: position sets were
+        derived from a snapshot, so ANY intervening commit aborts and
+        the delete recomputes."""
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
@@ -1145,6 +1179,19 @@ class TxLog:
                     F.col("_metadata.row_index").alias("pos"),
                 )
             )
+            # Exclude positions already covered by an in-force vector:
+            # re-marking them would duplicate (file, pos) across
+            # sidecars and corrupt the CDF position diff. Both sides
+            # are deleted-row-count-sized — broadcast anti-join.
+            active = self.dv_state(rv)
+            if active:
+                prior = spark.read.parquet(*sorted(
+                    {os.path.join(self.root, d)
+                     for dl in active.values() for d in dl}
+                )).select("file", "pos")
+                hits = hits.join(
+                    F.broadcast(prior), ["file", "pos"], "left_anti"
+                )
             rel = self.stage_dir()
             out = os.path.join(self.root, rel)
             hits.coalesce(1).write.mode("overwrite").parquet(out)
@@ -1600,10 +1647,7 @@ def optimize(log: TxLog, spark: SparkSession, target_files: int = 2,
         # refuse on a partitioned layout rather than silently collapse
         # it (the rewrite would strip every spec=token path component,
         # breaking partition pruning for all future readers)
-        specd = [
-            f for f in files
-            if any(p.partition("=")[1] for p in f.split(os.sep))
-        ]
+        specd = [f for f in files if _spec_token(f) is not None]
         if specd:
             raise ValueError(
                 f"optimize() on a partition-encoded table ({len(specd)} "
@@ -1868,13 +1912,6 @@ def materialize_dvs(log: TxLog, spark: SparkSession,
     refuse on layout purity. Mixed-spec victims (partition evolution)
     each keep their own encoding."""
     from pyspark.sql import types as T
-
-    def _spec_token(f: str) -> tuple[str, str] | None:
-        for p in f.split(os.sep):
-            k, eq, v = p.partition("=")
-            if eq:
-                return (k, v)
-        return None
 
     last: CommitConflict | None = None
     for _ in range(max_attempts):
@@ -2508,10 +2545,7 @@ def zorder_optimize(
         # spec=token path components — refuse on a partitioned layout
         # (run it per-partition-range instead, which also bounds the
         # commit's blast radius at warehouse scale)
-        specd = [
-            f for f in files
-            if any(p.partition("=")[1] for p in f.split(os.sep))
-        ]
+        specd = [f for f in files if _spec_token(f) is not None]
         if specd:
             raise ValueError(
                 f"zorder_optimize on a partition-encoded table "

@@ -1918,9 +1918,10 @@ def test_file_stats_survive_checkpoints_restore_and_clone(
     """file_stats resolves from checkpoints (r10) and must equal the
     full replay; a restore re-adding stats-carrying files reinstates
     their stats via its own commit payload, and a clone carries the
-    source's stats — both are what make the checkpointed (live-
-    filtered) map lossless, and what keep data skipping alive across
-    incident unwinds and table copies."""
+    source's stats — both keep data skipping alive across incident
+    unwinds and table copies (the checkpointed map is CUMULATIVE, so
+    even a stats-less re-add resolves; see
+    test_checkpoint_stats_survive_remove_then_statless_readd)."""
     from pyspark.sql import functions as F
 
     from kamiyo_hive_spark.sources.txlog import optimize, restore
@@ -2166,3 +2167,78 @@ def test_rewrites_preserve_stats_discipline(spark, sf_dir, tmp_path):
     # and skipping still works end-to-end on the maintained table
     kmax = max(s["o_orderkey"][1] for s in st.values())
     assert len(log.stats_pruned_files("o_orderkey", kmax + 1, None)) == 0
+
+
+def test_overlapping_dv_deletes_are_idempotent(spark, tmp_path):
+    """`delete_where_dv` anti-joins the ACTIVE vectors before staging
+    (r10 review find): an overlapping predicate (an idempotent GDPR
+    re-run) must not re-mark already-deleted positions — a duplicate
+    (file, pos) across sidecars survives `read_changes`' multiset
+    position diff and emits a spurious row-granular 'delete' for a row
+    whose visibility never changed, which a signed incremental
+    consumer subtracts twice. A FULLY-covered re-run commits nothing
+    at all (the documented 'matching no rows commits nothing'
+    contract covers already-erased rows)."""
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import read_changes
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, val double"
+    )
+    log.append(df, writer="i0")                                    # v0
+    log.delete_where_dv(spark, F.col("id") % 2 == 0, writer="d1")  # v1
+    # fully covered by d1: %4==0 ⊂ %2==0 → no commit minted
+    v = log.delete_where_dv(spark, F.col("id") % 4 == 0, writer="d2")
+    assert v == 1 and log.version() == 1
+    # partial overlap: %3==0 newly deletes only the odd multiples
+    log.delete_where_dv(spark, F.col("id") % 3 == 0, writer="d3")  # v2
+    ch = read_changes(log, spark, 1, 2)
+    dels = sorted(
+        r["id"] for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [3, 9, 15]  # 0,6,12,18 were already invisible at v1
+    assert log.read(spark, 1).count() == 10
+    assert log.read(spark, 2).count() == 7
+    # no duplicate (file, pos) across the in-force sidecars
+    dv_paths = sorted(
+        {os.path.join(root, d)
+         for dl in log.dv_state().values()
+         for d in dl}
+    )
+    dv = spark.read.parquet(*dv_paths)
+    assert dv.count() == dv.select("file", "pos").distinct().count() == 13
+
+
+def test_checkpoint_stats_survive_remove_then_statless_readd(tmp_path):
+    """Checkpoints carry the CUMULATIVE stats map (r10 review find): a
+    file removed before a checkpoint and re-added afterwards by a
+    commit WITHOUT a stats payload must still resolve to its original
+    stats, exactly as the full replay does — live-filtering at
+    checkpoint time silently degraded skipping for that file."""
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    f = _touch(root, "data/a/p.parquet")
+    log.commit("append", [f], stats={f: {"c": [1, 5]}})            # v0
+    log.commit(
+        "rewrite", adds=[], removes=[f], read_version=log.version()
+    )                                                              # v1: f dead
+    for i in range(CHECKPOINT_EVERY):
+        log.commit("append", [_touch(root, f"data/{i}/p.parquet")])
+    assert any(
+        n.endswith(".checkpoint.json") for n in os.listdir(log.logdir)
+    )
+    # re-add the SAME path with no stats payload (the full-replay
+    # contract: the v0 stats win because no later add re-statted it)
+    log.commit("append", [f])
+    got = log.file_stats()
+    assert got.get(f) == {"c": [1, 5]}
+    # checkpointed walk == full replay
+    for n in list(os.listdir(log.logdir)):
+        if n.endswith(".checkpoint.json"):
+            os.unlink(os.path.join(log.logdir, n))
+    os.unlink(log._last_checkpoint_path())
+    log._cp_cache = None
+    assert log.file_stats() == got
