@@ -2242,3 +2242,57 @@ def test_checkpoint_stats_survive_remove_then_statless_readd(tmp_path):
     os.unlink(log._last_checkpoint_path())
     log._cp_cache = None
     assert log.file_stats() == got
+
+
+def test_racing_dv_deletes_compose(spark, tmp_path):
+    """Two DV deletes with OVERLAPPING predicates race: the loser's
+    commit must conflict (a DV commit is never partition-disjoint —
+    r10 `_conflicts` rule), and its retry must recompute against the
+    winner's vectors (r10 idempotency rule), so the losing sidecar
+    carries ONLY the genuinely-new positions. The composed visibility
+    equals the sequential application."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    log = TxLog.init(root)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, val double"
+    )
+    log.append(df, writer="i0")                                    # v0
+
+    raced = {"done": False, "dv_commits": 0}
+    orig_commit = log.commit
+
+    def racing_commit(op, adds, removes=None, **kw):
+        if kw.get("dvs"):
+            raced["dv_commits"] += 1
+            if not raced["done"]:
+                raced["done"] = True
+                # the racer lands an overlapping delete FIRST through
+                # an independent handle (a second writer process)
+                TxLog(root).delete_where_dv(
+                    spark, F.col("id") % 2 == 0, writer="racer"
+                )
+        return orig_commit(op, adds, removes, **kw)
+
+    log.commit = racing_commit
+    log.delete_where_dv(spark, F.col("id") % 3 == 0, writer="loser")
+    log.commit = orig_commit
+
+    # v1 = racer, v2 = loser's retried commit; first attempt conflicted
+    assert log.version() == 2
+    assert raced["dv_commits"] == 2  # attempt + retry (racer used its own handle)
+    vis = sorted(r["id"] for r in log.read(spark).collect())
+    assert vis == [i for i in range(30) if i % 2 and i % 3]
+    # the loser's sidecar carries only the odd multiples of 3
+    c2 = log._read_commit(2)
+    assert c2.writer == "loser"
+    dv_rel = sorted({d for dl in c2.dvs.values() for d in dl})
+    import pyarrow.parquet as pq
+
+    pos = pq.read_table(os.path.join(root, dv_rel[0]))
+    import collections
+
+    pairs = list(zip(pos.column("file").to_pylist(),
+                     pos.column("pos").to_pylist()))
+    assert len(pairs) == len(set(pairs)) == 5  # 3, 9, 15, 21, 27
