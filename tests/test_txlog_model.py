@@ -92,8 +92,7 @@ def test_checkpointed_replay_equals_model(steps):
         log = TxLog.init(root)
         model = _Model()
         live: list[str] = []
-        dead: list[str] = []  # (file, stats-it-had) candidates for re-add
-        dead_stats: dict = {}
+        dead: list[str] = []  # removed paths, candidates for re-add
         n = 0
 
         for op, seed, with_stats in steps:
@@ -116,7 +115,6 @@ def test_checkpointed_replay_equals_model(steps):
                 )
                 model.apply([f], [victim], stats, None)
                 dead.append(victim)
-                dead_stats[victim] = None
                 live.append(f)
             elif op == "dv":
                 victim = live[seed % len(live)]
@@ -150,3 +148,84 @@ def test_checkpointed_replay_equals_model(steps):
             assert log.file_stats(v) == model.file_stats(v), f"stats@v{v}"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_STEP, min_size=CHECKPOINT_EVERY + 2,
+             max_size=2 * CHECKPOINT_EVERY + 5),
+    st.integers(0, 10**6),
+)
+def test_restore_and_clone_reproduce_model_state(steps, pick):
+    """`restore(v)` must leave (files, dv_state, file_stats) EQUAL to
+    the model's state at v — across arbitrary histories including DV
+    attachments and re-adds — and a `clone` at v must carry all three
+    into its own v0. The restore commit itself replays through the
+    same checkpointed walk as everything else."""
+    from kamiyo_hive_spark.sources.txlog import restore
+
+    root = tempfile.mkdtemp(prefix="txlog_model_r_")
+    clroot = tempfile.mkdtemp(prefix="txlog_model_c_")
+    try:
+        log = TxLog.init(root)
+        model = _Model()
+        live: list[str] = []
+        dead: list[str] = []
+        n = 0
+        for op, seed, with_stats in steps:
+            n += 1
+            if op == "append" or (op in ("rewrite", "dv") and not live) or (
+                op == "readd" and not dead
+            ):
+                f = _touch(root, f"data/a{n}/p.parquet")
+                stats = {f: {"c": [seed % 50, seed % 50 + 5]}} if with_stats else None
+                log.commit("append", [f], stats=stats)
+                model.apply([f], [], stats, None)
+                live.append(f)
+            elif op == "rewrite":
+                victim = live.pop(seed % len(live))
+                f = _touch(root, f"data/r{n}/p.parquet")
+                stats = {f: {"c": [seed % 50, seed % 50 + 5]}} if with_stats else None
+                log.commit(
+                    "rewrite", adds=[f], removes=[victim],
+                    read_version=log.version(), stats=stats,
+                )
+                model.apply([f], [victim], stats, None)
+                dead.append(victim)
+                live.append(f)
+            elif op == "dv":
+                victim = live[seed % len(live)]
+                dv = _touch(root, f"data/dv{n}/p.parquet")
+                log.commit(
+                    "rewrite", adds=[], removes=[],
+                    read_version=log.version(), dvs={victim: [dv]},
+                )
+                model.apply([], [], None, {victim: [dv]})
+            else:
+                f = dead.pop(seed % len(dead))
+                stats = {f: {"c": [seed % 9, seed % 9 + 1]}} if with_stats else None
+                log.commit("append", [f], stats=stats)
+                model.apply([f], [], stats, None)
+                live.append(f)
+
+        latest = log.version()
+        target = pick % (latest + 1)
+
+        # clone BEFORE restore mutates the source history
+        if model.files(target):
+            cl_dir = os.path.join(clroot, "cl")
+            cl = log.clone(cl_dir, version=target)
+            assert set(cl.snapshot_files()) == model.files(target)
+            assert cl.dv_state() == model.dv_state(target)
+            assert cl.file_stats() == model.file_stats(target)
+
+        restore(log, target, writer="model-unwind")
+        assert set(log.snapshot_files()) == model.files(target)
+        assert log.dv_state() == model.dv_state(target)
+        # stats for every file of the target snapshot must be back
+        got = log.file_stats()
+        want = model.file_stats(target)
+        assert {f: got.get(f) for f in want} == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(clroot, ignore_errors=True)
