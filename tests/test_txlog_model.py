@@ -82,26 +82,50 @@ _STEP = st.tuples(
     st.booleans(),  # carry stats?
 )
 
+_STEP_VAC = st.tuples(
+    st.sampled_from(["append", "rewrite", "dv", "readd", "vac"]),
+    st.integers(0, 10**6),
+    st.booleans(),
+)
+
 
 @settings(max_examples=25, deadline=None)
-@given(st.lists(_STEP, min_size=CHECKPOINT_EVERY + 2,
+@given(st.lists(_STEP_VAC, min_size=CHECKPOINT_EVERY + 2,
                 max_size=3 * CHECKPOINT_EVERY + 5))
 def test_checkpointed_replay_equals_model(steps):
+    """Includes interleaved `vacuum` (retain_seconds=0): GC never
+    changes any RETURNED metadata map — it unlinks unreferenced bytes,
+    and the next checkpoint prunes the unlinked paths' stats entries,
+    which can never be re-referenced (re-adds stage new uuid paths; the
+    harness mirrors that by dropping vacuumed paths from the re-add
+    pool)."""
+    from kamiyo_hive_spark.sources.txlog import vacuum
+
     root = tempfile.mkdtemp(prefix="txlog_model_")
     try:
         log = TxLog.init(root)
         model = _Model()
         live: list[str] = []
         dead: list[str] = []  # removed paths, candidates for re-add
+        declared: dict = {}  # path -> first-declared stats (immutable)
         n = 0
 
         for op, seed, with_stats in steps:
             n += 1
+            if op == "vac":
+                vacuum(log, retain_versions=2, retain_seconds=0.0)
+                dead = [
+                    f for f in dead
+                    if os.path.exists(os.path.join(root, f))
+                ]
+                continue
             if op == "append" or (op in ("rewrite", "dv") and not live) or (
                 op == "readd" and not dead
             ):
                 f = _touch(root, f"data/a{n}/p.parquet")
                 stats = {f: {"c": [seed % 50, seed % 50 + 5]}} if with_stats else None
+                if stats:
+                    declared[f] = stats[f]
                 log.commit("append", [f], stats=stats)
                 model.apply([f], [], stats, None)
                 live.append(f)
@@ -109,6 +133,8 @@ def test_checkpointed_replay_equals_model(steps):
                 victim = live.pop(seed % len(live))
                 f = _touch(root, f"data/r{n}/p.parquet")
                 stats = {f: {"c": [seed % 50, seed % 50 + 5]}} if with_stats else None
+                if stats:
+                    declared[f] = stats[f]
                 log.commit(
                     "rewrite", adds=[f], removes=[victim],
                     read_version=log.version(), stats=stats,
@@ -126,7 +152,13 @@ def test_checkpointed_replay_equals_model(steps):
                 model.apply([], [], None, {victim: [dv]})
             else:  # re-add a dead path, restore-style payload or bare
                 f = dead.pop(seed % len(dead))
-                stats = {f: {"c": [seed % 9, seed % 9 + 1]}} if with_stats else None
+                # stats are a pure function of the path's immutable
+                # bytes: a re-add may only carry the ORIGINAL stats
+                # (restore/clone semantics) or none at all
+                stats = (
+                    {f: declared[f]} if with_stats and f in declared
+                    else None
+                )
                 dvs = None
                 if seed % 3 == 0:
                     dv = _touch(root, f"data/dvr{n}/p.parquet")
@@ -137,11 +169,14 @@ def test_checkpointed_replay_equals_model(steps):
 
         latest = log.version()
         assert latest == len(model.commits) - 1
-        # checkpoints genuinely landed (the fast path is exercised)
-        assert any(
-            name.endswith(".checkpoint.json")
-            for name in os.listdir(log.logdir)
-        )
+        # checkpoints genuinely landed once enough commits minted
+        # (vac steps commit nothing, so short histories may stay
+        # below the interval — those still exercise the no-cp path)
+        if latest + 1 >= CHECKPOINT_EVERY:
+            assert any(
+                name.endswith(".checkpoint.json")
+                for name in os.listdir(log.logdir)
+            )
         for v in range(latest + 1):
             assert set(log.snapshot_files(v)) == model.files(v), f"files@v{v}"
             assert log.dv_state(v) == model.dv_state(v), f"dvs@v{v}"
@@ -171,6 +206,7 @@ def test_restore_and_clone_reproduce_model_state(steps, pick):
         model = _Model()
         live: list[str] = []
         dead: list[str] = []
+        declared: dict = {}  # path -> first-declared stats (immutable)
         n = 0
         for op, seed, with_stats in steps:
             n += 1
@@ -179,6 +215,8 @@ def test_restore_and_clone_reproduce_model_state(steps, pick):
             ):
                 f = _touch(root, f"data/a{n}/p.parquet")
                 stats = {f: {"c": [seed % 50, seed % 50 + 5]}} if with_stats else None
+                if stats:
+                    declared[f] = stats[f]
                 log.commit("append", [f], stats=stats)
                 model.apply([f], [], stats, None)
                 live.append(f)
@@ -186,6 +224,8 @@ def test_restore_and_clone_reproduce_model_state(steps, pick):
                 victim = live.pop(seed % len(live))
                 f = _touch(root, f"data/r{n}/p.parquet")
                 stats = {f: {"c": [seed % 50, seed % 50 + 5]}} if with_stats else None
+                if stats:
+                    declared[f] = stats[f]
                 log.commit(
                     "rewrite", adds=[f], removes=[victim],
                     read_version=log.version(), stats=stats,
@@ -203,7 +243,13 @@ def test_restore_and_clone_reproduce_model_state(steps, pick):
                 model.apply([], [], None, {victim: [dv]})
             else:
                 f = dead.pop(seed % len(dead))
-                stats = {f: {"c": [seed % 9, seed % 9 + 1]}} if with_stats else None
+                # stats are a pure function of the path's immutable
+                # bytes: a re-add may only carry the ORIGINAL stats
+                # (restore/clone semantics) or none at all
+                stats = (
+                    {f: declared[f]} if with_stats and f in declared
+                    else None
+                )
                 log.commit("append", [f], stats=stats)
                 model.apply([f], [], stats, None)
                 live.append(f)
