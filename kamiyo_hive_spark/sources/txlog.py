@@ -221,12 +221,14 @@ class TxLog:
     def __init__(self, root: str):
         self.root = root
         self.logdir = os.path.join(root, "_txlog")
-        # one-entry parse cache for the newest checkpoint consulted:
-        # a checkpoint file is immutable once renamed into place, so
-        # caching by version is always safe; one entry bounds memory
-        # while serving the hot path (every read of a snapshot at-or-
-        # after the newest checkpoint parses the same JSON).
-        self._cp_cache: tuple[int, dict] | None = None
+        # small parse cache for consulted checkpoints: a checkpoint
+        # file is immutable once renamed into place, so caching by
+        # version is always safe. A few entries (evicting the OLDEST
+        # version) serve both the hot path (every read at-or-after the
+        # newest checkpoint parses the same JSON) and straddling
+        # workloads (CDF/restore resolving two versions on opposite
+        # sides of a boundary) without thrash.
+        self._cp_cache: dict[int, dict] = {}
 
     # -- bootstrap ----------------------------------------------------
 
@@ -306,11 +308,13 @@ class TxLog:
                         cp = cv
         if cp is None:
             return None, None
-        if self._cp_cache is not None and self._cp_cache[0] == cp:
-            return cp, self._cp_cache[1]
-        with open(self._checkpoint_path(cp)) as fh:
-            d = json.load(fh)
-        self._cp_cache = (cp, d)
+        d = self._cp_cache.get(cp)
+        if d is None:
+            with open(self._checkpoint_path(cp)) as fh:
+                d = json.load(fh)
+            self._cp_cache[cp] = d
+            while len(self._cp_cache) > 4:
+                del self._cp_cache[min(self._cp_cache)]
         return cp, d
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
@@ -439,7 +443,7 @@ class TxLog:
             ).parquet(*paths)
         else:
             df = spark.read.parquet(*paths)
-        dvs = self.dv_state(version)
+        dvs = self.dv_state(version, _live=set(files))
         if dvs:
             df = self._apply_dvs(spark, df, dvs)
         return df
@@ -600,9 +604,12 @@ class TxLog:
         # Same atomic publication rule as commits: build aside, rename.
         path = self._checkpoint_path(version)
         tmp = f"{path}.tmp.{os.getpid()}"
-        # One manifest replay feeds all three payload maps (the file
-        # list is computed once and passed as the live filter); the DV
-        # map and stats ride along so dv_state/file_stats resolution —
+        # The file list is computed ONCE and shared as the live filter
+        # (dv_state/file_stats then replay only their own bounded
+        # post-checkpoint tails — three tiny-JSON walks of at most
+        # CHECKPOINT_EVERY commits each, deliberately not fused: each
+        # map's retention rule stays next to its reader). The DV map
+        # and stats ride along so dv_state/file_stats resolution —
         # every snapshot read / skipping probe — is bounded by the
         # checkpoint interval, not by commit history. Stats are
         # checkpointed CUMULATIVELY (see file_stats), pruned only of
@@ -752,10 +759,16 @@ class TxLog:
             c = self._read_commit(i)
             for f, st in (c.stats or {}).items():
                 out[f] = st
-        if _raw:
-            return out
-        live = set(self.snapshot_files(v)) if _live is None else _live
-        return {f: st for f, st in out.items() if f in live}
+        if not _raw:
+            live = set(self.snapshot_files(v)) if _live is None else _live
+            out = {f: st for f, st in out.items() if f in live}
+        # Copy the inner entries: checkpoint-sourced values alias the
+        # parse cache, and a caller mutating a returned entry would
+        # otherwise corrupt the cache — and from there the NEXT durable
+        # checkpoint (silently wrong pruning for every future reader).
+        return {
+            f: {c_: list(b) for c_, b in st.items()} for f, st in out.items()
+        }
 
     def stats_cols_in_use(self, version: int | None = None) -> tuple:
         """The columns the table's live manifest carries [min, max]
@@ -1230,9 +1243,14 @@ class TxLog:
         (e.g. GDPR-erased) rows the moment the rewrite lands
         (VERDICT r9 wrong 1). Attachments on non-victim files are
         untouched — their files stay live, so their vectors stay in
-        force."""
-        want = set(files)
-        return {f: d for f, d in self.dv_state(version).items() if f in want}
+        force.
+
+        ``files`` must be a subset of the snapshot's live set (every
+        caller derives it from the snapshot walk it just performed),
+        so it doubles as `dv_state`'s live filter — state ∩ live ∩
+        want == state ∩ want — sparing the pruned reads and rewrites
+        a second full manifest replay per call."""
+        return self.dv_state(version, _live=set(files))
 
     def clone(self, dest_root: str, version: int | None = None,
               writer: str = "clone") -> "TxLog":

@@ -2240,7 +2240,7 @@ def test_checkpoint_stats_survive_remove_then_statless_readd(tmp_path):
         if n.endswith(".checkpoint.json"):
             os.unlink(os.path.join(log.logdir, n))
     os.unlink(log._last_checkpoint_path())
-    log._cp_cache = None
+    log._cp_cache = {}
     assert log.file_stats() == got
 
 
