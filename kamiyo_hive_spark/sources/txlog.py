@@ -3840,10 +3840,16 @@ def _register_dv_ivm_query() -> None:
         acc = parts[0]
         for p in parts[1:]:
             acc = acc.unionByName(p)
+        # Eagerly checkpoint the maintained state (status-count-sized):
+        # the invariant collect below and the caller's materialization
+        # would otherwise EACH replay the whole per-version feed tree —
+        # the consumer's state is maintained once, then served (the
+        # same once-then-serve discipline an incremental view exists
+        # for; ngram_lm_quality records the identical pattern).
         maintained = acc.groupBy("o_orderstatus").agg(
             F.sum("d_rows").cast("long").alias("n_rows"),
             F.sum("d_price").cast("double").alias("total_price"),
-        )
+        ).localCheckpoint()
         full = (
             log.read(spark)
             .groupBy("o_orderstatus")
