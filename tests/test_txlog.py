@@ -2296,3 +2296,79 @@ def test_racing_dv_deletes_compose(spark, tmp_path):
     pairs = list(zip(pos.column("file").to_pylist(),
                      pos.column("pos").to_pylist()))
     assert len(pairs) == len(set(pairs)) == 5  # 3, 9, 15, 21, 27
+
+
+def test_cdf_telescoping_random_histories(spark, tmp_path):
+    """PROPERTY version of the telescoping pin: over RANDOM protocol
+    histories (appends, overlapping DV deletes, materialization,
+    compaction, restores to arbitrary earlier versions), replaying
+    every version's change feed onto the v0 state must equal the final
+    snapshot — the contract a signed incremental consumer stakes its
+    correctness on. Seeded-random rather than hypothesis-driven: each
+    history costs real Spark jobs, so a handful of deterministic seeds
+    buys the shape coverage (example-based tests pin the known-bad
+    compositions; this sweeps the unknown ones)."""
+    import collections
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kamiyo_hive_spark.sources.txlog import (
+        materialize_dvs,
+        optimize,
+        read_changes,
+        restore,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"t{seed}")
+        os.makedirs(root)
+        log = TxLog.init(root)
+        n0 = 40
+        df = spark.range(n0).select(
+            F.col("id").cast("long"), (F.col("id") * 1.5).alias("val")
+        )
+        log.append(df, writer="i0")                                # v0
+        next_id = n0
+        for _ in range(rng.randint(4, 6)):
+            op = rng.choice(["append", "delete", "delete", "mat",
+                             "opt", "restore"])
+            if op == "append":
+                inc = spark.range(next_id, next_id + 10).select(
+                    F.col("id").cast("long"),
+                    (F.col("id") * 1.5).alias("val"),
+                )
+                log.append(inc, writer="inc")
+                next_id += 10
+            elif op == "delete":
+                k = rng.choice([3, 5, 7, 11])
+                r = rng.randrange(k)
+                log.delete_where_dv(
+                    spark, F.col("id") % k == r, writer=f"dv{k}-{r}"
+                )
+            elif op == "mat":
+                materialize_dvs(log, spark)
+            elif op == "opt":
+                try:
+                    optimize(log, spark, target_files=2, writer="opt")
+                except ValueError:
+                    pass  # already compact enough
+            else:
+                tgt = rng.randrange(log.version() + 1)
+                restore(log, tgt, writer="unwind")
+
+        state = collections.Counter(
+            r["id"] for r in log.read(spark, 0).collect()
+        )
+        for v in range(1, log.version() + 1):
+            ch = read_changes(log, spark, v - 1, v).collect()
+            for r in ch:
+                if r["_change_type"] == "delete":
+                    state[r["id"]] -= 1
+                else:
+                    state[r["id"]] += 1
+        final = collections.Counter(
+            r["id"] for r in log.read(spark).collect()
+        )
+        assert +state == final, f"telescoping broke for seed {seed}"
