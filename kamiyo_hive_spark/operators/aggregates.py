@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus, one_plus
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, one_plus
 from kamiyo_hive_spark.plans.registry import register
 
 NOW = "2024-01-31 00:00:00"  # fixed 'now' for event-time windows (events span Jan 2024)
@@ -68,12 +68,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_sum(dec("l_quantity")).alias("sum_qty"),
-            money_sum(dec("l_extendedprice")).alias("sum_base_price"),
+            money_sum_col("l_quantity").alias("sum_qty"),
+            money_sum_col("l_extendedprice").alias("sum_base_price"),
             money_sum(disc_price).alias("sum_disc_price"),
             money_sum(charge).alias("sum_charge"),
-            (money_sum(dec("l_quantity")) / F.count("*")).alias("avg_qty"),
-            (money_sum(dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (money_sum_col("l_quantity") / F.count("*")).alias("avg_qty"),
+            (money_sum_col("l_extendedprice") / F.count("*")).alias("avg_price"),
             (F.sum(dec("l_discount", "decimal(4,2)")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -241,7 +241,7 @@ def epoch_signal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             n("click").alias("n_click"),
             n("purchase").alias("n_purchase"),
             n("error").alias("n_error"),
-            money_sum(dec("value")).alias("total_value"),
+            money_sum_col("value").alias("total_value"),
             F.count("*").alias("n_events"),
         )
     )
@@ -271,7 +271,7 @@ def spend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup(F.col("n_name").alias("nation"))
-        .agg(money_sum(dec("o_totalprice")).alias("total_spend"), F.count("*").alias("n_orders"))
+        .agg(money_sum_col("o_totalprice").alias("total_spend"), F.count("*").alias("n_orders"))
     )
 
 
@@ -294,7 +294,7 @@ def histogram_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            (money_sum(dec("p_retailprice")) / F.count("*")).alias("avg_price"),
+            (money_sum_col("p_retailprice") / F.count("*")).alias("avg_price"),
         )
     )
 
@@ -328,7 +328,7 @@ def calendar_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.agg(
         F.sum(F.when(in_window(1), dec("value"))).cast("double").alias("today_value"),
         F.sum(F.when(in_window(7), dec("value"))).cast("double").alias("week_value"),
-        money_sum(dec("value")).alias("month_value"),
+        money_sum_col("value").alias("month_value"),
         F.sum(F.when(in_window(1), 1).otherwise(0)).alias("today_n"),
         F.sum(F.when(in_window(7), 1).otherwise(0)).alias("week_n"),
         F.count("*").alias("month_n"),
@@ -354,7 +354,7 @@ def rolling_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("ts") >= _ts(NOW) - F.expr("INTERVAL 1 DAY"))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_24h"), money_sum(dec("value")).alias("value_24h"))
+        .agg(F.count("*").alias("n_24h"), money_sum_col("value").alias("value_24h"))
     )
 
 
@@ -567,7 +567,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
     )
 
@@ -627,7 +627,7 @@ def price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.min("o_totalprice").cast("double").alias("min_price"),
             F.max("o_totalprice").cast("double").alias("max_price"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
     )
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus
 from kamiyo_hive_spark.plans.registry import register
 
 _REV = "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
@@ -306,7 +306,7 @@ def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .groupBy("p_brand")
         .agg(
-            money_sum(dec("l_extendedprice")).alias("small_lot_revenue"),
+            money_sum_col("l_extendedprice").alias("small_lot_revenue"),
             F.count("*").alias("n_lines"),
         )
     )

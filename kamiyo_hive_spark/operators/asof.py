@@ -209,7 +209,7 @@ def scd2_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="valid_from",
         right_payload=["status"],
     )
-    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.functions.money import dec, money_sum_col
 
     return (
         enriched.groupBy(
@@ -220,7 +220,7 @@ def scd2_point_in_time_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_purchases"),
             F.countDistinct("user_id").alias("n_users"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            money_sum_col("value").alias("total_value"),
         )
         .orderBy("status_at_purchase")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -81,7 +81,7 @@ def epoch_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "ts").alias("day"),
             F.hour("ts").cast("long").alias("hour_of_day"),
         )
-        .agg(F.count("*").alias("n_events"), money_sum(dec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum_col("value").alias("total_value"))
     )
 
 
@@ -114,7 +114,7 @@ def tier_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(tier.alias("tier"))
         .agg(
             F.count("*").alias("n_customers"),
-            money_sum(dec("c_acctbal")).alias("total_balance"),
+            money_sum_col("c_acctbal").alias("total_balance"),
         )
     )
 
@@ -146,7 +146,7 @@ def budget_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
-    spend = o.groupBy("o_custkey").agg(money_sum(dec("o_totalprice")).alias("spent"))
+    spend = o.groupBy("o_custkey").agg(money_sum_col("o_totalprice").alias("spent"))
     limit = F.col("c_acctbal").cast("double") * 100.0 + 1000000.0
     util = F.least(F.greatest(F.coalesce(F.col("spent"), F.lit(0.0)) / limit, F.lit(0.0)), F.lit(1.0))
     return (
@@ -209,7 +209,7 @@ def pivot_token_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(dec("o_totalprice")).cast("double"))
+        .agg(money_sum_col("o_totalprice"))
     )
     return (
         pivoted.select(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kamiyo_hive_spark.catalog import parallel_table, table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -45,7 +45,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(F.floor(props["k"] / 10).cast("long").alias("k_bucket"), "value")
         .groupBy("k_bucket")
-        .agg(F.count("*").alias("n_events"), money_sum(dec("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), money_sum_col("value").alias("total_value"))
     )
 
 
@@ -124,13 +124,13 @@ def graph_edge_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .agg(money_sum(dec("l_extendedprice")).alias("weight"))
+        .agg(money_sum_col("l_extendedprice").alias("weight"))
     )
     return edges.agg(
         F.count("*").alias("n_edges"),
         F.countDistinct("src").alias("n_src_nodes"),
         F.countDistinct("dst").alias("n_dst_nodes"),
-        (F.sum(dec("weight", "decimal(18,2)")).cast("double") / F.count("*")).alias("avg_weight"),
+        (money_sum_col("weight") / F.count("*")).alias("avg_weight"),
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -141,7 +141,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("n_orders"),
-        money_sum(dec("o_totalprice")).alias("total_price"),
+        money_sum_col("o_totalprice").alias("total_price"),
         F.max(dec("o_totalprice")).cast("double").alias("max_price"),
     )
     return wide.unpivot(

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus
 from kamiyo_hive_spark.plans.registry import register
 
 _REV = (
@@ -121,7 +121,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey", "s_name", "supp_nation")
         .agg(
             (
-                money_sum(dec("l_extendedprice")) / money_sum(dec("l_quantity"))
+                money_sum_col("l_extendedprice") / money_sum_col("l_quantity")
             ).alias("unit_cost")
         )
     )

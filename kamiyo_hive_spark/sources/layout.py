@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 from kamiyo_hive_spark.sources.sinks import (
     SCRATCH,
@@ -186,8 +186,8 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return reread.agg(
         F.count("*").alias("n_rows"),
-        money_sum(dec("l_quantity")).alias("total_qty"),
-        money_sum(dec("l_extendedprice")).alias("total_price"),
+        money_sum_col("l_quantity").alias("total_qty"),
+        money_sum_col("l_extendedprice").alias("total_price"),
     )
 
 
@@ -382,7 +382,7 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_suppliers"),
-            money_sum(dec("s_acctbal")).alias("total_acctbal"),
+            money_sum_col("s_acctbal").alias("total_acctbal"),
             F.min("s_suppkey").alias("first_suppkey"),
         )
     )
@@ -461,7 +461,7 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(
             F.count("*").alias("n_orders"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
     )
 
@@ -519,7 +519,7 @@ def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("p_brand")
         .agg(
             F.count("*").alias("n_parts"),
-            money_sum(dec("p_retailprice")).alias("total_retail"),
+            money_sum_col("p_retailprice").alias("total_retail"),
             F.min("p_partkey").alias("first_partkey"),
             F.sum(F.col("p_size").cast("long")).alias("size_sum"),
         )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 from kamiyo_hive_spark.sources.sinks import (
     SCRATCH,
@@ -155,7 +155,7 @@ def targeted_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
             F.sum(
                 F.when(F.col("o_custkey") % DELETE_KEY_MOD == 0, 1).otherwise(0)
             )
@@ -233,8 +233,8 @@ def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = spark.read.parquet(out)
     return comp.agg(
         F.count("*").alias("n_rows"),
-        money_sum(dec("l_quantity")).alias("total_qty"),
-        money_sum(dec("l_extendedprice")).alias("total_price"),
+        money_sum_col("l_quantity").alias("total_qty"),
+        money_sum_col("l_extendedprice").alias("total_price"),
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
@@ -302,7 +302,7 @@ def keyed_update_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         post.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
             F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_updated"),
         )
     )

@@ -36,7 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.functions.money import dec
+from kamiyo_hive_spark.functions.money import dec, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 EVENTS_STREAM_SCHEMA = (
@@ -290,7 +290,7 @@ def run_dsv2_replay(
                     .groupBy("event_type")
                     .agg(
                         F.count("*").alias("n_events"),
-                        F.sum(dec("value")).cast("double").alias("total_value"),
+                        money_sum_col("value").alias("total_value"),
                     )
                 )
                 q = (

@@ -36,7 +36,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -326,7 +326,7 @@ def rest_writeback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
     )
     with IngestApiServer() as srv:
@@ -418,7 +418,7 @@ def streaming_rest_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
             F.count("*").alias("n_events"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
-            money_sum(dec("value")).alias("total_value"),
+            money_sum_col("value").alias("total_value"),
         )
         .orderBy("event_type")
     )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 SCRATCH = "/root/repo/.scratch"
@@ -200,7 +200,7 @@ def bulk_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         ),
     )
 
@@ -304,7 +304,7 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         ),
     )
 
@@ -353,7 +353,7 @@ def dpp_star_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.count("*").alias("n_orders"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
     )
 
@@ -422,7 +422,7 @@ def rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            money_sum(dec("c_acctbal")).alias("total_acctbal"),
+            money_sum_col("c_acctbal").alias("total_acctbal"),
             F.min("c_custkey").alias("first_custkey"),
         )
     )

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 from kamiyo_hive_spark.sources.sinks import SCRATCH, ensure_staging
 
@@ -173,7 +173,7 @@ def bloom_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.count("*").alias("n_orders"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
         .orderBy("o_year")
     )
