@@ -47,6 +47,11 @@ from pyspark.sql import DataFrame, SparkSession
 CHECKPOINT_EVERY = 10
 _PAD = 20  # zero-padded version numbers sort lexically
 
+# Deletion-vector sidecar layout (written by delete_where_dv): giving
+# readers the schema explicitly skips per-read parquet footer
+# inference — driver-side work on every DV-aware read path.
+_DV_SCHEMA = "file string, pos long"
+
 # Characters Hive/Spark escape in partition-directory names
 # (ExternalCatalogUtils.escapePathName, cloned from Hive's
 # FileUtils.charToEscape): ASCII control chars plus the path- and
@@ -413,7 +418,10 @@ class TxLog:
         dv_paths = sorted(
             {os.path.join(self.root, d) for dl in dvs.values() for d in dl}
         )
-        dv = spark.read.parquet(*dv_paths).select("file", "pos")
+        # Explicit sidecar schema (guide §5/§6): the DV layout is fixed
+        # by delete_where_dv's writer, so footer inference here is a
+        # pure driver-side tax on every DV-aware read.
+        dv = spark.read.schema(_DV_SCHEMA).parquet(*dv_paths).select("file", "pos")
         tagged = df.select(
             *cols,
             self._rel_file_col().alias("_dv_file"),
@@ -1198,7 +1206,7 @@ class TxLog:
             # are deleted-row-count-sized — broadcast anti-join.
             active = self.dv_state(rv)
             if active:
-                prior = spark.read.parquet(*sorted(
+                prior = spark.read.schema(_DV_SCHEMA).parquet(*sorted(
                     {os.path.join(self.root, d)
                      for dl in active.values() for d in dl}
                 )).select("file", "pos")
@@ -1462,7 +1470,7 @@ def concurrent_append_table(spark: SparkSession, sf_dir: str) -> str:
 def _register_queries() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -1497,7 +1505,7 @@ def _register_queries() -> None:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn("n_versions", F.lit(n_versions).cast("long"))
         )
@@ -1578,7 +1586,7 @@ def _register_queries() -> None:
                 final.groupBy("o_orderstatus")
                 .agg(
                     F.count("*").alias("n_rows"),
-                    money_sum(dec("o_totalprice")).alias("total_price"),
+                    money_sum_col("o_totalprice").alias("total_price"),
                 )
                 .withColumn("n_versions", F.lit(n_versions).cast("long"))
                 .withColumn("n_conflicts", F.lit(n_conflicts).cast("long"))
@@ -1976,7 +1984,7 @@ def materialize_dvs(log: TxLog, spark: SparkSession,
 def _register_dv_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     DV_MOD_A, DV_MOD_B = 97, 101
@@ -2066,7 +2074,7 @@ def _register_dv_query() -> None:
         def agg(df: DataFrame) -> DataFrame:
             return df.groupBy("o_orderstatus").agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
 
         mor = {tuple(r) for r in agg(log.read(spark, version=3)).collect()}
@@ -2094,7 +2102,7 @@ DV_STREAM_WRITER = "dv-stream"
 def _register_streaming_dv_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     residues_sql = ", ".join(str(r) for r in DV_STREAM_RESIDUES)
@@ -2248,7 +2256,7 @@ def _register_streaming_dv_query() -> None:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn("n_versions", F.lit(n_versions).cast("long"))
             .withColumn("dv_zero_rewrite", F.lit(bool(dv_zero_rewrite)))
@@ -2262,7 +2270,7 @@ _register_streaming_dv_query()
 def _register_restore_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -2340,7 +2348,7 @@ def _register_restore_query() -> None:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn("n_versions", F.lit(log.version() + 1).cast("long"))
             .withColumn("restore_zero_copy", F.lit(bool(zero_copy)))
@@ -2355,7 +2363,7 @@ _register_restore_query()
 def _register_dv_maintenance_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     DVM_MOD = 97  # the GDPR-ish erasure key set
@@ -2463,7 +2471,7 @@ def _register_dv_maintenance_query() -> None:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn(
                 "erased_after_compact", F.lit(e_compact).cast("long")
@@ -2712,7 +2720,7 @@ def zorder_optimize_partitioned(
 def _register_zorder_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     N_Z_INGEST = 6
@@ -2834,7 +2842,7 @@ def _register_zorder_query() -> None:
             t.groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn(
                 "custkey_files_skipped", F.lit(bool(n_ck < total))
@@ -2858,7 +2866,7 @@ _register_zorder_query()
 def _register_zorder_partitioned_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     N_ZP_INGEST = 4
@@ -3002,7 +3010,7 @@ def _register_zorder_partitioned_query() -> None:
             t.groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn("custkey_files_skipped", F.lit(bool(n_ck < total)))
             .withColumn("orderkey_files_skipped", F.lit(bool(n_ok < total)))
@@ -3019,7 +3027,7 @@ _register_zorder_partitioned_query()
 def _register_maintenance_queries() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     N_SMALL_APPENDS = 12
@@ -3085,7 +3093,7 @@ def _register_maintenance_queries() -> None:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .withColumn("n_versions", F.lit(log.version() + 1).cast("long"))
             .withColumn("n_files_live", F.lit(len(files)).cast("long"))
@@ -3095,7 +3103,7 @@ def _register_maintenance_queries() -> None:
 def _register_partitioned_optimize_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     N_PART_APPENDS = 6
@@ -3180,7 +3188,7 @@ def _register_partitioned_optimize_query() -> None:
             .groupBy(F.year(F.col("o_orderdate")).cast("long").alias("o_year"))
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
         )
         return (
@@ -3195,7 +3203,7 @@ def _register_partitioned_optimize_query() -> None:
 def _register_clone_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -3273,7 +3281,7 @@ def _register_clone_query() -> None:
                 log.read(spark)
                 .agg(
                     F.count("*").alias("n_rows"),
-                    money_sum(dec("o_totalprice")).alias("total_price"),
+                    money_sum_col("o_totalprice").alias("total_price"),
                 )
                 .select(
                     F.lit(name).alias("side"),
@@ -3349,7 +3357,7 @@ class TxLogBatchSink:
 def _register_streaming_sink_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.functions.money import dec, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -3421,7 +3429,7 @@ def _register_streaming_sink_query() -> None:
                 .groupBy("event_type")
                 .agg(
                     F.count("*").alias("n_events"),
-                    F.sum(dec("value")).cast("double").alias("total_value"),
+                    money_sum_col("value").alias("total_value"),
                 )
                 .withColumn("n_versions", F.lit(n_versions).cast("long"))
                 # materialize before the lock releases — a concurrent
@@ -3475,6 +3483,7 @@ def read_changes(
     of incremental consumption (a downstream consumer processes the
     day's delta, never the table)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     old = set(log.snapshot_files(v_from))
     new = set(log.snapshot_files(v_to))
@@ -3483,9 +3492,18 @@ def read_changes(
     added = sorted(new - old)
     removed = sorted(old - new)
     parts = []
+    # The log knows the table schema — reading under it (like
+    # TxLog.read) skips a driver-side footer-inference pass per feed
+    # relation; a 4-version rollup otherwise pays ~10 of them.
+    sch = log.table_schema()
+    reader = (
+        spark.read.schema(T.StructType.fromJson(json.loads(sch)))
+        if sch
+        else spark.read
+    )
 
     def visible(files: list[str], dvs: dict) -> DataFrame:
-        df = spark.read.parquet(*[os.path.join(log.root, f) for f in files])
+        df = reader.parquet(*[os.path.join(log.root, f) for f in files])
         sub = {f: d for f, d in dvs.items() if f in set(files)}
         return log._apply_dvs(spark, df, sub) if sub else df
 
@@ -3513,14 +3531,14 @@ def read_changes(
             if not paths:
                 return None
             return (
-                spark.read.parquet(*paths)
+                spark.read.schema(_DV_SCHEMA).parquet(*paths)
                 .select("file", "pos")
                 .filter(F.col("file").isin(surv))
             )
 
         p_from = positions(dv_from)
         p_to = positions(dv_to)
-        rows = spark.read.parquet(*[os.path.join(log.root, f) for f in surv])
+        rows = reader.parquet(*[os.path.join(log.root, f) for f in surv])
         cols = rows.columns
         tagged = rows.select(
             *cols,
@@ -3529,10 +3547,18 @@ def read_changes(
         )
 
         def diff_rows(a: DataFrame | None, b: DataFrame | None, tag: str):
-            """rows at positions in `a` but not `b`, tagged."""
+            """rows at positions in `a` but not `b`, tagged. (file,pos)
+            pairs are unique within a snapshot's vectors — delete_where_dv
+            anti-joins active vectors before minting new marks — and the
+            diff only FILTERS `tagged` via a semi-join, so the broadcast
+            anti-join is set-equivalent to the previous exceptAll while
+            skipping its exchange (guide §2.4; both sides are
+            deleted-row-count-sized)."""
             if a is None:
                 return
-            d = a if b is None else a.exceptAll(b)
+            d = a if b is None else a.join(
+                F.broadcast(b), ["file", "pos"], "left_anti"
+            )
             parts.append(
                 tagged.join(
                     F.broadcast(d),
@@ -3599,7 +3625,7 @@ def cdf_table(spark: SparkSession, sf_dir: str) -> str:
 def _register_cdf_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -3652,7 +3678,7 @@ def _register_cdf_query() -> None:
             F.col("_change_type").alias("change_type"), "o_orderstatus"
         ).agg(
             F.count("*").alias("n_rows"),
-            money_sum(dec("o_totalprice")).alias("total_price"),
+            money_sum_col("o_totalprice").alias("total_price"),
         )
 
 
@@ -3662,7 +3688,7 @@ _register_cdf_query()
 def _register_ivm_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.functions.money import dec, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -3713,19 +3739,25 @@ def _register_ivm_query() -> None:
         acc = parts[0]
         for p in parts[1:]:
             acc = acc.unionByName(p)
+        # Maintain once, then serve (r10, guide §5 caching): the
+        # status-count-sized state is eagerly checkpointed so the
+        # invariant collect below and the caller's materialization stop
+        # EACH replaying the whole per-version feed tree — the same
+        # once-then-serve discipline `acid_dv_incremental_rollup`
+        # records (its A/B: 6.72 s → 4.26 s cold at sf0.1).
         maintained = (
             acc.groupBy("o_orderstatus")
             .agg(
                 F.sum("d_rows").cast("long").alias("n_rows"),
                 F.sum("d_price").cast("double").alias("total_price"),
             )
-        )
+        ).localCheckpoint()
         full = (
             log.read(spark)
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").cast("long").alias("n_rows"),
-                F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
         )
         m_rows = {r["o_orderstatus"]: (r["n_rows"], r["total_price"])
@@ -3745,7 +3777,7 @@ _register_ivm_query()
 def _register_dv_ivm_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.functions.money import dec, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     DVI_MOD = 89
@@ -3855,7 +3887,7 @@ def _register_dv_ivm_query() -> None:
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").cast("long").alias("n_rows"),
-                F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
         )
         m_rows = {r["o_orderstatus"]: (r["n_rows"], r["total_price"])
@@ -3878,7 +3910,7 @@ _register_dv_ivm_query()
 def _register_schema_evolution_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -3939,7 +3971,7 @@ def _register_schema_evolution_query() -> None:
                 F.sum(F.when(F.col("priority").isNull(), 1).otherwise(0))
                 .cast("long")
                 .alias("n_pre_evolution"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
         )
 
@@ -3950,7 +3982,7 @@ _register_schema_evolution_query()
 def _register_partition_evolution_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum
+    from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -4021,7 +4053,7 @@ def _register_partition_evolution_query() -> None:
             t.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
             .agg(
                 F.count("*").alias("n_rows"),
-                money_sum(dec("o_totalprice")).alias("total_price"),
+                money_sum_col("o_totalprice").alias("total_price"),
             )
             .orderBy("o_year")
         )
@@ -4033,7 +4065,7 @@ _register_partition_evolution_query()
 def _register_cdf_stream_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec
+    from kamiyo_hive_spark.functions.money import dec, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
