@@ -938,12 +938,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     count exchange whose keys are vocabulary-bounded (map-side combine
     does the work), and a broadcast-free literal replace.
 
-    Scale shape per round: one corpus-scale explode→count with tiny
-    keys + one map-side replace; the learned merge is a 1-row collect
+    Scale shape: ONE corpus-scale pass total (the word-frequency
+    count; map-side combine does the work), then every round is
+    vocabulary-sized — explode→weighted-count over distinct encodings
+    + a map-side replace; the learned merge is a 1-row collect
     (bounded metadata, the parameter-server round-trip — same
     discipline as the k-means centroids). `corpus_symbols_after` pins
     each round's APPLICATION, not just its argmax: a merge applied at
-    wrong boundaries changes the symbol count."""
+    wrong boundaries changes the cnt-weighted symbol count."""
     from pyspark.sql import Observation
 
     d = table(spark, sf_dir, "documents")
@@ -953,19 +955,34 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").rlike("^[a-zA-Z0-9]+$") & (F.length("tok") >= 2))
         .select(F.lower("tok").alias("tok"))
     )
-    enc = toks.select(
-        F.concat(
-            F.lit(" "),
-            F.array_join(
-                F.filter(F.split(F.col("tok"), ""), lambda x: x != ""), "  "
-            ),
-            F.lit(" "),
-        ).alias("s")
+    # Train on the WORD-FREQUENCY table, not per occurrence (r10, guide
+    # §1.2/§2.3 — the standard BPE-trainer representation): identical
+    # occurrences have identical encodings, so every downstream count is
+    # a cnt-weighted sum over DISTINCT tokens. One corpus-scale
+    # map-side-combined count exchange up front replaces a corpus-scale
+    # explode+shuffle PER ROUND; each round then runs on vocabulary-
+    # sized rows (corpus occurrences >> distinct tokens at any scale —
+    # 261,827 vs 30 at sf0.1). Exactness: weights are integral longs,
+    # pair_count = SUM(cnt) over occurrences of the pair — the same
+    # number the per-occurrence count produced, bit-for-bit.
+    enc = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.filter(F.split(F.col("tok"), ""), lambda x: x != ""), "  "
+                ),
+                F.lit(" "),
+            ).alias("s"),
+            "cnt",
+        )
     )
     # Materialize the base encoding once: every round's job otherwise
-    # re-runs the tokenize+filter+join chain under its replace stack
-    # (A/B best-of-3 ×2 at sf0.1: 4.01/4.06 s plain vs 3.27/3.31 s).
-    # At warehouse scale this is the staged-encoding table.
+    # re-runs the tokenize+count chain under its replace stack (A/B
+    # best-of-3 ×2 at sf0.1, pre-r10 shape: 4.01/4.06 s plain vs
+    # 3.27/3.31 s). At warehouse scale this is the staged vocab table.
     enc = enc.localCheckpoint()
     # Per round, ONE job: symbols are split once into an array column,
     # adjacent pairs come from zip_with over two slices of it (A/B at
@@ -978,22 +995,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, BPE_ROUNDS + 1):
         obs = Observation()
         ys = (
-            enc.select(F.split(F.trim(F.col("s")), "  ").alias("y"))
-            .observe(obs, F.sum(F.size("y")).alias("n"))
+            enc.select(F.split(F.trim(F.col("s")), "  ").alias("y"), "cnt")
+            .observe(obs, F.sum(F.size("y") * F.col("cnt")).alias("n"))
         )
         best = (
             ys.filter(F.size("y") >= 2)
             .select(
+                "cnt",
                 F.explode(
                     F.zip_with(
                         F.slice("y", 1, F.size("y") - 1),
                         F.expr("slice(y, 2, size(y) - 1)"),
                         lambda a, b: F.concat(a, F.lit("|"), b),
                     )
-                ).alias("pair")
+                ).alias("pair"),
             )
             .groupBy("pair")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair"))
             .limit(1)
             .first()
@@ -1006,12 +1024,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s"),
                 F.lit(f" {left}  {right} "),
                 F.lit(f" {left}{right} "),
-            ).alias("s")
+            ).alias("s"),
+            "cnt",
         )
         rows.append([r, left, right, left + right, best["n"], 0])
     rows[-1][-1] = int(
         enc.select(
-            F.sum(F.size(F.split(F.trim(F.col("s")), "  "))).alias("n")
+            F.sum(F.size(F.split(F.trim(F.col("s")), "  ")) * F.col("cnt")).alias("n")
         ).first()["n"]
     )
     return spark.createDataFrame(
