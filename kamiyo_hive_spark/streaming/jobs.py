@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kamiyo_hive_spark.functions.money import dec
+from kamiyo_hive_spark.functions.money import dec, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 
 
@@ -102,7 +102,7 @@ def window_agg_transform(stream: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            money_sum_col("value").alias("total_value"),
         )
     )
 
@@ -356,11 +356,11 @@ def streaming_replay_then_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_table(spark, sf_dir, "events")
         .filter(F.col("ts") < cutover)
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("v"))
+        .agg(F.count("*").alias("n"), money_sum_col("value").alias("v"))
     )
     live_stream = _events_stream(spark, sf_dir).filter(F.col("ts") >= cutover)
     live_agg = live_stream.groupBy("user_id").agg(
-        F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("v")
+        F.count("*").alias("n"), money_sum_col("value").alias("v")
     )
     _run_to_completion(live_agg, "stream_live_out", "complete")
     live = spark.table("stream_live_out")
@@ -505,21 +505,32 @@ def streaming_commit_reveal_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     )
     state_schema = "n_commits long, winning_bid double, winner_event_id long, n_updates long"
 
-    t1, t2 = pd.Timestamp(T1), pd.Timestamp(T2)
+    t1 = pd.Timestamp(T1).to_datetime64()
+    t2 = pd.Timestamp(T2).to_datetime64()
 
     def update(key, pdfs, state):
+        # Called once per key per micro-batch (keys × batches calls):
+        # the body works on numpy arrays — mask-sum for the commit
+        # count, max/min for the per-batch best reveal — instead of
+        # the boolean-filter + sort_values + iterrows chain, whose
+        # per-call pandas overhead dominated at entity-scale key
+        # counts (guide §4.2; r10 A/B in OPTIMIZATION_r10.md). The
+        # per-batch best (max value, min event_id among maxima) is
+        # exactly what the sorted head(1) produced.
         if state.exists:
             n_commits, winning_bid, winner, n_updates = state.get
         else:
             n_commits, winning_bid, winner, n_updates = 0, None, None, 0
         for pdf in pdfs:
-            commits = pdf[pdf["ts"] < t1]
-            n_commits += len(commits)
-            reveals = pdf[
-                (pdf["ts"] >= t1) & (pdf["ts"] < t2) & (pdf["event_type"] == "purchase")
-            ]
-            for _, r in reveals.sort_values(["value", "event_id"], ascending=[False, True]).head(1).iterrows():
-                bid, eid = float(r["value"]), int(r["event_id"])
+            ts = pdf["ts"].to_numpy()
+            n_commits += int((ts < t1).sum())
+            m = (ts >= t1) & (ts < t2) & (
+                pdf["event_type"].to_numpy() == "purchase"
+            )
+            if m.any():
+                vals = pdf["value"].to_numpy()[m]
+                bid = float(vals.max())
+                eid = int(pdf["event_id"].to_numpy()[m][vals == vals.max()].min())
                 if (
                     winning_bid is None
                     or bid > winning_bid
@@ -814,7 +825,7 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = enriched.groupBy("tier", "event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("total_value"),
+        money_sum_col("value").alias("total_value"),
     )
     _run_to_completion(agg, "stream_dim_enrich_out", "complete")
     return spark.table("stream_dim_enrich_out")
@@ -908,7 +919,7 @@ def _idempotent_sink_run_locked(
     stream = _events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("total_value"),
+        money_sum_col("value").alias("total_value"),
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -62,33 +62,33 @@ def events_as_jsonl(spark: SparkSession, sf_dir: str, cutoff: str) -> list[str]:
     wire value is exact regardless of driver timezone."""
     from kamiyo_hive_spark.catalog import table
 
+    # Serialize in the JVM (`to_json`) and collect ready-made wire
+    # lines instead of collect()-ing Rows and json.dumps-ing each in
+    # driver Python (guide §4: keep bulk work out of the Python loop;
+    # r10 A/B at sf0.1: the per-row dumps loop was most of this
+    # helper's cost). Field renderings differ only in ways the
+    # consumers (json.loads / from_json) normalize away.
     rows = (
         table(spark, sf_dir, "events")
         .filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
         .select(
-            "event_id",
             F.unix_micros("ts").alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+            "event_id",
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            ).alias("j"),
         )
         .orderBy("ts_us", "event_id")
         .collect()
     )
-    return [
-        json.dumps(
-            {
-                "event_id": r["event_id"],
-                "ts_us": r["ts_us"],
-                "user_id": r["user_id"],
-                "event_type": r["event_type"],
-                "value": r["value"],
-                "props": r["props"],
-            }
-        )
-        for r in rows
-    ]
+    return [r["j"] for r in rows]
 
 
 class serve_events_tcp:

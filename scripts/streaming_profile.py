@@ -51,11 +51,14 @@ def main() -> int:
             jobs._PROGRESS_SINK = None
         for qname, progress in sink:
             durs = []
+            comps: dict[str, int] = {}
             for p in progress:
                 d = json.loads(p.json) if hasattr(p, "json") else p
                 durs.append(
                     (d["batchId"], d["durationMs"].get("triggerExecution", 0))
                 )
+                for k, ms in d["durationMs"].items():
+                    comps[k] = comps.get(k, 0) + ms
             durs.sort()
             durs = [ms for _, ms in durs]
             if not durs:
@@ -70,11 +73,20 @@ def main() -> int:
                     "n_batches": len(durs),
                     "init_s": round(init, 3),
                     "marginal_s": round(marginal, 3) if marginal else None,
+                    # summed-across-batches durationMs components: where
+                    # the trigger time actually goes (addBatch = plan
+                    # execution; walCommit/commitOffsets = checkpoint
+                    # fsyncs; queryPlanning = incremental re-planning)
+                    "components_ms": dict(sorted(comps.items())),
                 }
+            )
+            comp_str = " ".join(
+                f"{k}={v}" for k, v in sorted(comps.items(), key=lambda kv: -kv[1])
             )
             print(
                 f"{name:40s} batches={len(durs)} init={init:6.2f}s "
-                f"marginal={marginal if marginal is None else round(marginal, 3)}s",
+                f"marginal={marginal if marginal is None else round(marginal, 3)}s\n"
+                f"    {comp_str}",
                 flush=True,
             )
     spark.stop()
