@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, one_plus
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, one_plus, rev_sum
 from kamiyo_hive_spark.plans.registry import register
 
 NOW = "2024-01-31 00:00:00"  # fixed 'now' for event-time windows (events span Jan 2024)
@@ -63,6 +63,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= _ts("1998-09-02 00:00:00")
     )
+    # disc_price sums as scale-4 long units (rev_units path, ~80×
+    # 2^53 margin per group at sf0.1); charge is scale-6 whose largest
+    # group sum (~1.1e16) EXCEEDS 2^53 — it stays decimal on purpose.
     disc_price = dec("l_extendedprice") * one_minus("l_discount")
     charge = disc_price * one_plus("l_tax")
     return (
@@ -70,7 +73,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum_col("l_quantity").alias("sum_qty"),
             money_sum_col("l_extendedprice").alias("sum_base_price"),
-            money_sum(disc_price).alias("sum_disc_price"),
+            rev_sum().alias("sum_disc_price"),
             money_sum(charge).alias("sum_charge"),
             (money_sum_col("l_quantity") / F.count("*")).alias("avg_qty"),
             (money_sum_col("l_extendedprice") / F.count("*")).alias("avg_price"),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, rev_sum, rev_units
 from kamiyo_hive_spark.plans.registry import register
 
 _REV = "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
@@ -85,7 +85,7 @@ def returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(money_sum(_revenue()).alias("lost_revenue"))
+        .agg(rev_sum().alias("lost_revenue"))
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -111,13 +111,16 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-02-01 00:00:00").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part")
-    rev = _revenue()
+    # Numerator/denominator as scale-4 long unit sums (rev_units): each
+    # operand is bit-identical to the decimal-sum→double cast, so the
+    # ratio is too (functions/money.py capacity bound applies).
+    rev_u = rev_units()
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
-                F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
-                / F.sum(rev).cast("double")
+                (F.sum(F.when(F.col("p_type") == "PROMO", rev_u)) / F.lit(1.0e4)).cast("double")
+                / (F.sum(rev_u) / F.lit(1.0e4)).cast("double")
                 * 100.0
             ).alias("promo_pct"),
             F.count("*").alias("n_lines"),
@@ -196,7 +199,7 @@ def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Brand#25", 35, 20, 50
     )
     return j.filter(cond).agg(
-        money_sum(_revenue()).alias("revenue"), F.count("*").alias("n_lines")
+        rev_sum().alias("revenue"), F.count("*").alias("n_lines")
     )
 
 

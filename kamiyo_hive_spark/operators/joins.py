@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus
+from kamiyo_hive_spark.functions.money import dec, money_sum, one_minus, rev_sum
 from kamiyo_hive_spark.plans.registry import register
 
 _REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
@@ -81,7 +81,7 @@ def flagship_runs_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .agg(
             F.count("l_orderkey").alias("n_items"),
-            F.coalesce(money_sum(_revenue()), F.lit(0.0)).alias("revenue"),
+            F.coalesce(rev_sum(), F.lit(0.0)).alias("revenue"),
         )
         .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
     )
@@ -112,7 +112,7 @@ def broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name")
-        .agg(F.count("*").alias("n_lines"), money_sum(_revenue()).alias("revenue"))
+        .agg(F.count("*").alias("n_lines"), rev_sum().alias("revenue"))
     )
 
 
@@ -219,7 +219,7 @@ def range_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, cond)
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_in_window"), money_sum(_revenue()).alias("revenue"))
+        .agg(F.count("*").alias("n_in_window"), rev_sum().alias("revenue"))
     )
 
 
@@ -254,7 +254,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(money_sum(_revenue()).alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -295,5 +295,5 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(money_sum(_revenue()).alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
     )

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus
+from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, rev_sum, rev_units
 from kamiyo_hive_spark.plans.registry import register
 
 _REV = (
@@ -189,7 +189,7 @@ def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(money_sum(_revenue()).alias("revenue"), F.count("*").alias("n_lines"))
+        .agg(rev_sum().alias("revenue"), F.count("*").alias("n_lines"))
     )
 
 
@@ -236,9 +236,12 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     o = table(spark, sf_dir, "orders")
-    rev = _revenue()
-    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
-        F.lit(0).cast("decimal(14,2)")
+    # Conditional-ratio on scale-4 long unit sums (rev_units): both
+    # operands bit-identical to the decimal-sum→double casts
+    # (functions/money.py capacity bound applies).
+    rev_u = rev_units()
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev_u).otherwise(
+        F.lit(0).cast("long")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -247,9 +250,10 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(nation_rev).cast("double") / F.sum(rev).cast("double")).alias(
-                "mkt_share"
-            ),
+            (
+                (F.sum(nation_rev) / F.lit(1.0e4)).cast("double")
+                / (F.sum(rev_u) / F.lit(1.0e4)).cast("double")
+            ).alias("mkt_share"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -376,7 +380,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
     )
-    revenue = li.groupBy("l_suppkey").agg(money_sum(_revenue()).alias("total_revenue"))
+    revenue = li.groupBy("l_suppkey").agg(rev_sum().alias("total_revenue"))
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = table(spark, sf_dir, "supplier")
     return (
@@ -407,10 +411,14 @@ def supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part attribute
     group, excluding a blocklisted supplier set (negative balance as
     the complaints stand-in). NOT IN becomes a broadcast left-anti
-    join; the part-supplier relation is deduped BEFORE the part join so
-    the count-distinct shuffle carries pair-level, not line-level,
-    rows."""
-    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    join. r10 (guide §2.4): the explicit pre-join `.distinct()` is
+    gone — it forced a full (partkey, suppkey) exchange BEFORE the
+    selective part filter (the plan's biggest shuffle), while
+    `countDistinct` already dedups in its partial-distinct pass, which
+    now runs AFTER the broadcast part join has dropped ~5/6 of the
+    rows. Same result by definition; 2 exchanges now carry
+    part-filtered rows only (plan diff in plans/r10)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
