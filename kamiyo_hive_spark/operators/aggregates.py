@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, one_plus, rev_sum
+from kamiyo_hive_spark.functions.money import cents, dec, money_sum, money_sum_col, one_minus, one_plus, rev_sum
 from kamiyo_hive_spark.plans.registry import register
 
 NOW = "2024-01-31 00:00:00"  # fixed 'now' for event-time windows (events span Jan 2024)
@@ -201,16 +201,23 @@ def banded_multiplier_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     {1.0, 1.2, 1.5, 2.0} by age bands, summed exactly per group."""
     o = table(spark, sf_dir, "orders")
     age_days = F.datediff(_ts("2001-12-31 00:00:00"), F.col("o_orderdate"))
-    mult = (
-        F.when(age_days < 365, "1.00")
-        .when(age_days < 1095, "1.20")
-        .when(age_days < 1825, "1.50")
-        .otherwise("2.00")
-        .cast("decimal(4,2)")
+    # Multiplier in scale-2 integer units (100/120/150/200): the
+    # weighted value is a scale-4 long product (rev_units discipline,
+    # functions/money.py capacity bound — per-group sums ~1e14 here).
+    mult_c = (
+        F.when(age_days < 365, 100)
+        .when(age_days < 1095, 120)
+        .when(age_days < 1825, 150)
+        .otherwise(200)
+        .cast("long")
     )
     return (
         o.groupBy("o_orderstatus")
-        .agg(money_sum(dec("o_totalprice") * mult).alias("weighted_value"))
+        .agg(
+            (F.sum(cents("o_totalprice") * mult_c) / F.lit(1.0e4))
+            .cast("double")
+            .alias("weighted_value")
+        )
     )
 
 
@@ -475,9 +482,11 @@ def revenue_forecast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        money_sum(dec("l_extendedprice") * dec("l_discount", "decimal(4,2)")).alias(
-            "revenue_delta"
-        ),
+        # price*disc as a scale-4 long product (rev_units discipline;
+        # filtered sums ~1e12, far under the 2^53 bound).
+        (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(1.0e4))
+        .cast("double")
+        .alias("revenue_delta"),
         F.count("*").alias("n_lines"),
     )
 

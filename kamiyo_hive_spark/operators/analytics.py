@@ -437,6 +437,6 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            money_sum(dec("c_acctbal", "decimal(12,2)")).alias("total_bal"),
+            money_sum_col("c_acctbal").alias("total_bal"),
         )
     )
