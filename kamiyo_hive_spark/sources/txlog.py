@@ -3667,19 +3667,30 @@ def _register_cdf_query() -> None:
         root = cdf_table(spark, sf_dir)
         log = TxLog(root)
         changed = read_changes(log, spark, 1, 2)
-        n_feed = changed.count()
+        # Aggregate ONCE (guide §1.2 "don't compute things you throw
+        # away"): the pruning assertion used to `count()` the feed — a
+        # second full derivation of the same multi-relation diff the
+        # returned aggregate was about to run. The group-count-sized
+        # aggregate is checkpointed, the assertion's n_feed is the sum
+        # of its n_rows, and the caller serves the checkpoint.
+        agg = (
+            changed.groupBy(
+                F.col("_change_type").alias("change_type"), "o_orderstatus"
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                money_sum_col("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+        n_feed = sum(r["n_rows"] for r in agg.select("n_rows").collect())
         n_table = log.read(spark).count()
         if n_feed >= n_table:
             raise RuntimeError(
                 "CDF pruning broken: the feed should be bucket 0 only, "
                 f"got {n_feed} feed rows vs {n_table} table rows"
             )
-        return changed.groupBy(
-            F.col("_change_type").alias("change_type"), "o_orderstatus"
-        ).agg(
-            F.count("*").alias("n_rows"),
-            money_sum_col("o_totalprice").alias("total_price"),
-        )
+        return agg
 
 
 _register_cdf_query()
@@ -3688,7 +3699,7 @@ _register_cdf_query()
 def _register_ivm_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum_col
+    from kamiyo_hive_spark.functions.money import cents, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -3723,19 +3734,28 @@ def _register_ivm_query() -> None:
         `acid_change_data_feed` (one build per testdata generation)."""
         log = TxLog(cdf_table(spark, sf_dir))
 
-        def rollup(df: DataFrame, sign: int) -> DataFrame:
-            return df.groupBy("o_orderstatus").agg(
-                (F.count("*") * sign).alias("d_rows"),
-                (F.sum(dec("o_totalprice")) * sign).alias("d_price"),
+        # One SIGNED aggregation over the unioned feeds (guide §2.4):
+        # the previous shape aggregated every version's inserts and
+        # deletes in its own groupBy branch and re-aggregated the
+        # union — an exchange per branch. Tagging each row ±1 and
+        # projecting only (status, sign, price) before the union keeps
+        # map-side partial aggregation across all branches and leaves
+        # ONE exchange total. sum(sign) equals the signed row count and
+        # sum(sign * cents) the signed exact sub-unit total, so the
+        # result is bit-identical to the per-branch decimal fold
+        # (functions/money.py exactness contract; oracle-verified).
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        parts = [
+            log.read(spark, version=0).select(
+                "o_orderstatus", F.lit(1).alias("_sign"), "o_totalprice"
             )
-
-        parts = [rollup(log.read(spark, version=0), +1)]
+        ]
         for v in range(1, log.version() + 1):
-            changes = read_changes(log, spark, v - 1, v)
-            ins = changes.filter(F.col("_change_type") == "insert")
-            dels = changes.filter(F.col("_change_type") == "delete")
-            parts.append(rollup(ins, +1))
-            parts.append(rollup(dels, -1))
+            parts.append(
+                read_changes(log, spark, v - 1, v).select(
+                    "o_orderstatus", sign.alias("_sign"), "o_totalprice"
+                )
+            )
         acc = parts[0]
         for p in parts[1:]:
             acc = acc.unionByName(p)
@@ -3748,8 +3768,10 @@ def _register_ivm_query() -> None:
         maintained = (
             acc.groupBy("o_orderstatus")
             .agg(
-                F.sum("d_rows").cast("long").alias("n_rows"),
-                F.sum("d_price").cast("double").alias("total_price"),
+                F.sum("_sign").cast("long").alias("n_rows"),
+                (F.sum(cents("o_totalprice") * F.col("_sign")) / 100.0)
+                .cast("double")
+                .alias("total_price"),
             )
         ).localCheckpoint()
         full = (
@@ -3777,7 +3799,7 @@ _register_ivm_query()
 def _register_dv_ivm_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum_col
+    from kamiyo_hive_spark.functions.money import cents, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     DVI_MOD = 89
@@ -3854,20 +3876,22 @@ def _register_dv_ivm_query() -> None:
         root = ensure_staging(out, source, build)
         log = TxLog(root)
 
-        def rollup(df: DataFrame, sign: int) -> DataFrame:
-            return df.groupBy("o_orderstatus").agg(
-                (F.count("*") * sign).alias("d_rows"),
-                (F.sum(dec("o_totalprice")) * sign).alias("d_price"),
+        # One SIGNED aggregation over the unioned feeds — same shape
+        # and exactness argument as `acid_incremental_rollup` (an
+        # exchange per insert/delete/version branch collapses to one;
+        # guide §2.4). Projecting (status, sign, price) before the
+        # union is the §2.3 "project before the exchange" discipline.
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        parts = [
+            log.read(spark, version=0).select(
+                "o_orderstatus", F.lit(1).alias("_sign"), "o_totalprice"
             )
-
-        parts = [rollup(log.read(spark, version=0), +1)]
+        ]
         for v in range(1, log.version() + 1):
-            changes = read_changes(log, spark, v - 1, v)
             parts.append(
-                rollup(changes.filter(F.col("_change_type") == "insert"), +1)
-            )
-            parts.append(
-                rollup(changes.filter(F.col("_change_type") == "delete"), -1)
+                read_changes(log, spark, v - 1, v).select(
+                    "o_orderstatus", sign.alias("_sign"), "o_totalprice"
+                )
             )
         acc = parts[0]
         for p in parts[1:]:
@@ -3879,8 +3903,10 @@ def _register_dv_ivm_query() -> None:
         # same once-then-serve discipline an incremental view exists
         # for; ngram_lm_quality records the identical pattern).
         maintained = acc.groupBy("o_orderstatus").agg(
-            F.sum("d_rows").cast("long").alias("n_rows"),
-            F.sum("d_price").cast("double").alias("total_price"),
+            F.sum("_sign").cast("long").alias("n_rows"),
+            (F.sum(cents("o_totalprice") * F.col("_sign")) / 100.0)
+            .cast("double")
+            .alias("total_price"),
         ).localCheckpoint()
         full = (
             log.read(spark)
