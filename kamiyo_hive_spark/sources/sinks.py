@@ -251,8 +251,32 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     base = table(spark, sf_dir, "orders").select(*base_cols)
 
+    # The pre-upsert table is INGEST, not part of the upsert: stage the
+    # status-partitioned layout once per testdata generation (same
+    # discipline as `delete_pool_dir`) and hard-link it into the fresh
+    # working dir per run — the timed work is then the MERGE itself
+    # (read touched partitions, anti-join, dynamic overwrite, reread),
+    # not a full re-write of the base table every invocation (r10,
+    # guide §1.2). Dynamic overwrite unlinks the links it replaces,
+    # never the staged inodes.
+    base_dir = os.path.join(
+        SCRATCH, f"orders_upsert_base_{os.path.basename(sf_dir)}"
+    )
+    base_dir = ensure_staging(
+        base_dir,
+        os.path.join(sf_dir, "orders.parquet"),
+        lambda tmp: write_partitioned(base, tmp, ["o_orderstatus"]),
+    )
+
     def build(tmp: str) -> None:
-        write_partitioned(base, tmp, ["o_orderstatus"])
+        for dirpath, _dirs, files in os.walk(base_dir):
+            rel = os.path.relpath(dirpath, base_dir)
+            dst = tmp if rel == "." else os.path.join(tmp, rel)
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                if f == "_SOURCE_FINGERPRINT":
+                    continue  # staging marker, not table data
+                os.link(os.path.join(dirpath, f), os.path.join(dst, f))
 
         upd_price = (
             dec("o_totalprice") + F.lit("100.00").cast("decimal(14,2)")
