@@ -16,6 +16,8 @@ the same IEEE-754 value everywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -24,6 +26,45 @@ from pyspark.sql import functions as F
 # both Spark and DuckDB without precision-loss rounding.
 MONEY = "decimal(14,2)"
 RATE = "decimal(4,2)"
+
+# Exactness bound for the integer sub-unit fast path (VERDICT r10
+# finding 2): the final `sum(long) / 10^s` division is bit-identical to
+# `CAST(decimal_sum AS DOUBLE)` only while |sum| < 2^53 — above that the
+# long→double conversion rounds BEFORE the division, so the result can
+# drift by one ulp with no error raised. The bench SFs have ~80x margin;
+# at the 100 TB design point a deployment either enables this guard
+# (debug runs / canaries) or routes unbounded accumulations through the
+# decimal path (`money_sum(expr, scale=None)`), which has no such bound.
+EXACT_DOUBLE_BOUND = 2**53
+
+
+def _guard_enabled() -> bool:
+    """Read at call time so tests and canary deployments can flip the
+    guard without re-importing query modules."""
+    return os.environ.get("SPARK_GRAFT_MONEY_GUARD", "0") != "0"
+
+
+def _guarded_subunit_sum(total: Column) -> Column:
+    """`total` = a summed long in integer sub-units. With the guard off
+    (default: bench/production hot path, zero plan change) returns it
+    unchanged; with SPARK_GRAFT_MONEY_GUARD=1 the aggregate raises if a
+    group total reaches 2^53, where the double division would stop
+    round-tripping exactly (see EXACT_DOUBLE_BOUND)."""
+    if not _guard_enabled():
+        return total
+    ok = F.abs(total) < F.lit(EXACT_DOUBLE_BOUND)
+    err = F.assert_true(
+        ok,
+        F.concat(
+            F.lit("integer sub-unit sum reached 2^53; the double result "
+                  "may drift by 1 ulp vs the decimal path — use "
+                  "money_sum(expr, scale=None) for this accumulation "
+                  "(got "),
+            total.cast("string"),
+            F.lit(")"),
+        ),
+    )
+    return F.when(err.isNull(), total)
 
 
 def dec(col: str | Column, typ: str = MONEY) -> Column:
@@ -63,7 +104,9 @@ def money_sum(expr: Column, scale: int | None = None) -> Column:
     if scale is None:
         return F.sum(expr).cast("double")
     f = 10**scale
-    return (F.sum((expr * f).cast("long")) / float(f)).cast("double")
+    return (_guarded_subunit_sum(F.sum((expr * f).cast("long"))) / float(f)).cast(
+        "double"
+    )
 
 
 def cents(col: str | Column, scale: int = 2) -> Column:
@@ -100,7 +143,9 @@ def rev_units(price: str | Column = "l_extendedprice",
 def rev_sum(price: str | Column = "l_extendedprice",
             disc: str | Column = "l_discount") -> Column:
     """Exact SUM(price*(1-disc)) as double via :func:`rev_units`."""
-    return (F.sum(rev_units(price, disc)) / F.lit(1.0e4)).cast("double")
+    return (_guarded_subunit_sum(F.sum(rev_units(price, disc))) / F.lit(1.0e4)).cast(
+        "double"
+    )
 
 
 def money_sum_col(col: str | Column, scale: int = 2) -> Column:
@@ -108,4 +153,4 @@ def money_sum_col(col: str | Column, scale: int = 2) -> Column:
     sub-unit sum straight from the exact-decimal double (see
     :func:`cents`), exposed as the same double ``money_sum`` yields."""
     f = 10**scale
-    return (F.sum(cents(col, scale)) / float(f)).cast("double")
+    return (_guarded_subunit_sum(F.sum(cents(col, scale))) / float(f)).cast("double")

@@ -269,14 +269,24 @@ def upsert_scd1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(tmp: str) -> None:
-        for dirpath, _dirs, files in os.walk(base_dir):
-            rel = os.path.relpath(dirpath, base_dir)
-            dst = tmp if rel == "." else os.path.join(tmp, rel)
-            os.makedirs(dst, exist_ok=True)
-            for f in files:
-                if f == "_SOURCE_FINGERPRINT":
-                    continue  # staging marker, not table data
-                os.link(os.path.join(dirpath, f), os.path.join(dst, f))
+        # Walk under the base staging's lock (ADVICE r10): a concurrent
+        # session re-staging after testdata regeneration swaps
+        # generations via rename, and an unlocked walk could hard-link
+        # a mixed-generation table. The lock order (working-dir lock,
+        # then base lock) is the only order any session uses.
+        with _staging_lock(base_dir):
+            for dirpath, _dirs, files in os.walk(base_dir):
+                rel = os.path.relpath(dirpath, base_dir)
+                dst = tmp if rel == "." else os.path.join(tmp, rel)
+                os.makedirs(dst, exist_ok=True)
+                for f in files:
+                    if f in ("_SOURCE_FINGERPRINT", "_SUCCESS"):
+                        # staging markers, not table data — and Spark's
+                        # commit re-creates _SUCCESS by truncating in
+                        # place, so hard-linking it would open a staged
+                        # inode for write (ADVICE r10)
+                        continue
+                    os.link(os.path.join(dirpath, f), os.path.join(dst, f))
 
         upd_price = (
             dec("o_totalprice") + F.lit("100.00").cast("decimal(14,2)")

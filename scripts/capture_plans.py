@@ -23,7 +23,9 @@ def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_ROOT, "plans", "r10")
+    out_dir = os.path.join(
+        _ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from kamiyo_hive_spark.plans.registry import load_registry
