@@ -77,6 +77,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(charge).alias("sum_charge"),
             (money_sum_col("l_quantity") / F.count("*")).alias("avg_qty"),
             (money_sum_col("l_extendedprice") / F.count("*")).alias("avg_price"),
+            # stays decimal ON MEASUREMENT (r11): sum(decimal(4,2))
+            # already runs in the compact-long representation; the
+            # integer-cents rewrite A/B'd 1.06x (interleaved, 7 reps)
             (F.sum(dec("l_discount", "decimal(4,2)")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -177,7 +180,18 @@ def weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(money_sum(dec("l_quantity") * dec("l_extendedprice")).alias("weighted_total"))
+        # scale-4 integer product (r11, guide §2.3, same shape as
+        # rev_units): the decimal(14,2)×(14,2) product accumulated in a
+        # non-compact decimal buffer; both factors are exact integers in
+        # sub-units, so the long product is the exact scale-4 value.
+        # Capacity: the largest group total measured at sf0.1 is
+        # 2.7e15 scale-4 units — 3.3x under 2^53 (bound documented in
+        # money.py; SPARK_GRAFT_MONEY_GUARD turns it into an error).
+        .agg(
+            (F.sum(cents("l_quantity") * cents("l_extendedprice")) / 1.0e4)
+            .cast("double")
+            .alias("weighted_total")
+        )
     )
 
 
@@ -511,18 +525,23 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller finer tier. The oracle aggregates raw directly, so the test
     proves reaggregation is lossless."""
     e = table(spark, sf_dir, "events")
+    # Partials carried as integer sub-units (r11, guide §2.3): the
+    # hourly tier's sum(decimal(14,2)) accumulated in a non-compact
+    # decimal(24,2) buffer and the daily tier re-summed it wider still;
+    # long partials compose just as associatively and exactly, at
+    # codegen speed on both tiers.
     hourly = (
         e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(dec("value")).alias("total_value_dec"),
+            F.sum(cents("value")).alias("total_value_c"),
         )
     )
     daily = (
         hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("total_value_dec").cast("double").alias("total_value"),
+            (F.sum("total_value_c") / 100.0).cast("double").alias("total_value"),
         )
     )
     return daily
@@ -672,10 +691,13 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
     month = F.date_trunc("month", "o_orderdate").alias("month")
 
+    # Partials as integer sub-units (r11, guide §2.3): long partials
+    # merge exactly on any partitioning, same as the decimal ones did,
+    # without the non-compact decimal(24,2) accumulator on either pass.
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy(month, "o_orderstatus").agg(
             F.count("*").alias("n_orders"),
-            F.sum(dec("o_totalprice")).alias("price_partial"),
+            F.sum(cents("o_totalprice")).alias("price_partial_c"),
         )
 
     history = rollup(o.filter(F.col("o_orderdate") < cutoff))
@@ -685,7 +707,7 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month", "o_orderstatus")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.sum("price_partial").cast("double").alias("total_price"),
+            (F.sum("price_partial_c") / 100.0).cast("double").alias("total_price"),
         )
     )
 
@@ -727,8 +749,15 @@ def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     values = salted_agg(
         e.select("event_type", "value"),
         "event_type",
-        partial=lambda: F.sum(dec("value")),
+        # integer sub-unit partials (r11): per-(key,salt) long sums
+        # merge exactly per key, same invisibility argument as the
+        # decimal partials, minus the decimal accumulator on both
+        # phases (guide §2.3)
+        partial=lambda: F.sum(cents("value")),
         merge=F.sum,
         out="total_value",
-    ).select("event_type", F.col("total_value").cast("double").alias("total_value"))
+    ).select(
+        "event_type",
+        (F.col("total_value") / 100.0).cast("double").alias("total_value"),
+    )
     return counts.join(values, "event_type")

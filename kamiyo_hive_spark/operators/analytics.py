@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, rev_sum, rev_units
+from kamiyo_hive_spark.functions.money import cents, dec, money_sum, money_sum_col, one_minus, rev_sum, rev_units
 from kamiyo_hive_spark.plans.registry import register
 
 _REV = "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
@@ -152,11 +152,18 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — the aggregate filter runs BEFORE the customer join, so only
     qualifying orders shuffle."""
     li = table(spark, sf_dir, "lineitem")
+    # Quantities as integer sub-units (r11, guide §2.3): the per-order
+    # sum was the query's widest aggregation (decimal(24,2) buffer over
+    # every lineitem row); the long sum is exact, the HAVING threshold
+    # compares the same exact quantity (>150.00 ⇔ >15000 sub-units),
+    # and the served double is the identical round-trip (money.py).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > F.lit(150).cast("decimal(14,2)"))
-        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > F.lit(15000).cast("long"))
+        .select(
+            "l_orderkey", (F.col("qty_c") / 100.0).cast("double").alias("total_qty")
+        )
     )
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")

@@ -139,22 +139,33 @@ def dist_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("cbin"))
         .agg(F.count("*").alias("nc"))
     )
-    n_bins = base.count()  # priority categories — bounded metadata
-    tb = base.agg(F.sum("nb")).first()[0]
-    tc_row = cur.agg(F.sum("nc")).first()
-    tc = tc_row[0]
-    j = base.join(cur, base.bin == cur.cbin, "full_outer").select(
-        F.coalesce("bin", "cbin").alias("bin"),
-        F.round(
-            (F.coalesce(F.col("nb"), F.lit(0)) + 1).cast("double")
-            / F.lit(float(tb + n_bins)),
-            9,
-        ).alias("p_base"),
-        F.round(
-            (F.coalesce(F.col("nc"), F.lit(0)) + 1).cast("double")
-            / F.lit(float(tc + n_bins)),
-            9,
-        ).alias("p_cur"),
+    # Totals stay IN the plan (r11, guide §5 "the driver should do
+    # almost no data work"): the bin count and both side totals used to
+    # be three separate driver actions (.count() + two .first()s), each
+    # its own job over the orders scan, before the real job ran. They
+    # are group-count-sized aggregates — computed once here and crossed
+    # in as a broadcast single row, so one action materializes
+    # everything. The divisions see the same exact-integer doubles the
+    # collected literals produced (integers < 2^53 convert exactly).
+    tot = base.agg(
+        F.sum("nb").alias("tb"), F.count("*").alias("nbins")
+    ).crossJoin(cur.agg(F.sum("nc").alias("tc")))
+    j = (
+        base.join(cur, base.bin == cur.cbin, "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.coalesce("bin", "cbin").alias("bin"),
+            F.round(
+                (F.coalesce(F.col("nb"), F.lit(0)) + 1).cast("double")
+                / (F.col("tb") + F.col("nbins")).cast("double"),
+                9,
+            ).alias("p_base"),
+            F.round(
+                (F.coalesce(F.col("nc"), F.lit(0)) + 1).cast("double")
+                / (F.col("tc") + F.col("nbins")).cast("double"),
+                9,
+            ).alias("p_cur"),
+        )
     )
     return j.select(
         "bin",

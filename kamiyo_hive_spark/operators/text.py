@@ -366,6 +366,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequencies so the explode+agg runs once.
     tf = tf.persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # N stays a DRIVER count ON MEASUREMENT (r11): folding it into the
+    # plan (countDistinct(doc_id) over the persisted tf + broadcast
+    # cross join) A/B'd 1.24x — the in-plan distinct costs a real
+    # exchange while this is a metadata-cheap count over the ~200-doc
+    # sample. At corpus scale N comes from the catalog/manifest, not a
+    # scan, so the literal shape is also the production shape.
     n_docs = d.count()
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",

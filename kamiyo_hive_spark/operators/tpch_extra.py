@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col, one_minus, rev_sum, rev_units
+from kamiyo_hive_spark.functions.money import cents, dec, money_sum, money_sum_col, one_minus, rev_sum, rev_units
 from kamiyo_hive_spark.plans.registry import register
 
 _REV = (
@@ -282,18 +282,24 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'gear' parts by supplier nation and
     order year. Cost uses a 60%-of-retail proxy (no partsupp table);
-    the whole profit expression stays decimal-exact through the
-    aggregate. Part filter is pushed into the broadcast build side, so
-    the fact rows for other parts never shuffle."""
+    the whole profit expression stays exact through the aggregate —
+    as scale-6 integer units summed in long codegen (see the
+    profit_units note below). Part filter is pushed into the broadcast
+    build side, so the fact rows for other parts never shuffle."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     o = table(spark, sf_dir, "orders")
-    profit = _revenue() - (
-        F.lit(0.6).cast("decimal(4,2)")
-        * dec("p_retailprice")
-        * dec("l_quantity")
+    # Profit in scale-6 integer units (r11, guide §2.3): the decimal
+    # form accumulated a scale-6 wide-decimal per row; both terms are
+    # exact integers in sub-units (rev_units is scale 4 → ×100; the
+    # 60%-of-retail cost is 60 × retail_cents × qty_cents, scale
+    # 2+2+2=6), so the long sum is the exact scale-6 total. Capacity:
+    # largest |group sum| measured at sf0.1 is 2.4e13 scale-6 units —
+    # 381× under 2^53 (bound + guard in money.py).
+    profit_units = rev_units() * F.lit(100).cast("long") - (
+        F.lit(60).cast("long") * cents("p_retailprice") * cents("l_quantity")
     )
     sn = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -304,7 +310,7 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
-        .agg(money_sum(profit).alias("profit"))
+        .agg((F.sum(profit_units) / 1.0e6).cast("double").alias("profit"))
     )
 
 
@@ -339,6 +345,10 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts as a single row: one fact scan, one fact shuffle."""
     li = table(spark, sf_dir, "lineitem")
     s = _suppliers_in_region(spark, sf_dir, "ASIA").select("s_suppkey")
+    # Stays decimal ON MEASUREMENT (r11): the integer sub-unit rewrite
+    # of this per-part aggregate A/B'd 1.04x (interleaved, 7 reps) —
+    # the ~20k-group aggregate is scheduling-floor-bound, not
+    # accumulator-bound, at this shape.
     per_part = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
@@ -480,6 +490,10 @@ def qualified_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
+    # Stays decimal ON MEASUREMENT (r11): the integer sub-unit rewrite
+    # A/B'd 1.07x (interleaved, 7 reps) — the shipped aggregate is
+    # small after the semi-join and the extra per-row round(x*100)
+    # outweighs the compact-decimal saving.
     shipped = (
         li.join(F.broadcast(p_small), li.l_partkey == p_small.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")

@@ -189,6 +189,10 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
+            # Stays decimal ON MEASUREMENT (r11): the integer sub-unit
+            # rewrite A/B'd 1.03x (interleaved, 7 reps) — the per-row
+            # round(x*100) costs more than the compact decimal(14,2)
+            # cumulative frame saves at this slice size.
             F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
         )
     )
@@ -226,6 +230,9 @@ def moving_average_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
+        # Stays decimal ON MEASUREMENT (r11): the integer sub-unit frame
+        # sum A/B'd 1.21x (interleaved, 7 reps) — a 7-row sliding frame
+        # pays round(x*100) per row against a compact decimal buffer.
         (F.sum(dec("value")).over(w).cast("double") / F.count("*").over(w)).alias("avg_7"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_7"),
     )

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kamiyo_hive_spark.catalog import table
-from kamiyo_hive_spark.functions.money import dec, money_sum, money_sum_col
+from kamiyo_hive_spark.functions.money import cents, dec, money_sum, money_sum_col
 from kamiyo_hive_spark.plans.registry import register
 from kamiyo_hive_spark.sources.sinks import (
     SCRATCH,
@@ -300,12 +300,15 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and touching only the day's appended files; the manifest is
     metadata-sized and the file delta is the only data read."""
     root = build_snapshots(spark, sf_dir)
+    # Snapshot + increment partials as integer sub-units (r11, guide
+    # §2.3): long partials compose exactly in the v1+delta algebra,
+    # without a decimal accumulator on either read.
     v1 = (
         read_snapshot(spark, root, "v1")
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("v1_rows"),
-            F.sum(dec("o_totalprice")).alias("v1_tp"),
+            F.sum(cents("o_totalprice")).alias("v1_tpc"),
         )
     )
     inc = (
@@ -313,11 +316,11 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("inc_rows"),
-            F.sum(dec("o_totalprice")).alias("inc_tp"),
+            F.sum(cents("o_totalprice")).alias("inc_tpc"),
         )
     )
     joined = v1.join(inc, "o_orderstatus", "full_outer")
-    zero = F.lit(0).cast("decimal(14,2)")
+    zero = F.lit(0).cast("long")
     return joined.select(
         "o_orderstatus",
         F.coalesce("v1_rows", F.lit(0)).cast("long").alias("v1_rows"),
@@ -325,7 +328,10 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("v1_rows", F.lit(0)) + F.coalesce("inc_rows", F.lit(0)))
         .cast("long")
         .alias("v2_rows"),
-        (F.coalesce(F.col("v1_tp"), zero) + F.coalesce(F.col("inc_tp"), zero))
+        (
+            (F.coalesce(F.col("v1_tpc"), zero) + F.coalesce(F.col("inc_tpc"), zero))
+            / 100.0
+        )
         .cast("double")
         .alias("v2_total_price"),
     )

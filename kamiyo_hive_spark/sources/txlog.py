@@ -4197,7 +4197,7 @@ _register_partition_evolution_query()
 def _register_cdf_stream_query() -> None:
     from pyspark.sql import functions as F
 
-    from kamiyo_hive_spark.functions.money import dec, money_sum_col
+    from kamiyo_hive_spark.functions.money import cents, dec, money_sum_col
     from kamiyo_hive_spark.plans.registry import register
 
     @register(
@@ -4274,9 +4274,15 @@ def _register_cdf_stream_query() -> None:
             .parquet(src)
         )
         sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        # Signed sum in integer sub-units (r11, guide §2.3): the
+        # streaming state row carries a long instead of a decimal and
+        # the delete legs cancel the insert legs exactly, same
+        # integrality argument as the batch rollups (money.py).
         agg = stream.groupBy("o_orderstatus").agg(
             F.sum(sign).cast("long").alias("n_rows"),
-            F.sum(dec("o_totalprice") * sign).cast("double").alias("total_price"),
+            (F.sum(cents("o_totalprice") * sign) / 100.0)
+            .cast("double")
+            .alias("total_price"),
         )
         name = "cdf_tail_mem"
         prev = spark.conf.get("spark.sql.shuffle.partitions")

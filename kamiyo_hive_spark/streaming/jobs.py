@@ -56,23 +56,69 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROGRESS_SINK: list | None = None
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def bounded_replay_confs(spark: SparkSession, partitions: int):
+    """Session confs for a BOUNDED replay streaming run, restored after.
+
+    - `spark.sql.shuffle.partitions`: the state store creates one
+      instance per shuffle partition for the life of the query; a host
+      session left at the 200 default burns ~200 empty state tasks per
+      micro-batch. The right value splits by where the work runs: JVM
+      state stores are commit-overhead-bound at these key counts (4
+      measured ~20% faster than 8 at sf0.1), while Python-stateful
+      operators (applyInPandasWithState / TWS) are per-key CPU-bound in
+      the Python workers and WANT parallelism (16 measured fastest) —
+      those call sites override `partitions`.
+    - `noDataMicroBatches` OFF (r11, guide §1.2 "don't compute things
+      you throw away"): the engine's extra empty batch exists to
+      advance the watermark and evict/emit state on an IDLE UNBOUNDED
+      stream; a drained bounded replay never needs it, and it costs a
+      full trigger cycle (queryPlanning + walCommit + a state-store
+      commit per partition — streaming_profile measured the interval
+      join paying a 5th batch at its full ~1 s marginal cost). It
+      cannot change any bounded query's result: complete mode
+      re-emits unchanged state, the dedup/append emissions happen in
+      their data batch, the stream-stream join is INNER (eviction
+      emits nothing; only outer joins emit on eviction), and the
+      stateful operators run NoTimeout (no timer callbacks to fire).
+      Production unbounded jobs keep the engine default; the live
+      runner (streaming/live.py) also keeps it unless the caller is a
+      bounded complete-mode feed, because append-mode watermark
+      emission on a live bus DOES flush via no-data batches
+      (tests/test_streaming_live.py pins that behavior).
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
+        # NOT here: StateStore.stop() between bounded runs (unloading
+        # the stopped query's providers instead of waiting for the 60 s
+        # maintenance tick) — A/B'd NEGATIVE/NEUTRAL r11: 3 alternating
+        # same-session passes of the 11-query streaming list measured
+        # 23.7/21.4/21.6 s without vs 21.9/21.9/21.7 s with, per-query
+        # ratios mixed ±9%. Dead providers at these state sizes cost
+        # nothing measurable; the unload stayed out (recorded in
+        # OPTIMIZATION_r11.md so the next round re-checks instead of
+        # re-arguing).
+
+
 def _run_to_completion(
     result: DataFrame, name: str, mode: str, partitions: int = 4
 ) -> None:
-    # The state store creates one instance per shuffle partition for the
-    # life of the query; a host session left at the 200 default burns
-    # ~200 empty state tasks per micro-batch. Pin a right-sized value
-    # for this bounded query, restore the host setting after. The right
-    # value splits by where the work runs: JVM state stores are
-    # commit-overhead-bound at these key counts (4 measured ~20% faster
-    # than 8 at sf0.1), while Python-stateful operators
-    # (applyInPandasWithState / TWS) are per-key CPU-bound in the Python
-    # workers and WANT parallelism (16 measured fastest: 5.4s vs 6.5s@8
-    # vs 11.6s@4) — those call sites override `partitions`.
     spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
+    with bounded_replay_confs(spark, partitions):
         q = (
             result.writeStream.outputMode(mode)
             .format("memory")
@@ -85,8 +131,6 @@ def _run_to_completion(
                 _PROGRESS_SINK.append((name, list(q.recentProgress)))
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def window_agg_transform(stream: DataFrame) -> DataFrame:
@@ -183,6 +227,7 @@ def streaming_window_agg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_window_agg_live_out",
             "complete",
             expected_rows=len(lines),
+            no_data_batches=False,  # bounded complete-mode feed
         )
     return _window_agg_present(spark, "stream_window_agg_live_out")
 
@@ -241,6 +286,7 @@ def streaming_window_agg_live_bus(spark: SparkSession, sf_dir: str) -> DataFrame
             "stream_window_agg_live_bus_out",
             "complete",
             expected_rows=len(lines),
+            no_data_batches=False,  # bounded complete-mode feed
         )
     return _window_agg_present(spark, "stream_window_agg_live_bus_out")
 

@@ -308,15 +308,30 @@ def run_live_to_completion(
     expected_rows: int,
     timeout_s: float = 120.0,
     partitions: int = 4,
+    no_data_batches: bool = True,
 ) -> None:
     """Start the query on the live source and drive it until the total
     input row count reaches `expected_rows` (a socket has no EOF — the
     bus analogy is an offset high-watermark, which is exactly what
     numInputRows accumulates). Raises on timeout so a stalled feed is
-    a loud failure, never a silently-short result."""
+    a loud failure, never a silently-short result.
+
+    ``no_data_batches=False`` opts a COMPLETE-mode bounded feed out of
+    the engine's empty watermark-advancement batches (they re-emit
+    unchanged state — a full trigger cycle of pure overhead while the
+    driver polls for the expected rows). Append-mode callers must keep
+    the default: their closed-window emission FLUSHES via a no-data
+    batch (tests/test_streaming_live.py pins that)."""
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    if not no_data_batches:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
     try:
         q = (
             result.writeStream.outputMode(mode)
@@ -346,3 +361,6 @@ def run_live_to_completion(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )

@@ -42,13 +42,14 @@ def test_bench_smoke(tmp_path):
         "pricing_summary",
         "exact_dedup_kept",
     }
-    # stdout contract: LAST line is a SHORT summary (the driver keeps
-    # only a ~2 KB stdout tail — r1 AND r2 went parsed=null because the
-    # full-map line was ~8 KB), nothing may follow it
+    # stdout contract (r11, VERDICT r10 item 1): the LAST line is ONE
+    # parseable JSON object CARRYING the per-query map — the driver
+    # ingests only this line (PERF_r09/r10 had per_query:{} because the
+    # map lived only in bench_out.json). Printed after spark.stop(), so
+    # nothing may follow it.
     stdout_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
-    assert len(stdout_lines[-1]) < 512, "stdout summary line must stay tail-safe"
     line_out = json.loads(stdout_lines[-1])
-    assert "queries" not in line_out
+    assert line_out["queries"] == file_out["queries"]
 
     for out in (file_out, line_out):
         assert out["unit"] == "sec"

@@ -15,6 +15,14 @@ On INTENTIONAL plan changes, regenerate and commit the baseline:
 
 Streaming queries are excluded (their builders run the stream; the
 returned frame is a memory-sink scan with no plan information).
+
+Scope note (ADVICE r10): queries whose builder eagerly materializes and
+SERVES a localCheckpoint (the CDF/DV rollups, acid_change_data_feed,
+and siblings following the maintain-once-then-serve discipline) pin
+only the served plan here — a checkpoint scan with zero exchanges. The
+real feed-derivation plan shape for those queries is locked by their
+committed plans/r{N}/ captures (pre-checkpoint explain) and, for the
+weighted feed, by tests/test_txlog_weighted_feed.py.
 """
 
 from __future__ import annotations
